@@ -1,0 +1,157 @@
+"""HTML main-content extraction (boilerplate stripping).
+
+**North-rule extension** — the reference (readur) only *detects* HTML as a
+text format (src/metadata_extraction.rs:162-164; fixtures
+test_files/sample.html) and never parses DOM. This kernel implements the
+block-classification approach of the public boilerplate-removal literature
+(Kohlschütter et al., "Boilerplate Detection using Shallow Text Features",
+WSDM 2010 — boilerpipe; Pomikálek, "jusText", 2011):
+
+1. Segment the DOM into *blocks*: a block boundary is any open or close of a
+   block-level tag, or an inline ``<img>`` (so media position is preserved).
+2. Drop entire subtrees of non-content tags (nav/header/footer/aside/script/
+   style/form/...).
+3. Score each block by text length and link density
+   (``chars inside <a> / total chars``); keep blocks with
+   ``text_len >= 25`` and ``link_density <= 0.5``.
+4. Emit kept blocks as ordered text spans and ``<img>`` elements in
+   non-excluded positions as media spans (``media_ref = src``).
+
+Pure stdlib (``html.parser``) — tolerant of malformed markup, deterministic,
+and dependency-free so it runs identically on every executor.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+#: Subtrees that never contribute content (boilerpipe/jusText tag policy).
+EXCLUDED_TAGS = frozenset(
+    {
+        "script", "style", "noscript", "template", "head", "title",
+        "nav", "header", "footer", "aside", "form", "button", "select",
+        "option", "label", "iframe", "svg", "canvas", "object", "applet",
+    }
+)
+
+#: Tags whose open/close delimits a block (jusText paragraph segmentation).
+BLOCK_TAGS = frozenset(
+    {
+        "p", "div", "td", "th", "tr", "table", "li", "ul", "ol", "dd", "dt",
+        "dl", "h1", "h2", "h3", "h4", "h5", "h6", "article", "section",
+        "main", "pre", "blockquote", "figure", "figcaption", "caption",
+        "summary", "details", "body", "html", "hr",
+    }
+)
+
+#: Void/inline linebreak.
+_LINEBREAK_TAGS = frozenset({"br"})
+
+MIN_BLOCK_CHARS = 25
+MAX_LINK_DENSITY = 0.5
+
+_WS = re.compile(r"\s+")
+
+
+class _Block:
+    __slots__ = ("parts", "link_chars")
+
+    def __init__(self) -> None:
+        self.parts: list[str] = []
+        self.link_chars: int = 0
+
+
+class _MainContentParser(HTMLParser):
+    """Streaming segmenter: emits (kind, payload) items in document order."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.items: list[tuple[str, str]] = []  # ('text', block) | ('media', src)
+        self._exclude_depth = 0
+        self._link_depth = 0
+        self._block = _Block()
+
+    # -- block lifecycle -------------------------------------------------
+    def _flush(self) -> None:
+        raw = "".join(self._block.parts)
+        text = _WS.sub(" ", raw).strip()
+        if text:
+            link_chars = self._block.link_chars
+            density = link_chars / len(raw) if raw else 0.0
+            if len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
+                self.items.append(("text", text))
+        self._block = _Block()
+
+    # -- parser events ---------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in EXCLUDED_TAGS:
+            self._exclude_depth += 1
+            return
+        if self._exclude_depth:
+            return
+        if tag == "img":
+            # img is a void element: HTMLParser reports it via starttag.
+            self._flush()
+            src = next((v for k, v in attrs if k == "src" and v), None)
+            if src:
+                self.items.append(("media", src))
+            return
+        if tag in _LINEBREAK_TAGS:
+            self._block.parts.append("\n")
+            return
+        if tag == "a":
+            self._link_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self.handle_starttag(tag, attrs)
+        if tag == "a":  # self-closing <a/> opens nothing
+            self._link_depth = max(0, self._link_depth - 1)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in EXCLUDED_TAGS:
+            self._exclude_depth = max(0, self._exclude_depth - 1)
+            return
+        if self._exclude_depth:
+            return
+        if tag == "a":
+            self._link_depth = max(0, self._link_depth - 1)
+            return
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._exclude_depth or not data:
+            return
+        self._block.parts.append(data)
+        if self._link_depth:
+            self._block.link_chars += len(data)
+
+    def close(self) -> None:  # final flush for unterminated markup
+        super().close()
+        self._flush()
+
+
+def extract_main_content(html: str) -> list[dict]:
+    """Extract ordered main-content spans from an HTML document.
+
+    Returns a list of ``{"kind": "text"|"media", "text": str,
+    "media_ref": str}`` dicts in document order. Never raises on malformed
+    markup (``html.parser`` is a tolerant tokenizer).
+    """
+    parser = _MainContentParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        # html.parser is robust, but guard anyway: salvage what was parsed.
+        parser._flush()
+    out: list[dict] = []
+    for kind, payload in parser.items:
+        if kind == "text":
+            out.append({"kind": "text", "text": payload, "media_ref": ""})
+        else:
+            out.append({"kind": "media", "text": "", "media_ref": payload})
+    return out

@@ -1,0 +1,66 @@
+"""SparkSession builder tuned for this engine.
+
+Local-mode defaults mirror what the same job would use cluster-side:
+AQE on (runtime skew-join splitting + partition coalescing), Arrow enabled
+for all pandas-UDF traffic, shuffle partitions sized to cores (not the
+200 default), UTC session timezone so DuckDB-oracle comparisons are stable.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Arrow batch size for mapInPandas stages. Documents are heavy rows
+#: (a mega-doc can carry hundreds of spans), so a moderate batch bounds
+#: Python-worker memory while still amortizing Arrow IPC overhead —
+#: the Spark analog of readur's 1000-file ingest batches
+#: (/root/reference/src/ingestion/batch_ingest.rs:41).
+ARROW_MAX_RECORDS_PER_BATCH = 512
+
+
+def get_spark(
+    cores: int | str | None = None,
+    app_name: str = "readur_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Create (or fetch) a SparkSession.
+
+    ``cores``: int for ``local[N]``, "*" for all, None to honor
+    ``SPARK_GRAFT_CPUS`` (driver contract) then fall back to "*".
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    try:
+        n_cores = int(cores)
+    except (TypeError, ValueError):
+        n_cores = os.cpu_count() or 8
+    if shuffle_partitions is None:
+        shuffle_partitions = max(2 * n_cores, 8)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
