@@ -162,6 +162,14 @@ def extract_document(spans: list[dict], repair_hyphens: bool = True) -> dict:
         failure_reason, _ = classify_ocr_error(
             "No extractable text found in document (0 words)"
         )
+    elif not out_spans:
+        # No text/html input, nothing emitted (e.g. only unsupported span
+        # kinds, or media spans with empty refs) — a document that produced
+        # nothing is failed, like readur's empty-result path
+        # (src/ocr/queue.rs:541-579).
+        status = STATUS_FAILED
+        msg = first_error or "No extractable text found in document (0 words)"
+        failure_reason, _ = classify_ocr_error(msg)
     elif text_parts:
         err = validate_ocr_quality(combined, confidence, word_count)
         if err is not None:

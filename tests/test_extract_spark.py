@@ -1,0 +1,81 @@
+"""Spark ↔ kernel span-sequence equality (the north-rule invariant).
+
+Runs the distributed extraction operator over the deterministic synthetic
+corpus and asserts per-document span-sequence equality
+(kind, text, media_ref, order) against the pure-Python kernel applied
+driver-side to the same input — plus determinism across partitioning.
+"""
+
+import pytest
+
+from readur_spark.corpus import docs_dataframe, generate_docs
+from readur_spark.kernels.extractor import extract_document
+from readur_spark.operators.extract import extract_spans
+
+N_DOCS = 150
+SEED = 1234
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    docs = docs_dataframe(spark, N_DOCS, seed=SEED, num_partitions=6)
+    rows = extract_spans(docs, num_partitions=8).collect()
+    return {r["doc_id"]: r for r in rows}
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    out = {}
+    for doc in generate_docs(N_DOCS, seed=SEED):
+        out[doc["doc_id"]] = extract_document(doc["spans"])
+    return out
+
+
+def test_all_docs_present(extracted, oracle):
+    assert set(extracted) == set(oracle)
+
+
+def test_span_sequence_equality(extracted, oracle):
+    for doc_id, exp in oracle.items():
+        got = extracted[doc_id]
+        got_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in got["spans"]
+        ]
+        exp_spans = [
+            (s["kind"], s["text"], s["media_ref"], s["order"]) for s in exp["spans"]
+        ]
+        assert got_spans == exp_spans, f"span mismatch for {doc_id}"
+
+
+def test_sidecar_equality(extracted, oracle):
+    for doc_id, exp in oracle.items():
+        got = extracted[doc_id]
+        assert got["status"] == exp["status"], doc_id
+        assert got["failure_reason"] == exp["failure_reason"], doc_id
+        assert got["word_count"] == exp["word_count"], doc_id
+        assert got["confidence"] == pytest.approx(exp["confidence"]), doc_id
+        assert list(got["preprocessing_applied"]) == exp["preprocessing_applied"], doc_id
+
+
+def test_partitioning_invariance(spark):
+    """Same result regardless of parallelism/partitioning — order derives
+    from input structure, never execution order."""
+    docs = docs_dataframe(spark, 40, seed=777, num_partitions=2)
+    a = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_spans(docs, num_partitions=3).collect()
+    }
+    b = {
+        r["doc_id"]: [tuple(s) for s in r["spans"]]
+        for r in extract_spans(docs.repartition(13), num_partitions=7).collect()
+    }
+    assert a == b
+
+
+def test_mega_doc_handled(spark):
+    docs = docs_dataframe(
+        spark, 5, seed=99, mega_fraction=1.0, mega_span_range=(120, 150)
+    )
+    rows = extract_spans(docs, num_partitions=4).collect()
+    assert len(rows) == 5
+    assert all(len(r["spans"]) > 0 for r in rows)
