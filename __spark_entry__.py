@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline (interleaved docs →
+ordered spans) over sf0.001. ``queries()`` exposes one entry per implemented
+operator family from SURVEY.md §2; ``oracle_sql()`` gives the DuckDB-
+equivalent SQL for every SQL-expressible one (same column names/types).
+Non-SQL-expressible ops (MinHash-LSH, SimHash, SRP-LSH ANN — they depend on
+engine hash functions) are rows-only checks by design.
 """
 
 from __future__ import annotations
@@ -12,27 +13,433 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.functions.textstats import (
+    fingerprint_col,
+    lang_id_col,
+    normalize_text_col,
+    quality_score_col,
+    token_count_col,
+    word_count_col,
+)
+from readur_spark.operators import dedup, relational, search, similarity
+from readur_spark.operators.extract import extract_spans
+from readur_spark.sources.tables import interleaved_docs, load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+# --------------------------------------------------------------------------
+# Flagship
+# --------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full interleaved extraction (text + HTML boilerplate strip +
+    media passthrough) over sf0.001, with skew-defused partitioning."""
+    docs = interleaved_docs(spark, SF0001, with_html=True)
+    return extract_spans(docs, num_partitions=8)
+
+
+# --------------------------------------------------------------------------
+# The SQL chain used by both engines for readur's normalization
+# (clean_extracted_text + null strip + hyphen repair). Backrefs: Spark `$1`,
+# DuckDB `\1` — hence two renderings of the same chain.
+# --------------------------------------------------------------------------
+
+_DUCK_NORM = (
+    "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "text, chr(0), '', 'g'), "
+    r"'(\w)-\n(\w)', '\1\2', 'g'), "
+    r"'([a-z])([A-Z])', '\1 \2', 'g'), "
+    "' {3,}', '  ', 'g'), "
+    r"'\n{3,}', '\n\n', 'g'), "
+    r"' +\n', '\n', 'g'), "
+    r"'\n +', '\n', 'g'), "
+    r"'[ \t]+', ' ', 'g'))"
+)
+
+
+def _spark_norm(c):
+    from readur_spark.functions.textstats import repair_hyphenation_col, strip_null_bytes_col
+
+    return normalize_text_col(repair_hyphenation_col(strip_null_bytes_col(c)))
+
+
+# --------------------------------------------------------------------------
+# Query registry
+# --------------------------------------------------------------------------
+
+
+def _docs(spark, sf):
+    return load_table(spark, sf, "documents")
+
+
+def _q_extract_text_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Single-text-span extraction through the full distributed operator,
+    flattened so DuckDB can reproduce it relationally."""
+    docs = interleaved_docs(spark, sf, with_html=False)
+    ext = extract_spans(docs, num_partitions=8)
+    return ext.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("status"),
+        F.col("word_count").cast("long").alias("word_count"),
+        F.element_at(F.col("spans"), 1)["text"].alias("span_text"),
+    )
+
+
+def _q_query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return [float(x) for x in row["embedding"]]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- extraction (flagship, SURVEY §2.3–2.6) ----
+    q["extract_text_spans"] = _q_extract_text_spans
+
+    # ---- normalization / text analysis (O6/O7/O11, W-class, §2.6 + tier ops)
+    q["normalize_text"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", _spark_norm(F.col("text")).alias("normalized")
+    )
+    q["word_count_simple"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", word_count_col(F.col("text")).cast("long").alias("word_count")
+    )
+    q["token_count"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", token_count_col(F.col("text")).cast("long").alias("n_tokens")
+    )
+    q["lang_id"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", lang_id_col(F.col("text")).alias("detected_lang")
+    )
+    q["quality_score"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", quality_score_col(F.col("text")).alias("quality")
+    )
+    q["fingerprint"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+
+    # ---- search surface (F1–F13, SURVEY §2.9) ----
+    q["fts_simple"] = lambda s, sf: search.fts_simple(_docs(s, sf), "spark window")
+    q["fts_phrase"] = lambda s, sf: search.fts_phrase(_docs(s, sf), "table value")
+    q["fts_boolean"] = lambda s, sf: search.fts_boolean(
+        _docs(s, sf), must=["table"], should=["spark", "window"], must_not=["vector"]
+    )
+    q["search_ranked"] = lambda s, sf: search.search_ranked(_docs(s, sf), "spark", limit=25).select(
+        "doc_id", F.col("search_rank").cast("long").alias("search_rank"), "n_chars"
+    )
+    q["paginate"] = lambda s, sf: search.paginate(_docs(s, sf), limit=20, offset=10)
+    q["count_matching"] = lambda s, sf: search.count_matching(_docs(s, sf), "merge")
+    q["facet_source"] = lambda s, sf: search.facet_counts(_docs(s, sf), "source")
+    q["facet_lang"] = lambda s, sf: search.facet_counts(_docs(s, sf), "lang")
+    q["filter_lang"] = lambda s, sf: search.filter_by_values(_docs(s, sf), "lang", ["es", "fr"])
+    q["snippets"] = lambda s, sf: search.snippets(_docs(s, sf), "spark").select(
+        "doc_id", "snippet", F.col("match_offset").cast("long").alias("match_offset")
+    )
+    q["list_documents"] = lambda s, sf: search.list_documents(_docs(s, sf), lang="en", min_chars=200)
+    q["doc_stats"] = lambda s, sf: search.doc_stats(_docs(s, sf))
+
+    # ---- dedup (D1–D4 + near-dup family) ----
+    q["dedup_exact"] = lambda s, sf: dedup.exact_duplicates(_docs(s, sf))
+    q["dedup_keep_first"] = lambda s, sf: dedup.dedup_keep_first(_docs(s, sf)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
+        _docs(s, sf), threshold=0.5, n=3
+    )
+    q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
+        _docs(s, sf), threshold=0.5, num_hashes=32, bands=8, n=3
+    )
+    q["dedup_simhash"] = lambda s, sf: dedup.simhash_pairs(_docs(s, sf), max_hamming=3)
+    q["dedup_embedding"] = lambda s, sf: dedup.embedding_dup_pairs(
+        load_table(s, sf, "embeddings"), threshold=0.4
+    )
+
+    # ---- similarity search ----
+    q["ann_topk_cosine"] = lambda s, sf: similarity.cosine_topk(
+        load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10
+    )
+    q["ann_topk_lsh"] = lambda s, sf: similarity.ann_topk_lsh(
+        load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10, num_planes=4
+    )
+
+    # ---- relational checklist (§2.10) ----
+    q["q1_pricing_summary"] = lambda s, sf: relational.pricing_summary(
+        load_table(s, sf, "lineitem")
+    )
+    q["top_customers"] = lambda s, sf: relational.top_customers_by_revenue(
+        load_table(s, sf, "orders"), load_table(s, sf, "customer"), k=10
+    )
+    q["customers_without_orders"] = lambda s, sf: relational.customers_without_orders(
+        load_table(s, sf, "customer"), load_table(s, sf, "orders")
+    )
+    q["customers_high_value"] = lambda s, sf: relational.customers_with_high_value_orders(
+        load_table(s, sf, "customer"), load_table(s, sf, "orders"), min_total=450_000.0
+    )
+    q["revenue_by_nation"] = lambda s, sf: relational.revenue_by_nation(
+        load_table(s, sf, "customer"),
+        load_table(s, sf, "orders"),
+        load_table(s, sf, "nation"),
+        load_table(s, sf, "region"),
+    )
+    q["event_type_stats"] = lambda s, sf: relational.event_type_stats(load_table(s, sf, "events"))
+    q["user_event_windows"] = lambda s, sf: relational.user_event_windows(
+        load_table(s, sf, "events")
+    ).select(
+        "user_id", "event_type", F.col("seq").cast("long").alias("seq"), "running_value"
+    )
+    q["sessionize"] = lambda s, sf: relational.sessionize(load_table(s, sf, "events")).select(
+        "user_id",
+        F.col("session_no").cast("long").alias("session_no"),
+        "n_events",
+        "session_value",
+        "session_start",
+        "session_end",
+    )
+
+    return q
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracles
+# --------------------------------------------------------------------------
+
+_SHINGLE3 = (
+    "WITH toks AS (SELECT doc_id AS id, "
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') t "
+    "FROM documents), "
+    "sh AS (SELECT id, unnest(list_distinct("
+    "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle "
+    "FROM toks WHERE len(t) >= 3), "
+    "sz AS (SELECT id, count(*) sz FROM sh GROUP BY id), "
+    "inter AS (SELECT a.id ia, b.id ib, count(*) i FROM sh a "
+    "JOIN sh b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2) "
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    o: dict[str, str] = {}
+
+    o["extract_text_spans"] = f"""
+        WITH c AS (SELECT doc_id, {_DUCK_NORM} AS cleaned FROM documents)
+        SELECT doc_id,
+               CASE WHEN cleaned <> '' AND
+                         length(regexp_replace(cleaned, '[^A-Za-z0-9]', '', 'g'))
+                         >= 0.1 * length(cleaned)
+                    THEN 'completed' ELSE 'failed' END AS status,
+               CASE WHEN cleaned <> '' AND
+                         length(regexp_replace(cleaned, '[^A-Za-z0-9]', '', 'g'))
+                         >= 0.1 * length(cleaned)
+                    THEN CAST(len(regexp_split_to_array(cleaned, '\\s+')) AS BIGINT)
+                    ELSE 0 END AS word_count,
+               CASE WHEN cleaned <> '' AND
+                         length(regexp_replace(cleaned, '[^A-Za-z0-9]', '', 'g'))
+                         >= 0.1 * length(cleaned)
+                    THEN cleaned ELSE NULL END AS span_text
+        FROM c
     """
-    return {}
+
+    o["normalize_text"] = f"SELECT doc_id, {_DUCK_NORM} AS normalized FROM documents"
+    o["word_count_simple"] = (
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) END AS word_count "
+        "FROM documents"
+    )
+    o["token_count"] = (
+        "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+        "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens FROM documents"
+    )
+    marker = {
+        "en": "the|and|of|is|a",
+        "es": "el|la|de|que|un",
+        "fr": "le|la|les|et|une",
+        "de": "der|die|und|das|ein",
+    }
+    hits = {
+        k: f"len(regexp_extract_all(lower(text), '\\b({v})\\b'))" for k, v in marker.items()
+    }
+    best = f"greatest({hits['en']}, {hits['es']}, {hits['fr']}, {hits['de']})"
+    o["lang_id"] = f"""
+        SELECT doc_id,
+          CASE WHEN {best} = 0 THEN 'und'
+               WHEN {hits['en']} = {best} THEN 'en'
+               WHEN {hits['es']} = {best} THEN 'es'
+               WHEN {hits['fr']} = {best} THEN 'fr'
+               ELSE 'de' END AS detected_lang
+        FROM documents
+    """
+    o["quality_score"] = """
+        SELECT doc_id, round((
+          least(length(text) / 1000.0, 1.0)
+          + CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 / length(text) END
+          + least((CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 6.0
+                  / greatest(length(text), 1), 1.0)
+        ) / 3.0, 6) AS quality
+        FROM documents
+    """
+    o["fingerprint"] = (
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
+        "AS fingerprint FROM documents"
+    )
+
+    o["fts_simple"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE regexp_matches(lower(text), '\\bspark\\b') "
+        "AND regexp_matches(lower(text), '\\bwindow\\b')"
+    )
+    o["fts_phrase"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE position('table value' IN lower(text)) > 0"
+    )
+    o["fts_boolean"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE regexp_matches(lower(text), '\\btable\\b') "
+        "AND (regexp_matches(lower(text), '\\bspark\\b') OR regexp_matches(lower(text), '\\bwindow\\b')) "
+        "AND NOT regexp_matches(lower(text), '\\bvector\\b')"
+    )
+    o["search_ranked"] = """
+        SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'spark')) AS BIGINT) AS search_rank,
+               n_chars
+        FROM documents
+        WHERE len(regexp_extract_all(lower(text), 'spark')) > 0
+        ORDER BY search_rank DESC, doc_id ASC LIMIT 25
+    """
+    o["paginate"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "ORDER BY doc_id ASC LIMIT 20 OFFSET 10"
+    )
+    o["count_matching"] = (
+        "SELECT count(*) AS n_matching FROM documents "
+        "WHERE regexp_matches(lower(text), '\\bmerge\\b')"
+    )
+    o["facet_source"] = "SELECT source, count(*) AS n_docs FROM documents GROUP BY source"
+    o["facet_lang"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+    o["filter_lang"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('es', 'fr')"
+    )
+    o["snippets"] = """
+        SELECT doc_id,
+               substr(text, greatest(strpos(lower(text), 'spark') - 50, 1), 200) AS snippet,
+               CAST(strpos(lower(text), 'spark') - 1 AS BIGINT) AS match_offset
+        FROM documents WHERE strpos(lower(text), 'spark') > 0
+    """
+    o["list_documents"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"
+    )
+    o["doc_stats"] = """
+        SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+               min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        FROM documents GROUP BY source
+    """
+
+    fp = "md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))"
+    o["dedup_exact"] = (
+        f"SELECT {fp} AS fingerprint, count(*) AS n_dups FROM documents "
+        "GROUP BY 1 HAVING count(*) > 1"
+    )
+    o["dedup_keep_first"] = f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1
+    """
+    o["dedup_ngram_jaccard"] = _SHINGLE3 + """
+        SELECT ia AS id_a, ib AS id_b,
+               round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """
+    o["dedup_embedding"] = """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
+    """
+    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: engine-hash-dependent
+    # (xxhash64 / blake2b / seeded SRP) — rows-only checks by design.
+
+    o["ann_topk_cosine"] = """
+        SELECT vec_id,
+               round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                   (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6)
+               AS cosine
+        FROM embeddings
+        ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """
+
+    o["q1_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+          CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_charge,
+          count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """
+    o["top_customers"] = """
+        WITH rev AS (
+          SELECT o_custkey, CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                 count(*) AS n_orders
+          FROM orders GROUP BY o_custkey)
+        SELECT c_custkey, c_name, c_mktsegment, revenue, n_orders
+        FROM rev JOIN customer ON o_custkey = c_custkey
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 10
+    """
+    o["customers_without_orders"] = """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """
+    o["customers_high_value"] = """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+    """
+    o["revenue_by_nation"] = """
+        SELECT r_name, n_name,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+               count(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """
+    o["event_type_stats"] = """
+        SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
+               round(min(value), 4) AS min_value, round(max(value), 4) AS max_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type HAVING count(*) > 0
+    """
+    o["user_event_windows"] = """
+        WITH seq AS (
+          SELECT user_id, event_type, ts, event_id,
+                 CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS seq,
+                 round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+          FROM events)
+        SELECT user_id, event_type, seq, running_value FROM seq
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) = 1
+    """
+    o["sessionize"] = """
+        WITH g AS (
+          SELECT user_id, ts, event_id, value,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+          FROM g)
+        SELECT user_id, session_no, count(*) AS n_events,
+               round(sum(value), 4) AS session_value,
+               min(ts) AS session_start, max(ts) AS session_end
+        FROM s GROUP BY user_id, session_no
+    """
+    return o

@@ -1,0 +1,102 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "extraction_docs_per_sec", "value": N, "unit": "docs/sec",
+     "queries": {name: seconds, ...}, "sf": ...}
+
+The headline metric is the north-star: documents/sec through the full
+interleaved extraction pipeline (text + HTML boilerplate strip + media).
+Each query is materialized with the noop sink so timing covers the whole
+plan without collect() driver overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    import __spark_entry__ as entry
+    from readur_spark.operators.extract import extract_spans
+    from readur_spark.session import get_spark
+    from readur_spark.sources.tables import interleaved_docs, load_table
+
+    spark = get_spark(cores=cpus, app_name="readur_spark_bench")
+    try:
+        n_cores = int(cpus)
+    except ValueError:
+        n_cores = os.cpu_count() or 8
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+
+    timings: dict[str, float] = {}
+
+    # --- headline: full interleaved extraction -------------------------
+    docs = interleaved_docs(spark, sf_dir, with_html=True)
+    t0 = time.perf_counter()
+    _materialize(extract_spans(docs, num_partitions=3 * n_cores))
+    extraction_sec = time.perf_counter() - t0
+    timings["extract_interleaved"] = round(extraction_sec, 3)
+
+    # --- representative operator suite ---------------------------------
+    qs = entry.queries()
+    bench_set = [
+        "extract_text_spans",
+        "normalize_text",
+        "lang_id",
+        "quality_score",
+        "fts_simple",
+        "search_ranked",
+        "dedup_exact",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding",
+        "ann_topk_cosine",
+        "q1_pricing_summary",
+        "top_customers",
+        "revenue_by_nation",
+        "event_type_stats",
+        "sessionize",
+    ]
+    for name in bench_set:
+        t0 = time.perf_counter()
+        _materialize(qs[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    docs_per_sec = round(n_docs / extraction_sec, 2)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "extraction_docs_per_sec",
+                "value": docs_per_sec,
+                "unit": "docs/sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_docs": n_docs,
+                "cores": n_cores,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,118 @@
+"""Text normalization and analysis as pure Catalyst Column expressions.
+
+Everything here compiles to JVM-side generated code (whole-stage codegen):
+regexp chains, counts, ratios. These are the hot-path versions of the
+normalization kernels — byte-identical semantics to the Python kernels for
+the operations they cover, but with zero Python in the plan, so they scale
+to 100 TB scans untouched.
+
+* ``normalize_text_col``  — readur's clean_extracted_text regex chain
+  (/root/reference/src/ocr/xml_extractor.rs:1169-1197) as 6 chained
+  ``regexp_replace`` (Catalyst folds them into one codegen stage).
+* ``strip_null_bytes_col`` — xml_extractor.rs:500-516.
+* ``word_count_col``       — whitespace word count (the fast path of
+  enhanced.rs:1713-1716).
+* language ID / quality scoring / token counting / fingerprinting — the
+  training-data-pipeline text analysis suite, built on the ``documents``
+  table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def strip_null_bytes_col(c: Column) -> Column:
+    return F.regexp_replace(c, "\x00", "")
+
+
+def repair_hyphenation_col(c: Column) -> Column:
+    """North-rule hyphenation repair: join ``word-\\nword``."""
+    return F.regexp_replace(c, r"(\w)-\n(\w)", r"$1$2")
+
+
+def normalize_text_col(c: Column) -> Column:
+    """readur's clean_extracted_text as a Catalyst chain — same pass order
+    as the Python kernel (camelCase boundary, space/newline collapse, mixed
+    whitespace, trim)."""
+    c = F.regexp_replace(c, "([a-z])([A-Z])", r"$1 $2")
+    c = F.regexp_replace(c, " {3,}", "  ")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    c = F.regexp_replace(c, r" +\n", "\n")
+    c = F.regexp_replace(c, r"\n +", "\n")
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    return F.trim(c)
+
+
+def word_count_col(c: Column) -> Column:
+    """Whitespace word count (split_whitespace semantics: leading/trailing
+    runs produce no empty tokens)."""
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def token_count_col(c: Column) -> Column:
+    """BPE-ish token count: runs of letters, runs of digits, or single
+    non-alnum-non-space chars — the standard pre-tokenizer regex shape."""
+    return F.regexp_count(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def alnum_ratio_col(c: Column) -> Column:
+    """Alphanumeric chars / total chars (ASCII classes — engine-portable)."""
+    total = F.length(c)
+    alnum = F.length(F.regexp_replace(c, "[^A-Za-z0-9]", ""))
+    return F.when(total == 0, F.lit(0.0)).otherwise(alnum / total)
+
+
+#: Stopword markers for the n-gram language-ID heuristic. Deliberately tiny
+#: and deterministic: these are high-frequency function words; the same
+#: lists are embedded in the DuckDB oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "de", "que", "un"],
+    "fr": ["le", "la", "les", "et", "une"],
+    "de": ["der", "die", "und", "das", "ein"],
+}
+
+
+def _marker_hits(c: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(c), F.lit(pat))
+
+
+def lang_id_col(c: Column) -> Column:
+    """Stopword-hit language ID with deterministic tie-break (en > es > fr >
+    de > und). A text with zero marker hits is 'und' (undetermined)."""
+    hits = {lang: _marker_hits(c, ws) for lang, ws in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    return (
+        F.when(best == 0, F.lit("und"))
+        .when(hits["en"] == best, F.lit("en"))
+        .when(hits["es"] == best, F.lit("es"))
+        .when(hits["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def quality_score_col(c: Column) -> Column:
+    """Document quality score in [0,1]: mean of three bounded signals —
+    length (saturating at 1000 chars), alnum ratio, and whitespace balance
+    (words per 6 chars, capped). Deterministic, engine-portable arithmetic."""
+    length_sig = F.least(F.length(c) / F.lit(1000.0), F.lit(1.0))
+    alnum_sig = alnum_ratio_col(c)
+    wpc = word_count_col(c) * F.lit(6.0) / F.greatest(F.length(c), F.lit(1))
+    ws_sig = F.least(wpc, F.lit(1.0))
+    return F.round((length_sig + alnum_sig + ws_sig) / 3.0, 6)
+
+
+def fingerprint_col(c: Column) -> Column:
+    """Deterministic document fingerprint: md5 hex of the
+    whitespace-normalized lowercased text — the exact-dedup key (D1 analog,
+    /root/reference/src/ingestion/document_ingestion.rs:341-347 uses
+    SHA-256 of bytes; md5 here because both Spark and DuckDB expose it with
+    identical hex output)."""
+    norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+    return F.md5(norm)

@@ -1,0 +1,320 @@
+"""Deduplication operators for large-scale corpus curation.
+
+The reference dedups only by exact content hash
+(/root/reference/src/ingestion/document_ingestion.rs:341-347 SHA-256; policy
+switch :23-33; duplicates report src/db/documents/management.rs:90-150).
+The near-duplicate family (MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine) is the standard training-data-pipeline extension
+(Broder 1997 resemblance / Charikar 2002 simhash / Leskovec-Rajaraman-Ullman
+ch.3), implemented Spark-first:
+
+* everything is joins + aggregations on exploded shingle/band tables —
+  the classic distributed formulation; no driver-side loops;
+* the only Python is one scalar pandas UDF for the 64-bit simhash fold
+  (bit arithmetic over token hashes), Arrow-batched;
+* skew controls: document-frequency cap on shingles (a stopword shingle
+  appearing in every doc would otherwise produce a quadratic join blowup),
+  AQE skew-join on, and band-hash bucketing for LSH.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from readur_spark.functions.textstats import fingerprint_col
+
+# --------------------------------------------------------------------------
+# Exact dedup (D1/D2/D4 parity)
+# --------------------------------------------------------------------------
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """D4: GROUP BY content hash HAVING count>1
+    (management.rs:90-150). Returns (fingerprint, n_dups)."""
+    return (
+        docs.select(F.col(id_col), fingerprint_col(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_dups"))
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """D2 policy=Skip: keep the smallest id per content fingerprint.
+    Window row_number — one shuffle on the fingerprint, no self-join."""
+    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    return (
+        docs.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint")
+    )
+
+
+# --------------------------------------------------------------------------
+# Shingling (shared by Jaccard + MinHash)
+# --------------------------------------------------------------------------
+
+
+def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenization = lowercase + split on non-alnum runs (engine-portable so
+    the DuckDB oracle can reproduce it exactly)."""
+    tokens = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+    if n == 1:
+        sh = tokens
+    else:
+        # sliding window of n tokens, joined by single spaces
+        idxs = F.sequence(F.lit(0), F.size(tokens) - n)
+        sh = F.transform(
+            idxs,
+            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
+        )
+    return (
+        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .where(F.col("shingle") != "")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via the shingle
+    inverted-index join (LRU ch.3 "index-based all-pairs"):
+
+    explode distinct shingles → self-join on shingle (only docs sharing a
+    shingle ever meet — never a cross-join) → |A∩B| = count per pair →
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_df``: optional skew guard for web-scale runs — drop
+    shingles occurring in more than this many docs (they generate the
+    quadratic pair blowup and carry almost no similarity signal). Leave
+    ``None`` for oracle-exact semantics.
+    """
+    sh = _shingles(docs, id_col, text_col, n).cache()
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH (approximate Jaccard at scale)
+# --------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash signatures: h_i(doc) = min over shingles of
+    xxhash64(shingle, seed=i). Pure Catalyst — the per-seed min-aggregation
+    is a single groupBy over the exploded shingle table."""
+    sh = _shingles(docs, id_col, text_col, n)
+    aggs = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs, verified with exact Jaccard.
+
+    Banding: signatures split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs colliding in any band become candidates (join on the band
+    hash — shuffle is on band keys, uniformly distributed by hashing).
+    Candidates are then verified against the *exact* shingle Jaccard so the
+    output contains no false positives; LSH only bounds recall.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select("id", *band_cols)
+    stacked = banded.select(
+        "id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("v")) for b in range(bands)])
+        ).alias("bk"),
+    ).select("id", F.col("bk.b").alias("band_no"), F.col("bk.v").alias("band_val"))
+    x = stacked.alias("x")
+    y = stacked.alias("y")
+    candidates = (
+        x.join(y, ["band_no", "band_val"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    return (
+        candidates.join(exact, ["id_a", "id_b"])
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash (Charikar) — Hamming-ball near-dup
+# --------------------------------------------------------------------------
+
+_SIMHASH_SCHEMA = T.LongType()
+
+
+@F.pandas_udf(_SIMHASH_SCHEMA)
+def _simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over word tokens (Charikar 2002): sum ±1 per bit of
+    each token hash, sign-fold to a fingerprint. Arrow-batched; the token
+    hash is Python's stable blake2b-derived digest (deterministic across
+    workers, unlike hash())."""
+    import hashlib
+    import re as _re
+
+    tok = _re.compile(r"[a-z0-9]+")
+
+    def one(text) -> int:
+        if text is None:
+            return 0
+        counts = [0] * 64
+        for t in tok.findall(str(text).lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            )
+            for i in range(64):
+                counts[i] += 1 if (h >> i) & 1 else -1
+        v = 0
+        for i in range(64):
+            if counts[i] > 0:
+                v |= 1 << i
+        # to signed 64-bit
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return texts.map(one)
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ ``max_hamming``.
+
+    Scale path: the 64-bit fingerprint is cut into 4 16-bit chunks; by
+    pigeonhole any pair within Hamming ≤3 agrees on ≥1 chunk, so the join
+    is on (chunk_no, chunk_value) — never all-pairs. Verification is
+    ``bit_count(a XOR b)`` (native)."""
+    fp = docs.select(F.col(id_col).alias("id"), _simhash64(F.col(text_col)).alias("sim"))
+    chunks = fp.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("c"),
+                        F.shiftright(F.col("sim"), i * 16).bitwiseAND(F.lit(0xFFFF)).alias("v"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "sim", F.col("ck.c").alias("chunk_no"), F.col("ck.v").alias("chunk_val"))
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    return (
+        x.join(y, ["chunk_no", "chunk_val"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding cosine near-dup
+# --------------------------------------------------------------------------
+
+
+def _cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda s, v: s + v))
+    return dot / (na * nb)
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-dup pairs (cosine ≥ threshold).
+
+    This is the *verification-exact* form (all-pairs self-join with
+    ``id_a < id_b``); at web scale wrap it behind
+    :func:`readur_spark.operators.similarity.hyperplane_lsh_buckets` to
+    bucket candidates first. Cosine is pure Catalyst (``zip_with`` +
+    ``aggregate``) — no Python in the plan."""
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    cos = F.round(_cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -102,7 +102,9 @@ def plan_partitions(docs_df: DataFrame, num_partitions: int) -> DataFrame:
     )
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame], repair_hyphens: bool):
+def _extract_batches(
+    batches: Iterator[pd.DataFrame], repair_hyphens: bool, passthrough: list[str]
+):
     for pdf in batches:
         out = {
             "doc_id": [],
@@ -114,6 +116,8 @@ def _extract_batches(batches: Iterator[pd.DataFrame], repair_hyphens: bool):
             "preprocessing_applied": [],
             "processing_time_ms": [],
         }
+        for col in passthrough:
+            out[col] = pdf[col].tolist()
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             t0 = time.perf_counter()
             span_dicts = [
@@ -143,17 +147,27 @@ def extract_spans(
     docs_df: DataFrame,
     repair_hyphens: bool = True,
     num_partitions: int | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """Run the extraction pipeline over an interleaved-docs DataFrame.
 
     ``num_partitions``: when set, apply the explicit skew-defused
     repartition first (recommended: 2–3× total cores). When ``None`` the
     input partitioning is kept (useful when the caller already planned it).
+
+    ``passthrough_cols``: input columns copied verbatim onto the output
+    (e.g. a precomputed ``partition_id`` for checkpoint lineage).
     """
     if num_partitions:
         docs_df = plan_partitions(docs_df, num_partitions)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        return _extract_batches(batches, repair_hyphens)
+    passthrough = passthrough_cols or []
+    schema = T.StructType(
+        EXTRACTED_SCHEMA.fields
+        + [docs_df.schema[c] for c in passthrough]
+    )
 
-    return docs_df.mapInPandas(run, schema=EXTRACTED_SCHEMA)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return _extract_batches(batches, repair_hyphens, passthrough)
+
+    return docs_df.mapInPandas(run, schema=schema)

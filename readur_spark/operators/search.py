@@ -1,0 +1,144 @@
+"""Query/search-side operators (readur's Postgres-delegated query surface,
+SURVEY.md §2.9) re-expressed as Catalyst-native DataFrame pipelines.
+
+The reference pushes all of this to Postgres
+(/root/reference/src/db/documents/search.rs); here every operator is a
+declarative DataFrame plan so Catalyst does predicate pushdown, column
+pruning, and broadcast selection. Functions take the ``documents`` table
+``(doc_id, text, lang, source, n_chars)`` and return aliased result frames
+whose column names match the DuckDB oracles in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _term_predicate(text: Column, term: str) -> Column:
+    """Word-boundary term match over lowered text — the batch analog of
+    plainto_tsquery term matching (search.rs:103-109)."""
+    return F.lower(text).rlike(r"\b" + term.lower() + r"\b")
+
+
+def fts_simple(docs: DataFrame, query: str) -> DataFrame:
+    """F1: all terms must match (plainto_tsquery AND-folds terms,
+    search.rs:103-109)."""
+    pred = None
+    for term in query.split():
+        p = _term_predicate(F.col("text"), term)
+        pred = p if pred is None else (pred & p)
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+def fts_phrase(docs: DataFrame, phrase: str) -> DataFrame:
+    """F2: contiguous phrase match (phraseto_tsquery, search.rs:110-116)."""
+    return docs.filter(F.lower(F.col("text")).contains(phrase.lower())).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def fts_boolean(docs: DataFrame, must: list[str], should: list[str], must_not: list[str]) -> DataFrame:
+    """F3: boolean search (to_tsquery AND/OR/NOT, search.rs:117-123)."""
+    pred = F.lit(True)
+    for t in must:
+        pred = pred & _term_predicate(F.col("text"), t)
+    if should:
+        any_pred = F.lit(False)
+        for t in should:
+            any_pred = any_pred | _term_predicate(F.col("text"), t)
+        pred = pred & any_pred
+    for t in must_not:
+        pred = pred & ~_term_predicate(F.col("text"), t)
+    return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
+
+
+def search_ranked(docs: DataFrame, term: str, limit: int = 25) -> DataFrame:
+    """F5+F8: tf-style rank (occurrence count of the term), ORDER BY rank
+    DESC with doc_id tie-break, LIMIT — the ts_rank / pagination shape
+    (search.rs:69-94,149-153). Deterministic total order so LIMIT is a
+    well-defined set for the oracle comparison."""
+    ranked = docs.withColumn(
+        "search_rank", F.regexp_count(F.lower(F.col("text")), F.lit(term.lower()))
+    ).filter(F.col("search_rank") > 0)
+    return (
+        ranked.orderBy(F.desc("search_rank"), F.asc("doc_id"))
+        .select("doc_id", "search_rank", "n_chars")
+        .limit(limit)
+    )
+
+
+def paginate(docs: DataFrame, limit: int, offset: int) -> DataFrame:
+    """F8: LIMIT/OFFSET over a deterministic order (created_at in the
+    reference; doc_id here). Implemented with a row_number window (no
+    global collect) — the distributed form of OFFSET."""
+    w = Window.orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+
+
+def count_matching(docs: DataFrame, term: str) -> DataFrame:
+    """F9: COUNT(*) under the same predicate set (search.rs:263-322)."""
+    return docs.filter(_term_predicate(F.col("text"), term)).agg(
+        F.count("*").alias("n_matching")
+    )
+
+
+def facet_counts(docs: DataFrame, col: str) -> DataFrame:
+    """F11: facet counts (management.rs:153-190)."""
+    return docs.groupBy(col).agg(F.count("*").alias("n_docs"))
+
+
+def filter_by_values(docs: DataFrame, col: str, values: list[str]) -> DataFrame:
+    """F7: ``col = ANY(list)`` filter (search.rs:141-147)."""
+    return docs.filter(F.col(col).isin(values)).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def snippets(docs: DataFrame, term: str, snippet_length: int = 200) -> DataFrame:
+    """F10: first-match snippet window (search.rs:190-260 generates ≤5
+    snippets ≤3/term with word-boundary snapping; the batch form keeps the
+    first match per doc, a fixed-width window — fully Catalyst-native)."""
+    lowered = F.lower(F.col("text"))
+    pos = F.locate(term.lower(), lowered)  # 1-based; 0 = no match
+    start = F.greatest(pos - F.lit(snippet_length // 4), F.lit(1))
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(F.col("text"), start, F.lit(snippet_length)).alias("snippet"),
+            (pos - 1).alias("match_offset"),
+        )
+    )
+
+
+def list_documents(
+    docs: DataFrame,
+    lang: str | None = None,
+    source: str | None = None,
+    min_chars: int | None = None,
+) -> DataFrame:
+    """F13: list + filter + sort (management.rs:242-315)."""
+    out = docs
+    if lang is not None:
+        out = out.filter(F.col("lang") == lang)
+    if source is not None:
+        out = out.filter(F.col("source") == source)
+    if min_chars is not None:
+        out = out.filter(F.col("n_chars") >= min_chars)
+    return out.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Q9 analog: per-source stats (queue.rs:890-1061 aggregates)."""
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )

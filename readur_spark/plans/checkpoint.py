@@ -1,0 +1,134 @@
+"""Partition-granular checkpoint / lineage table.
+
+readur's work queue (`ocr_queue`, /root/reference/migrations/
+20250620100001_add_ocr_queue.sql:2-17) tracks per-item claim/attempt/
+completion state so crashed runs resume and finished work is never redone.
+In Spark's batch model the natural work unit is the **partition**, so the
+checkpoint table holds one row per (run_id, partition_id):
+
+    checkpoint(run_id, partition_id, status, attempts, started_at,
+               completed_at, docs_processed, docs_failed,
+               processing_time_ms, worker_id, error_message)
+
+Semantics mirrored from the reference:
+
+* claim = the act of a task starting a partition (Spark's scheduler is the
+  SKIP LOCKED dequeue, src/ocr/queue.rs:182-196);
+* resume = rerun filtered to partitions without a ``completed`` row
+  (retry_failed, queue.rs:1064-1168);
+* first-writer-wins commit = completed rows are never overwritten
+  (db_guardrails_simple.rs:97 ``ocr_status != 'completed'`` guard).
+
+Storage is a parquet directory written append-only, one file per attempt
+batch (the local stand-in for an Iceberg table — swap ``_write``/``_read``
+for ``format("iceberg")`` + MERGE INTO on a real catalog; semantics are
+the same because reads always reduce to the latest-completed row).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CHECKPOINT_SCHEMA = T.StructType(
+    [
+        T.StructField("run_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("attempts", T.IntegerType(), False),
+        T.StructField("started_at", T.TimestampType(), True),
+        T.StructField("completed_at", T.TimestampType(), True),
+        T.StructField("docs_processed", T.LongType(), True),
+        T.StructField("docs_failed", T.LongType(), True),
+        T.StructField("processing_time_ms", T.LongType(), True),
+        T.StructField("worker_id", T.StringType(), True),
+        T.StructField("error_message", T.StringType(), True),
+    ]
+)
+
+
+class CheckpointTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.path) and any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        )
+
+    def read(self) -> DataFrame:
+        if not self.exists():
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+    def append(self, rows: list[dict]) -> None:
+        df = self.spark.createDataFrame(
+            [
+                {
+                    "run_id": r["run_id"],
+                    "partition_id": int(r["partition_id"]),
+                    "status": r["status"],
+                    "attempts": int(r.get("attempts", 1)),
+                    "started_at": r.get("started_at"),
+                    "completed_at": r.get("completed_at"),
+                    "docs_processed": r.get("docs_processed"),
+                    "docs_failed": r.get("docs_failed"),
+                    "processing_time_ms": r.get("processing_time_ms"),
+                    "worker_id": r.get("worker_id"),
+                    "error_message": r.get("error_message"),
+                }
+                for r in rows
+            ],
+            CHECKPOINT_SCHEMA,
+        )
+        df.write.mode("append").parquet(self.path)
+
+    def completed_partitions(self) -> set[int]:
+        """Partitions with a completed row in ANY run — first-writer-wins,
+        so a resume never reprocesses them."""
+        if not self.exists():
+            return set()
+        rows = (
+            self.read()
+            .filter(F.col("status") == "completed")
+            .select("partition_id")
+            .distinct()
+            .collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def attempts_so_far(self) -> dict[int, int]:
+        if not self.exists():
+            return {}
+        rows = (
+            self.read()
+            .groupBy("partition_id")
+            .agg(F.max("attempts").alias("a"))
+            .collect()
+        )
+        return {r["partition_id"]: r["a"] for r in rows}
+
+    def stats(self) -> DataFrame:
+        """Q9 analog: queue stats (queue.rs:890-1061) — per-status counts +
+        latency aggregates, one groupBy."""
+        return (
+            self.read()
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("docs_processed").alias("docs_processed"),
+                F.sum("docs_failed").alias("docs_failed"),
+                F.avg("processing_time_ms").alias("avg_ms"),
+                F.max("processing_time_ms").alias("max_ms"),
+            )
+        )
+
+
+def new_run_id() -> str:
+    return f"run-{int(time.time())}-{uuid.uuid4().hex[:8]}"

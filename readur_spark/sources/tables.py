@@ -1,0 +1,77 @@
+"""Testdata table loaders + interleaved-docs synthesis.
+
+``load_table`` is a plain columnar parquet scan (predicate pushdown and
+column pruning reach the file scan via Catalyst). ``interleaved_docs`` turns
+the flat ``documents`` table into the engine's primary input shape
+``(doc_id, spans[])`` entirely with Catalyst expressions — a deterministic,
+seed-free synthesis (north rule: the interleaved table is synthesized at
+small scale for tests/benchmarks; no external data).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def interleaved_docs(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:
+    """Deterministic interleaved corpus derived from ``documents.parquet``:
+    each doc → [text span, html article page wrapping the text (with nav/footer
+    boilerplate and an inline image), media span]. Pure Catalyst — no Python
+    row construction, so the synthesis itself scales like a projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        F.col("text").alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(0).alias("offset"),
+    )
+    html_body = F.concat(
+        F.lit(
+            "<html><body><nav><ul><li><a href='/home'>home page link</a></li>"
+            "<li><a href='/docs'>documentation link</a></li></ul></nav>"
+            "<article><p>"
+        ),
+        F.col("text"),
+        F.lit("</p><img src='media://img/"),
+        did,
+        F.lit("'><p>Closing paragraph with enough text to clear the block "
+              "classifier threshold.</p></article>"
+              "<footer><a href='/about'>about page</a></footer></body></html>"),
+    )
+    html_span = F.struct(
+        F.lit("html").alias("kind"),
+        html_body.alias("text"),
+        F.lit("").alias("media_ref"),
+        F.lit(1).alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("media").alias("kind"),
+        F.lit("").alias("text"),
+        F.concat(F.lit("media://obj/"), did).alias("media_ref"),
+        F.lit(2).alias("offset"),
+    )
+    spans = (
+        F.array(text_span, html_span, media_span)
+        if with_html
+        else F.array(text_span)
+    )
+    return docs.select(did.alias("doc_id"), spans.alias("spans"))
