@@ -1,0 +1,114 @@
+"""PDF extraction ladder (reference parity over the minipdf parser).
+
+Mirrors readur's strategy ladder (/root/reference/src/ocr/enhanced.rs:
+905-1024):
+
+1. size guard (``max_pdf_size``, enhanced.rs:910-920);
+2. header validation (``%PDF-`` within the first 1 KB, :1854-1871);
+3. embedded-image probe (:950-975): a PDF with images goes to the per-page
+   OCR path so image content isn't missed;
+4. quick text-layer extraction (:1232-1314): accept if >5 words AND the
+   quality gate passes (alnum ratio ≥0.30, word density, :1027-1082) —
+   confidence 95.0;
+5. per-page OCR with the literal ``"\\n\\n--- Page Break ---\\n\\n"``
+   assembly (:1441-1508) — **stubbed**: this container has no tesseract, so
+   the deterministic stand-in "OCRs" a page to its own text layer at
+   confidence 85.0. The plumbing (per-page loop, separator, mean
+   confidence) is real; swap ``_ocr_page_stub`` for a tesseract call on a
+   cluster with the binary installed;
+6. raw-ASCII salvage (src/ocr/mod.rs:261-298) at confidence 30.0;
+7. nothing readable → error classified ``low_ocr_confidence``.
+"""
+
+from __future__ import annotations
+
+from readur_spark.kernels.minipdf import (
+    ascii_salvage,
+    extract_text_layer,
+    pdf_has_images,
+    pdf_page_count,
+)
+from readur_spark.kernels.mime import is_valid_pdf
+from readur_spark.kernels.quality import pdf_text_quality_sufficient
+from readur_spark.kernels.textnorm import remove_null_bytes
+from readur_spark.kernels.wordcount import count_words_safely_enhanced
+
+MAX_PDF_SIZE = 50 * 1024 * 1024  # settings.rs:328 default (50 MB)
+PAGE_BREAK = "\n\n--- Page Break ---\n\n"  # enhanced.rs:1474
+
+OCR_STUB_CONFIDENCE = 85.0
+SALVAGE_CONFIDENCE = 30.0
+
+
+def _ocr_page_stub(data: bytes, page_text: str) -> str:
+    """Deterministic tesseract stand-in: a page 'OCRs' to its text layer.
+
+    CLEARLY A STUB — real deployments replace this with pytesseract over
+    ``pdftoppm``-rendered page images (P6/P7, enhanced.rs:1402-1508)."""
+    return page_text
+
+
+def extract_pdf(data: bytes, ocr_stub: bool = True, max_pdf_size: int = MAX_PDF_SIZE) -> dict:
+    """Run the ladder. Returns {text, confidence, preprocessing, error,
+    page_count}; ``error`` is None on success."""
+    result = {
+        "text": "",
+        "confidence": 0.0,
+        "preprocessing": [],
+        "error": None,
+        "page_count": 0,
+    }
+    if len(data) > max_pdf_size:
+        result["error"] = (
+            f"PDF file too large: {len(data) / (1024.0 * 1024.0):.1f} MB "
+            f"(max: {max_pdf_size / (1024.0 * 1024.0):.1f} MB)"
+        )
+        return result
+    if not is_valid_pdf(data[:1024]):
+        result["error"] = "Invalid PDF file: Missing or corrupted PDF header"
+        return result
+
+    pages = extract_text_layer(data)
+    result["page_count"] = pdf_page_count(data)
+    has_images = pdf_has_images(data)
+
+    if has_images and ocr_stub:
+        ocr_pages = [_ocr_page_stub(data, p) for p in pages]
+        assembled = PAGE_BREAK.join(ocr_pages).strip()
+        if count_words_safely_enhanced(assembled) > 0:
+            result["text"] = remove_null_bytes(assembled)
+            result["confidence"] = OCR_STUB_CONFIDENCE
+            result["preprocessing"] = ["PDF page OCR (stub)"]
+            return result
+
+    text = "\f".join(pages).strip()
+    wc_ws = len(text.split())
+    if wc_ws > 5 and pdf_text_quality_sufficient(
+        text, count_words_safely_enhanced(text), len(data)
+    ):
+        result["text"] = remove_null_bytes(text)
+        result["confidence"] = 95.0
+        result["preprocessing"] = ["PDF text extraction (text-layer)"]
+        return result
+
+    if not has_images and ocr_stub and text:
+        # the reference's "pdftotext insufficient → OCR" branch; the stub
+        # reuses the text layer page-wise
+        ocr_pages = [_ocr_page_stub(data, p) for p in pages]
+        assembled = PAGE_BREAK.join(ocr_pages).strip()
+        if count_words_safely_enhanced(assembled) > 0:
+            result["text"] = remove_null_bytes(assembled)
+            result["confidence"] = OCR_STUB_CONFIDENCE
+            result["preprocessing"] = ["PDF page OCR (stub)"]
+            return result
+
+    salvage = ascii_salvage(data)
+    # drop PDF structural tokens the raw scan inevitably picks up
+    if salvage:
+        result["text"] = remove_null_bytes(salvage)
+        result["confidence"] = SALVAGE_CONFIDENCE
+        result["preprocessing"] = ["Raw ASCII salvage"]
+        return result
+
+    result["error"] = "No extractable text found in PDF (0 words)"
+    return result
