@@ -20,6 +20,7 @@ from readur_spark.functions.textstats import (
     lang_id_col,
     normalize_text_col,
     quality_score_col,
+    text_metadata_cols,
     token_count_col,
     word_count_col,
 )
@@ -89,6 +90,28 @@ def _q_extract_text_spans(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
+    """S4 smart-sync delta on a synthesized listing: current = all docs with
+    etag = md5(text); previous = even doc_ids, with stale etags for
+    multiples of 4. Changed set = odd ids ∪ multiples of 4."""
+    from readur_spark.sources.files import incremental_changes
+
+    docs = _docs(spark, sf)
+    current = docs.select(
+        F.col("doc_id").alias("path"), F.md5("text").alias("etag")
+    )
+    previous = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(
+            F.col("doc_id").alias("path"),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("stale"))
+            .otherwise(F.md5("text"))
+            .alias("etag"),
+        )
+    )
+    return incremental_changes(current, previous)
+
+
 def _q_query_vec(spark: SparkSession, sf: str) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -121,6 +144,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     )
+    q["text_metadata"] = lambda s, sf: _docs(s, sf).select(
+        "doc_id", *text_metadata_cols(F.col("text"))
+    )
+    q["incremental_sync"] = _q_incremental_sync
 
     # ---- search surface (F1–F13, SURVEY §2.9) ----
     q["fts_simple"] = lambda s, sf: search.fts_simple(_docs(s, sf), "spark window")
@@ -286,6 +313,39 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
     )
+    eng = " + ".join(
+        f"len(regexp_extract_all(lower(text), '{w}'))"
+        for w in ["the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by"]
+    )
+    wc = (
+        "CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END"
+    )
+    o["text_metadata"] = f"""
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS character_count,
+               CAST({wc} AS BIGINT) AS word_count,
+               CAST(CASE WHEN text = '' THEN 0
+                    ELSE len(regexp_split_to_array(regexp_replace(text, '\\n$', ''), '\\n'))
+                    END AS BIGINT) AS line_count,
+               regexp_matches(text, '[^\\x00-\\x7F]') AS contains_unicode,
+               CASE WHEN ltrim(text) LIKE '<?xml%' THEN 'xml'
+                    WHEN ltrim(text) LIKE '{{%' OR ltrim(text) LIKE '[%' THEN 'json'
+                    WHEN text LIKE '%<!DOCTYPE html%' OR text LIKE '%<html%' THEN 'html'
+                    ELSE NULL END AS text_format,
+               ({eng}) > ({wc}) // 20 AS likely_english
+        FROM documents
+    """
+    o["incremental_sync"] = """
+        WITH current AS (SELECT doc_id AS path, md5(text) AS etag FROM documents),
+        previous AS (
+          SELECT doc_id AS path,
+                 CASE WHEN doc_id % 4 = 0 THEN 'stale' ELSE md5(text) END AS etag
+          FROM documents WHERE doc_id % 2 = 0)
+        SELECT c.path, c.etag FROM current c
+        LEFT JOIN previous p ON c.path = p.path
+        WHERE p.path IS NULL OR c.etag <> p.etag
+    """
 
     o["fts_simple"] = (
         "SELECT doc_id, lang, source, n_chars FROM documents "

@@ -50,7 +50,7 @@ def main() -> None:
     # --- headline: full interleaved extraction -------------------------
     docs = interleaved_docs(spark, sf_dir, with_html=True)
     t0 = time.perf_counter()
-    _materialize(extract_spans(docs, num_partitions=3 * n_cores))
+    _materialize(extract_spans(docs, num_partitions=n_cores))
     extraction_sec = time.perf_counter() - t0
     timings["extract_interleaved"] = round(extraction_sec, 3)
 

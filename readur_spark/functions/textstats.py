@@ -19,6 +19,8 @@ to 100 TB scans untouched.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -106,6 +108,49 @@ def quality_score_col(c: Column) -> Column:
     wpc = word_count_col(c) * F.lit(6.0) / F.greatest(F.length(c), F.lit(1))
     ws_sig = F.least(wpc, F.lit(1.0))
     return F.round((length_sig + alnum_sig + ws_sig) / 3.0, 6)
+
+
+def text_metadata_cols(c: Column) -> list[Column]:
+    """O9: text metadata (metadata_extraction.rs:139-178) as native columns:
+    character/word/line counts, unicode flag, xml/json/html format sniff,
+    naive English detection (substring hits of 12 common words > 5% of the
+    word count — reproduced verbatim, including that ``matches`` counts
+    substrings, not whole words)."""
+    char_count = F.length(c)
+    word_count = word_count_col(c)
+    # Rust str::lines(): split on \n, trailing empty line not counted
+    line_count = F.when(c == "", F.lit(0)).otherwise(
+        F.size(F.split(F.regexp_replace(c, r"\n$", ""), r"\n"))
+    )
+    contains_unicode = c.rlike(r"[^\x00-\x7F]")
+    stripped = F.ltrim(c)
+    text_format = (
+        F.when(stripped.startswith("<?xml"), F.lit("xml"))
+        .when(
+            stripped.startswith("{") | stripped.startswith("["), F.lit("json")
+        )
+        .when(
+            c.contains("<!DOCTYPE html") | c.contains("<html"), F.lit("html")
+        )
+        .otherwise(F.lit(None).cast("string"))
+    )
+    english_words = [
+        "the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by",
+    ]
+    hits = None
+    for w in english_words:
+        h = F.regexp_count(F.lower(c), F.lit(re.escape(w)))
+        hits = h if hits is None else hits + h
+    # Rust `word_count / 20` is integer division — floor to match exactly
+    likely_english = hits > F.floor(word_count / F.lit(20))
+    return [
+        char_count.cast("long").alias("character_count"),
+        word_count.cast("long").alias("word_count"),
+        line_count.cast("long").alias("line_count"),
+        contains_unicode.alias("contains_unicode"),
+        text_format.alias("text_format"),
+        likely_english.alias("likely_english"),
+    ]
 
 
 def fingerprint_col(c: Column) -> Column:

@@ -157,7 +157,7 @@ def extract_document(spans: list[dict], repair_hyphens: bool = True) -> dict:
         status = STATUS_FAILED
         msg = first_error or "No extractable text found in document (0 words)"
         failure_reason, _ = classify_ocr_error(msg)
-    elif not spans:
+    elif len(spans) == 0:  # len() not truthiness: spans may be a numpy array
         status = STATUS_FAILED
         failure_reason, _ = classify_ocr_error(
             "No extractable text found in document (0 words)"

@@ -425,6 +425,29 @@ def extract_text_layer(data: bytes) -> list[str]:
     return out
 
 
+def pdf_metadata(data: bytes) -> dict:
+    """P12: lightweight PDF metadata by byte/regex scan
+    (/root/reference/src/metadata_extraction.rs:84-136): version from the
+    header, page count, encryption flag, creation date string, has-fonts /
+    has-images flags."""
+    version = None
+    m = re.search(rb"%PDF-(\d+\.\d+)", data[:1024])
+    if m:
+        version = m.group(1).decode("ascii")
+    created = None
+    mc = re.search(rb"/CreationDate\s*\(([^)]*)\)", data)
+    if mc:
+        created = mc.group(1).decode("latin-1", "replace")
+    return {
+        "pdf_version": version,
+        "page_count": pdf_page_count(data),
+        "encrypted": re.search(rb"/Encrypt\b", data) is not None,
+        "creation_date": created,
+        "has_fonts": re.search(rb"/Type\s*/Font\b", data) is not None,
+        "has_images": pdf_has_images(data),
+    }
+
+
 def ascii_salvage(data: bytes) -> str:
     """P10: last-resort raw-bytes text salvage
     (/root/reference/src/ocr/mod.rs:261-298): printable-ASCII runs longer

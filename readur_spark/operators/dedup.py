@@ -213,28 +213,38 @@ _SIMHASH_SCHEMA = T.LongType()
 def _simhash64(texts: pd.Series) -> pd.Series:
     """64-bit simhash over word tokens (Charikar 2002): sum ±1 per bit of
     each token hash, sign-fold to a fingerprint. Arrow-batched; the token
-    hash is Python's stable blake2b-derived digest (deterministic across
-    workers, unlike hash())."""
+    hash is a stable blake2b digest (deterministic across workers, unlike
+    ``hash()``). Per-token ±1 bit vectors are numpy arrays memoized across
+    the whole batch — natural-language token distributions are heavy-tailed,
+    so the cache hit rate is very high and the per-doc cost collapses to a
+    vectorized sum."""
     import hashlib
     import re as _re
 
+    import numpy as np
+
     tok = _re.compile(r"[a-z0-9]+")
+    shifts = np.arange(64, dtype=np.uint64)
+    cache: dict[str, "np.ndarray"] = {}
+
+    def bitvec(t: str):
+        v = cache.get(t)
+        if v is None:
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            )
+            v = (((h >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1)
+            cache[t] = v
+        return v
 
     def one(text) -> int:
         if text is None:
             return 0
-        counts = [0] * 64
-        for t in tok.findall(str(text).lower()):
-            h = int.from_bytes(
-                hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-            )
-            for i in range(64):
-                counts[i] += 1 if (h >> i) & 1 else -1
-        v = 0
-        for i in range(64):
-            if counts[i] > 0:
-                v |= 1 << i
-        # to signed 64-bit
+        toks = tok.findall(str(text).lower())
+        if not toks:
+            return 0
+        counts = np.sum([bitvec(t) for t in toks], axis=0)
+        v = int(np.packbits((counts > 0)[::-1]).view(">u8")[0])
         return v - (1 << 64) if v >= (1 << 63) else v
 
     return texts.map(one)
@@ -303,18 +313,50 @@ def embedding_dup_pairs(
 ) -> DataFrame:
     """Exact embedding near-dup pairs (cosine ≥ threshold).
 
-    This is the *verification-exact* form (all-pairs self-join with
-    ``id_a < id_b``); at web scale wrap it behind
-    :func:`readur_spark.operators.similarity.hyperplane_lsh_buckets` to
-    bucket candidates first. Cosine is pure Catalyst (``zip_with`` +
-    ``aggregate``) — no Python in the plan."""
-    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    cos = F.round(_cosine(F.col("va").cast("array<double>"), F.col("vb").cast("array<double>")), 6)
-    return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+    Block-matrix formulation: one side of the self-join is broadcast as a
+    single float64 matrix; each Arrow batch of the distributed side computes
+    its full similarity block with one BLAS ``matmul`` (vectorized, no
+    per-pair Python or per-pair Catalyst fold) and keeps ``id_a < id_b``
+    pairs above threshold. This is the standard brute-force-exact baseline:
+    O(n²d) flops but at memory-bandwidth speed, and embarrassingly parallel
+    across row blocks.
+
+    Scale path: the broadcast side must fit in executor memory (~0.5 GB per
+    million 64-dim vectors). Beyond that, pre-bucket both sides with
+    :func:`readur_spark.operators.similarity.hyperplane_lsh_buckets` and run
+    this per bucket — same output contract.
+    """
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    pdf = embeddings.select(id_col, vec_col).toPandas()
+    order = pdf[id_col].to_numpy().argsort(kind="stable")
+    ids = pdf[id_col].to_numpy()[order]
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, norms))
+
+    def run(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for block in batches:
+            a_ids = block[id_col].to_numpy()
+            a_mat = np.vstack(
+                [np.asarray(v, dtype=np.float64) for v in block[vec_col].to_numpy()]
+            )
+            a_norms = np.sqrt((a_mat * a_mat).sum(axis=1))
+            sims = (a_mat @ b_mat.T) / np.outer(a_norms, b_norms)
+            sims = np.round(sims, 6)
+            mask = (sims >= threshold) & (a_ids[:, None] < b_ids[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame(
+                {
+                    "id_a": a_ids[ai],
+                    "id_b": b_ids[bj],
+                    "cosine": sims[ai, bj],
+                }
+            )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        run, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
     )

@@ -81,12 +81,26 @@ def size_class_col(weight_col: str = "doc_bytes"):
     )
 
 
-def plan_partitions(docs_df: DataFrame, num_partitions: int) -> DataFrame:
-    """Skew-defused partitioning: size-class binning + doc_id salting.
+def plan_partitions(
+    docs_df: DataFrame, num_partitions: int, size_binned: bool = False
+) -> DataFrame:
+    """Skew-defused partitioning.
 
-    Pure Catalyst: the weight is computed from span lengths without leaving
-    the JVM, and the only shuffle is the explicit range repartition.
+    Default (``size_binned=False``): one hash repartition on
+    ``xxhash64(doc_id)`` — a single shuffle, no extra pass, uniform doc
+    spread (the north rule's salt-by-doc_id). This is the right default:
+    document costs are long-tailed but hashing 10^12 docs over ~10^5
+    partitions averages the tail out.
+
+    ``size_binned=True`` adds readur's size→priority binning
+    (batch_ingest.rs:281-294) via ``repartitionByRange`` on
+    (size_class, salt): mega-docs get dedicated partitions so one 100 MB
+    monster never queues behind thousands of small docs. Costs one extra
+    pass (range-boundary sampling re-executes the upstream) — worth it only
+    when the size distribution is extreme; both modes are pure Catalyst.
     """
+    if not size_binned:
+        return docs_df.repartition(num_partitions, F.xxhash64("doc_id"))
     weighted = docs_df.withColumn(
         "doc_bytes",
         F.aggregate(
@@ -120,16 +134,12 @@ def _extract_batches(
             out[col] = pdf[col].tolist()
         for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
             t0 = time.perf_counter()
-            span_dicts = [
-                {
-                    "kind": s["kind"],
-                    "text": s["text"],
-                    "media_ref": s["media_ref"],
-                    "offset": s["offset"],
-                }
-                for s in (spans if spans is not None else [])
-            ]
-            res = extract_document(span_dicts, repair_hyphens=repair_hyphens)
+            # Arrow delivers array<struct> elements as plain dicts with the
+            # span field names — hand them to the kernel without re-copying
+            # (one less dict per span on the hot path)
+            res = extract_document(
+                spans if spans is not None else [], repair_hyphens=repair_hyphens
+            )
             out["doc_id"].append(doc_id)
             out["spans"].append(res["spans"])
             out["confidence"].append(res["confidence"])
@@ -148,18 +158,21 @@ def extract_spans(
     repair_hyphens: bool = True,
     num_partitions: int | None = None,
     passthrough_cols: list[str] | None = None,
+    size_binned: bool = False,
 ) -> DataFrame:
     """Run the extraction pipeline over an interleaved-docs DataFrame.
 
     ``num_partitions``: when set, apply the explicit skew-defused
-    repartition first (recommended: 2–3× total cores). When ``None`` the
-    input partitioning is kept (useful when the caller already planned it).
+    repartition first. Sizing guidance: ≈1× total cores when per-doc work
+    is light (Arrow/Python per-task overhead dominates otherwise), 2–3×
+    cores on a real cluster where tasks run seconds and elasticity matters.
+    When ``None`` the input partitioning is kept (caller already planned).
 
     ``passthrough_cols``: input columns copied verbatim onto the output
     (e.g. a precomputed ``partition_id`` for checkpoint lineage).
     """
     if num_partitions:
-        docs_df = plan_partitions(docs_df, num_partitions)
+        docs_df = plan_partitions(docs_df, num_partitions, size_binned=size_binned)
 
     passthrough = passthrough_cols or []
     schema = T.StructType(

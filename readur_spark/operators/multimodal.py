@@ -1,0 +1,225 @@
+"""Multimodal column operators: opaque binary media + typed metadata.
+
+Images/audio/video travel as ``binary`` columns with metadata extracted by
+Arrow-batched UDFs. The *decode* step is STUBBED (this container ships no
+imaging/audio libraries — see ``_decode_image_stub``); everything around it
+— schemas, batch shapes, partition behavior, the EXIF/resize decision math —
+is real and tested, so swapping in Pillow/opencv/ffmpeg on a real cluster
+is a one-function change.
+
+Reference parity: image metadata I17 (metadata_extraction.rs:52-81), EXIF
+auto-rotate I5 (document_ingestion.rs:356-408), smart resize I7
+(enhanced.rs:442-475). Frame sampling is the training-data-pipeline
+extension for video refs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from readur_spark.kernels.media_meta import (
+    orientation_label,
+    orientation_transform,
+    parse_exif_orientation,
+    parse_image_meta,
+    smart_resize_dims,
+)
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("aspect_ratio", T.DoubleType(), True),
+        T.StructField("orientation", T.StringType(), True),
+        T.StructField("megapixels", T.DoubleType(), True),
+        T.StructField("exif_orientation", T.IntegerType(), True),
+        T.StructField("rotate_ops", T.ArrayType(T.StringType()), True),
+        T.StructField("resize_op", T.StringType(), True),
+        T.StructField("target_width", T.IntegerType(), True),
+        T.StructField("target_height", T.IntegerType(), True),
+    ]
+)
+
+
+def image_metadata(
+    media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """I17+I5+I7 metadata/decision extraction — header-level parsing only,
+    no pixel decode, so it runs at full Arrow batch speed."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                doc_id = str(pdf[id_col].iloc[i])
+                raw = pdf[content_col].iloc[i]
+                data = bytes(raw) if raw is not None else b""
+                meta = parse_image_meta(data)
+                if meta is None:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "format": None,
+                            "width": None,
+                            "height": None,
+                            "n_bytes": len(data),
+                            "aspect_ratio": None,
+                            "orientation": None,
+                            "megapixels": None,
+                            "exif_orientation": None,
+                            "rotate_ops": None,
+                            "resize_op": None,
+                            "target_width": None,
+                            "target_height": None,
+                        }
+                    )
+                    continue
+                w, h = meta["width"], meta["height"]
+                exif = parse_exif_orientation(data) if meta["format"] == "jpeg" else 1
+                rot = orientation_transform(exif, w, h)
+                tw, th, resize_op = smart_resize_dims(rot["width"], rot["height"])
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "format": meta["format"],
+                        "width": w,
+                        "height": h,
+                        "n_bytes": len(data),
+                        "aspect_ratio": round(w / h, 4) if h else None,
+                        "orientation": orientation_label(w, h),
+                        "megapixels": round(w * h / 1_000_000.0, 4),
+                        "exif_orientation": exif,
+                        "rotate_ops": rot["ops"],
+                        "resize_op": resize_op,
+                        "target_width": tw,
+                        "target_height": th,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.select(id_col, content_col).mapInPandas(run, IMAGE_META_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("pixels", T.BinaryType(), True),
+        T.StructField("decode_stub", T.BooleanType(), False),
+    ]
+)
+
+
+def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
+    """STUB — deterministic fake decoder. No imaging library exists in this
+    container, so the "pixels" are a reproducible byte pattern derived from
+    the content hash, sized like a real grayscale decode (w*h bytes, capped
+    at 64 KB for the fake). Replace with Pillow's ``Image.open`` on a real
+    deployment; every caller contract (shape, dtype, batching) stays."""
+    n = min(max(width * height, 1), 65536)
+    seed = hashlib.blake2b(data, digest_size=32).digest()
+    reps = (n // len(seed)) + 1
+    return (seed * reps)[:n]
+
+
+def decode_images(
+    media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Decode stage with the stubbed decoder (flagged ``decode_stub=true``
+    on every row so downstream consumers can't mistake fake pixels for
+    real ones)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                doc_id = str(pdf[id_col].iloc[i])
+                raw = pdf[content_col].iloc[i]
+                data = bytes(raw) if raw is not None else b""
+                meta = parse_image_meta(data)
+                if meta is None or not meta["width"]:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": None,
+                            "height": None,
+                            "channels": None,
+                            "pixels": None,
+                            "decode_stub": True,
+                        }
+                    )
+                    continue
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "channels": 1,
+                        "pixels": _decode_image_stub(data, meta["width"], meta["height"]),
+                        "decode_stub": True,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.select(id_col, content_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("media_ref", T.StringType(), True),
+        T.StructField("frame_no", T.IntegerType(), False),
+        T.StructField("frame_ref", T.StringType(), False),
+        T.StructField("decode_stub", T.BooleanType(), False),
+    ]
+)
+
+
+def sample_frames(
+    media_df: DataFrame,
+    every_n: int = 30,
+    max_frames: int = 8,
+    id_col: str = "doc_id",
+    ref_col: str = "media_ref",
+) -> DataFrame:
+    """Video frame sampling plumbing: emits deterministic frame refs
+    ``<media_ref>#frame=<n*every_n>`` (the real implementation decodes with
+    ffmpeg/pyav; the fan-out shape, one row per sampled frame, is what
+    downstream feature extraction consumes either way)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                doc_id = str(pdf[id_col].iloc[i])
+                ref = pdf[ref_col].iloc[i] or ""
+                if not ref:
+                    continue  # nothing to sample from an empty/NULL ref
+                # deterministic pseudo frame-count from the ref itself
+                n_frames = (
+                    int.from_bytes(hashlib.blake2b(ref.encode(), digest_size=2).digest(), "big")
+                    % 240
+                ) + 1
+                for k in range(min(max_frames, (n_frames + every_n - 1) // every_n)):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "media_ref": ref,
+                            "frame_no": k * every_n,
+                            "frame_ref": f"{ref}#frame={k * every_n}",
+                            "decode_stub": True,
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return media_df.select(id_col, ref_col).mapInPandas(run, FRAME_SAMPLE_SCHEMA)

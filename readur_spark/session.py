@@ -13,11 +13,12 @@ import os
 from pyspark.sql import SparkSession
 
 #: Arrow batch size for mapInPandas stages. Documents are heavy rows
-#: (a mega-doc can carry hundreds of spans), so a moderate batch bounds
-#: Python-worker memory while still amortizing Arrow IPC overhead —
-#: the Spark analog of readur's 1000-file ingest batches
-#: (/root/reference/src/ingestion/batch_ingest.rs:41).
-ARROW_MAX_RECORDS_PER_BATCH = 512
+#: (a mega-doc can carry hundreds of spans), so the batch must bound
+#: Python-worker memory while amortizing Arrow IPC overhead — the Spark
+#: analog of readur's 1000-file ingest batches
+#: (/root/reference/src/ingestion/batch_ingest.rs:41). 1024 × ~3 KB docs
+#: ≈ 3 MB per in-flight batch per worker.
+ARROW_MAX_RECORDS_PER_BATCH = 1024
 
 
 def get_spark(
