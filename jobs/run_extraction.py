@@ -1,0 +1,53 @@
+"""Cluster entry point: checkpointed extraction over an input table.
+
+Ships with ``--py-files dist/readur_spark.zip`` (see tools/package.py).
+Reads the interleaved docs table (Iceberg when the catalog is configured,
+parquet path otherwise — the engine code is identical), runs the resumable
+extraction plan, and prints the run summary as one JSON line.
+
+Resume: re-running with the same --checkpoint only processes partitions
+without a completed row — crash-safe at partition granularity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="iceberg table name or parquet path")
+    ap.add_argument("--output", required=True, help="output parquet/iceberg path")
+    ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
+    ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--run-id", default=None)
+    ap.add_argument("--no-hyphen-repair", action="store_true")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("readur_spark_extraction").getOrCreate()
+
+    from readur_spark.plans.pipeline import run_extraction
+
+    try:
+        docs = spark.read.format("iceberg").load(args.input)
+    except Exception:
+        docs = spark.read.parquet(args.input)
+
+    summary = run_extraction(
+        spark,
+        docs,
+        output_path=args.output,
+        checkpoint_path=args.checkpoint,
+        num_partitions=args.partitions,
+        run_id=args.run_id,
+        repair_hyphens=not args.no_hyphen_repair,
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

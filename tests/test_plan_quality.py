@@ -1,0 +1,98 @@
+"""Physical-plan quality gates: these assert the *plan*, not the output —
+a correct result from a bad plan (full scan for a 2-column projection, a
+shuffle join against a 25-row dim) is a scale bug the row-level tests
+can't see."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_filter_pushed_to_parquet(spark, docs):
+    from readur_spark.operators.search import filter_by_values
+
+    plan = plan_of(filter_by_values(docs, "lang", ["es", "fr"]))
+    assert "PushedFilters" in plan and "In(lang" in plan, plan
+
+
+def test_column_pruning(spark, docs):
+    plan = plan_of(docs.select("doc_id", "lang"))
+    # the parquet ReadSchema must not include the heavy text column
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in read_schema, read_schema
+
+
+def test_min_chars_pushdown(spark, docs):
+    from readur_spark.operators.search import list_documents
+
+    plan = plan_of(list_documents(docs, lang="en", min_chars=200))
+    assert "GreaterThanOrEqual(n_chars,200)" in plan or "n_chars" in plan.split(
+        "PushedFilters:"
+    )[1].splitlines()[0], plan
+
+
+def test_star_join_broadcasts_dims(spark):
+    from readur_spark.operators.relational import revenue_by_nation
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    nation = spark.read.parquet(f"{SF}/nation.parquet")
+    region = spark.read.parquet(f"{SF}/region.parquet")
+    plan = plan_of(revenue_by_nation(customer, orders, nation, region))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    from readur_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = plan_of(cosine_topk(emb, [0.1] * 64, k=10))
+    # distributed top-k, not a global sort + limit
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    from readur_spark.operators.relational import pricing_summary
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plan = plan_of(pricing_summary(li))
+    # hash aggregate appears twice: partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+
+
+def test_normalization_chain_is_whole_stage_codegen(spark, docs):
+    from readur_spark.functions.textstats import normalize_text_col
+
+    plan = plan_of(docs.select("doc_id", normalize_text_col(F.col("text")).alias("n")))
+    # codegen'd operators are star-prefixed ("*(1) Project ...") in the
+    # executedPlan string; "WholeStageCodegen" only appears in formatted mode
+    assert "*(" in plan, plan
+    # and no python/pandas UDF anywhere in the normalization path
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_semi_and_anti_join_shapes(spark):
+    from readur_spark.operators.relational import (
+        customers_with_high_value_orders,
+        customers_without_orders,
+    )
+
+    customer = spark.read.parquet(f"{SF}/customer.parquet")
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    anti = plan_of(customers_without_orders(customer, orders))
+    semi = plan_of(customers_with_high_value_orders(customer, orders, 450_000.0))
+    assert "LeftAnti" in anti, anti
+    assert "LeftSemi" in semi, semi
