@@ -155,6 +155,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fts_boolean"] = lambda s, sf: search.fts_boolean(
         _docs(s, sf), must=["table"], should=["spark", "window"], must_not=["vector"]
     )
+    q["fuzzy_search"] = lambda s, sf: search.fuzzy_search(
+        _docs(s, sf), "spark table window merge batch", threshold=0.15
+    )
     q["search_ranked"] = lambda s, sf: search.search_ranked(_docs(s, sf), "spark", limit=25).select(
         "doc_id", F.col("search_rank").cast("long").alias("search_rank"), "n_chars"
     )
@@ -362,6 +365,25 @@ def oracle_sql() -> dict[str, str]:
         "AND (regexp_matches(lower(text), '\\bspark\\b') OR regexp_matches(lower(text), '\\bwindow\\b')) "
         "AND NOT regexp_matches(lower(text), '\\bvector\\b')"
     )
+    from readur_spark.operators.search import _trigrams
+
+    qtri = _trigrams("spark table window merge batch")
+    qlit = "[" + ", ".join("'" + t.replace("'", "''") + "'" for t in qtri) + "]"
+    o["fuzzy_search"] = f"""
+        WITH t AS (
+          SELECT doc_id, n_chars,
+                 list_distinct([substring(lower(text), i, 3)
+                                for i in range(1, greatest(length(text) - 2, 1) + 1)]) AS tri
+          FROM documents)
+        SELECT doc_id,
+               round(len(list_intersect(tri, {qlit})) * 1.0
+                     / (len(tri) + {len(qtri)} - len(list_intersect(tri, {qlit}))), 6)
+               AS similarity,
+               n_chars
+        FROM t
+        WHERE round(len(list_intersect(tri, {qlit})) * 1.0
+                    / (len(tri) + {len(qtri)} - len(list_intersect(tri, {qlit}))), 6) > 0.15
+    """
     o["search_ranked"] = """
         SELECT doc_id, CAST(len(regexp_extract_all(lower(text), 'spark')) AS BIGINT) AS search_rank,
                n_chars

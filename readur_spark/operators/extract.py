@@ -184,3 +184,149 @@ def extract_spans(
         return _extract_batches(batches, repair_hyphens, passthrough)
 
     return docs_df.mapInPandas(run, schema=schema)
+
+
+def extract_spans_split(
+    docs_df: DataFrame,
+    repair_hyphens: bool = True,
+    num_partitions: int | None = None,
+    split_threshold_spans: int = 64,
+) -> DataFrame:
+    """Mega-doc-safe extraction: giant documents are exploded to span
+    granularity, extracted in parallel, and reassembled.
+
+    ``extract_spans`` binds one document to one task — correct until a
+    single row carries thousands of spans (AQE can split skewed
+    *partitions*, never a single row; SURVEY §7 "mega-doc skew"). Here:
+
+    1. docs with ≤ ``split_threshold_spans`` spans take the normal batch
+       path untouched;
+    2. bigger docs ``posexplode`` to (doc_id, offset, span) rows, shuffle
+       across the cluster by (doc_id, span-position) hash, extract
+       per-span (same kernel ⇒ same per-span output), then reassemble with
+       ``collect_list(struct(offset, spans))`` + ``array_sort`` — order
+       derives from the input offsets, never execution order, so the
+       result is byte-identical to the unsplit path (tested).
+
+    Document-level sidecars (combined word count, status, quality gate)
+    are recomputed from the reassembled text exactly as the kernel does.
+    """
+    n_spans = F.size("spans")
+    small = docs_df.filter(n_spans <= split_threshold_spans)
+    big = docs_df.filter(n_spans > split_threshold_spans)
+
+    small_out = extract_spans(small, repair_hyphens, num_partitions)
+
+    # --- span-granular path for the giants --------------------------------
+    exploded = big.select(
+        "doc_id", F.posexplode("spans").alias("pos", "span")
+    ).select(
+        "doc_id",
+        "pos",
+        F.array(F.col("span")).alias("spans"),
+    )
+    if num_partitions:
+        exploded = exploded.repartition(
+            num_partitions, F.xxhash64("doc_id", "pos")
+        )
+
+    def run_span(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.extractor import extract_document
+
+        for pdf in batches:
+            rows = {"doc_id": [], "pos": [], "piece": [], "had_text": []}
+            for doc_id, pos, spans in zip(pdf["doc_id"], pdf["pos"], pdf["spans"]):
+                res = extract_document(list(spans), repair_hyphens=repair_hyphens)
+                rows["doc_id"].append(doc_id)
+                rows["pos"].append(pos)
+                rows["piece"].append(res["spans"])
+                rows["had_text"].append(
+                    any((s.get("kind") or "") in ("text", "html") for s in spans)
+                )
+            yield pd.DataFrame(rows)
+
+    piece_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("pos", T.IntegerType(), False),
+            T.StructField("piece", EXTRACTED_SCHEMA["spans"].dataType, True),
+            T.StructField("had_text", T.BooleanType(), False),
+        ]
+    )
+    pieces = exploded.mapInPandas(run_span, piece_schema)
+
+    # reassemble: order by original span position, then re-pack span orders
+    assembled = (
+        pieces.groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("piece")))
+            ).alias("ordered"),
+            F.max("had_text").alias("had_text"),
+        )
+        .select(
+            "doc_id",
+            F.flatten(F.col("ordered.piece")).alias("raw_spans"),
+            "had_text",
+        )
+    )
+
+    def finalize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.quality import classify_ocr_error, validate_ocr_quality
+        from readur_spark.kernels.wordcount import count_words_safely_office
+
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "spans": [],
+                "confidence": [],
+                "word_count": [],
+                "status": [],
+                "failure_reason": [],
+                "preprocessing_applied": [],
+                "processing_time_ms": [],
+            }
+            for doc_id, raw, had_text in zip(
+                pdf["doc_id"], pdf["raw_spans"], pdf["had_text"]
+            ):
+                spans = [
+                    {
+                        "kind": s["kind"],
+                        "text": s["text"],
+                        "media_ref": s["media_ref"],
+                        "order": i,
+                    }
+                    for i, s in enumerate(raw if raw is not None else [])
+                ]
+                texts = [s["text"] for s in spans if s["kind"] == "text"]
+                combined = "\n\n".join(texts)
+                wc = count_words_safely_office(combined)
+                status, reason = "completed", None
+                if texts:
+                    err = validate_ocr_quality(combined, 100.0, wc)
+                    if err is not None:
+                        status = "failed"
+                        reason, _ = classify_ocr_error(err)
+                elif had_text or not spans:
+                    # text/html input yielded nothing usable — failed, like
+                    # the unsplit kernel's empty-result path
+                    status = "failed"
+                    reason, _ = classify_ocr_error(
+                        "No extractable text found in document (0 words)"
+                    )
+                if status == "failed":
+                    spans = [s for s in spans if s["kind"] == "media"]
+                    for i, s in enumerate(spans):
+                        s["order"] = i
+                out["doc_id"].append(doc_id)
+                out["spans"].append(spans)
+                out["confidence"].append(100.0)
+                out["word_count"].append(wc)
+                out["status"].append(status)
+                out["failure_reason"].append(reason)
+                out["preprocessing_applied"].append(["Span-split extraction"])
+                out["processing_time_ms"].append(0)
+            yield pd.DataFrame(out)
+
+    big_out = assembled.mapInPandas(finalize, EXTRACTED_SCHEMA)
+    return small_out.unionByName(big_out)

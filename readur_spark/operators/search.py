@@ -54,6 +54,37 @@ def fts_boolean(docs: DataFrame, must: list[str], should: list[str], must_not: l
     return docs.filter(pred).select("doc_id", "lang", "source", "n_chars")
 
 
+def _trigrams(s: str) -> list[str]:
+    s = s.lower()
+    return sorted({s[i : i + 3] for i in range(len(s) - 2)}) if len(s) >= 3 else [s.lower()]
+
+
+def fuzzy_search(docs: DataFrame, query: str, threshold: float = 0.3) -> DataFrame:
+    """F4: trigram-set Jaccard similarity > threshold (the pg_trgm
+    ``similarity(text, q) > 0.3`` shape, search.rs:124-128).
+
+    Pure Catalyst: document trigrams via ``transform(sequence(...))`` +
+    ``array_distinct``; the query's trigram set is a literal array, so the
+    whole predicate is codegen'd — no Python in the plan."""
+    q = _trigrams(query)
+    q_arr = F.array(*[F.lit(t) for t in q])
+    lowered = F.lower(F.col("text"))
+    tri = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(1))),
+            lambda i: lowered.substr(i, F.lit(3)),
+        )
+    )
+    inter = F.size(F.array_intersect(tri, q_arr))
+    union = F.size(tri) + F.lit(len(q)) - inter
+    sim = F.round(inter / union, 6)
+    return (
+        docs.withColumn("similarity", sim)
+        .filter(F.col("similarity") > threshold)
+        .select("doc_id", "similarity", "n_chars")
+    )
+
+
 def search_ranked(docs: DataFrame, term: str, limit: int = 25) -> DataFrame:
     """F5+F8: tf-style rank (occurrence count of the term), ORDER BY rank
     DESC with doc_id tie-break, LIMIT — the ts_rank / pagination shape
