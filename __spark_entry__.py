@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snippets"] = lambda s, sf: search.snippets(_docs(s, sf), "spark").select(
         "doc_id", "snippet", F.col("match_offset").cast("long").alias("match_offset")
     )
+    q["snippets_full"] = lambda s, sf: search.snippets_full(_docs(s, sf), "spark merge")
     q["list_documents"] = lambda s, sf: search.list_documents(_docs(s, sf), lang="en", min_chars=200)
     q["doc_stats"] = lambda s, sf: search.doc_stats(_docs(s, sf))
 
@@ -194,6 +195,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["ann_topk_lsh"] = lambda s, sf: similarity.ann_topk_lsh(
         load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10, num_planes=4
+    )
+    q["ann_topk_ivf"] = lambda s, sf: similarity.ivf_topk(
+        load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10, n_probe=4
     )
 
     # ---- relational checklist (§2.10) ----

@@ -77,11 +77,12 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
             idxs,
             lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
         )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .where(F.col("shingle") != "")
-        .distinct()
-    )
+    # array_distinct already de-dups within the doc, so (id, shingle) rows
+    # are unique by construction — no cross-row distinct() (that would be a
+    # full extra shuffle for nothing)
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).where(F.col("shingle") != "")
 
 
 def ngram_jaccard_pairs(
@@ -193,8 +194,37 @@ def minhash_lsh_pairs(
         .where(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+    ).cache()
+    # exact verification restricted to candidate documents only: semi-join
+    # the shingle table down to candidate ids (keeps each candidate doc's
+    # FULL shingle set, so the Jaccard is exact), then the usual
+    # inverted-index intersection — at high selectivity this verifies a few
+    # hundred docs instead of re-scoring the whole corpus
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .union(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
     )
-    exact = ngram_jaccard_pairs(docs, threshold=0.0, n=n, id_col=id_col, text_col=text_col)
+    sh = _shingles(docs, id_col, text_col, n).join(
+        F.broadcast(cand_ids), "id", "left_semi"
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+    )
     return (
         candidates.join(exact, ["id_a", "id_b"])
         .filter(F.col("jaccard") >= threshold)

@@ -148,6 +148,35 @@ def snippets(docs: DataFrame, term: str, snippet_length: int = 200) -> DataFrame
     )
 
 
+def snippets_full(docs: DataFrame, query: str, snippet_length: int = 200) -> DataFrame:
+    """F10 with full reference semantics (word-boundary snapping, highlight
+    ranges, ≤3-while-scanning / ≤5-total caps — search.rs:190-260) via the
+    parity kernel in an Arrow-batched stage. One output row per snippet."""
+    import pandas as pd
+
+    from readur_spark.kernels.snippets import generate_snippets
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                for s in generate_snippets(text or "", query, snippet_length):
+                    rows.append({"doc_id": doc_id, **s})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "text", "start_offset", "end_offset",
+                    "highlight_start", "highlight_end",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        run,
+        "doc_id long, text string, start_offset int, end_offset int, "
+        "highlight_start int, highlight_end int",
+    )
+
+
 def list_documents(
     docs: DataFrame,
     lang: str | None = None,

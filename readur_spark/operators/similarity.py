@@ -70,6 +70,92 @@ def hyperplane_lsh_buckets(
     return embeddings.withColumn("bucket", bucket)
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    seed: int = 42,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: k-means centroids trained driver-side on a
+    deterministic sample (numpy Lloyd iterations, seeded init), cluster
+    assignment pushed down as a Catalyst argmin expression.
+
+    Training on a bounded sample is the standard IVF recipe (FAISS trains
+    on ~256×k vectors); assignment is a projection over the full corpus —
+    no shuffle, scales linearly. Returns (embeddings + ``cluster`` column,
+    centroids)."""
+    import numpy as np
+
+    sample = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(id_col))  # deterministic, seed-free sample order
+        .limit(sample_size)
+        .toPandas()
+    )
+    mat = np.vstack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    emb = F.col(vec_col).cast("array<double>")
+    # argmin via an array of per-centroid distances + array_position of the
+    # min — flat expression tree (a chained CASE WHEN would double the tree
+    # per centroid and blow up Catalyst)
+    dist_cols = [
+        F.aggregate(
+            F.zip_with(emb, _as_lit_array(list(cvec)), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, v: s + v,
+        )
+        for cvec in centroids
+    ]
+    dists = F.array(*dist_cols)
+    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+    out = embeddings.withColumn("cluster", cluster)
+    return out, [list(map(float, c)) for c in centroids]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` clusters nearest
+    to the query (the FAISS IVF-Flat shape). Recall is tuned by n_probe;
+    candidates are scored exactly, so results are a subset of brute force.
+    At 10^12 scale, write the corpus partitioned by ``cluster`` so probes
+    prune partitions at the scan."""
+    import numpy as np
+
+    assigned, centroids = ivf_assign(
+        embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [(((np.asarray(c) - q) ** 2).sum(), i) for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(dists)[:n_probe]]
+    return cosine_topk(
+        assigned.filter(F.col("cluster").isin(probe)).drop("cluster"),
+        query_vec,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def ann_topk_lsh(
     embeddings: DataFrame,
     query_vec: list[float],

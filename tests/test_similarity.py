@@ -1,0 +1,69 @@
+"""Similarity search: brute force, SRP-LSH, IVF."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.operators.similarity import (
+    ann_topk_lsh,
+    cosine_topk,
+    hyperplane_lsh_buckets,
+    ivf_assign,
+    ivf_topk,
+)
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def query_vec(emb):
+    return [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+
+def test_brute_force_topk_self_first(emb, query_vec):
+    top = cosine_topk(emb, query_vec, k=10).collect()
+    assert len(top) == 10
+    assert top[0]["vec_id"] == 0 and top[0]["cosine"] == 1.0
+    scores = [r["cosine"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lsh_results_subset_of_corpus_ranking(emb, query_vec):
+    approx = ann_topk_lsh(emb, query_vec, k=10, num_planes=4)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 10
+    # scored exactly within the bucket → descending, self-match included
+    # (the query vector's own bucket contains it)
+    assert rows[0]["vec_id"] == 0
+
+
+def test_lsh_buckets_deterministic(emb):
+    a = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(emb, num_planes=8).collect()}
+    b = {r["vec_id"]: r["bucket"] for r in hyperplane_lsh_buckets(emb, num_planes=8).collect()}
+    assert a == b
+    assert len(set(a.values())) > 1
+
+
+def test_ivf_assignment_and_recall(emb, query_vec):
+    assigned, centroids = ivf_assign(emb, n_centroids=8, seed=42)
+    clusters = assigned.select("cluster").distinct().count()
+    assert 1 < clusters <= 8
+    assert len(centroids) == 8
+
+    exact = {r["vec_id"] for r in cosine_topk(emb, query_vec, k=10).collect()}
+    approx = {r["vec_id"] for r in ivf_topk(emb, query_vec, k=10, n_centroids=8, n_probe=4).collect()}
+    assert 0 in approx  # self-match always found (its own cluster is probed)
+    assert len(exact & approx) / 10 >= 0.5  # reasonable recall at n_probe=4/8
+
+
+def test_ivf_full_probe_equals_exact(emb, query_vec):
+    exact = [(r["vec_id"], r["cosine"]) for r in cosine_topk(emb, query_vec, k=10).collect()]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, query_vec, k=10, n_centroids=8, n_probe=8).collect()
+    ]
+    assert full == exact  # probing every cluster = brute force
