@@ -37,6 +37,7 @@ from readur_spark.kernels.quality import (
     classify_ocr_error,
     validate_ocr_quality,
 )
+from readur_spark.kernels.util import count_alnum
 from readur_spark.kernels.textnorm import (
     clean_extracted_text,
     plain_text_read,
@@ -59,7 +60,7 @@ def _passes_span_gate(cleaned: str) -> bool:
     if not cleaned:
         return False
     total = len(cleaned.encode("utf-8", errors="surrogatepass"))
-    alnum = sum(1 for c in cleaned if c.isalnum())
+    alnum = count_alnum(cleaned)
     return (alnum / total) >= MIN_CONTENT_RATIO
 
 

@@ -10,6 +10,8 @@ Failure-reason strings follow the reference enum
 
 from __future__ import annotations
 
+from readur_spark.kernels.util import count_alnum
+
 HARD_MINIMUM_CONFIDENCE = 5.0  # enhanced.rs:1776
 MIN_CONTENT_RATIO = 0.10  # enhanced.rs:1812
 DEFAULT_MIN_CONFIDENCE = 30.0  # src/models/settings.rs:351 (warn-only)
@@ -41,7 +43,7 @@ def validate_ocr_quality(text: str, confidence: float, word_count: int) -> str |
         return "OCR result contains no characters"
     if word_count == 0:
         return "No words detected in OCR output"
-    content_chars = sum(1 for c in text if c.isalnum())
+    content_chars = count_alnum(text)
     content_ratio = content_chars / total_bytes
     if content_ratio < MIN_CONTENT_RATIO:
         return (
@@ -57,7 +59,7 @@ def pdf_text_quality_sufficient(text: str, word_count: int, file_size: int) -> b
     if word_count == 0:
         return False
     total_bytes = len(text.encode("utf-8", errors="surrogatepass"))
-    alnum = sum(1 for c in text if c.isalnum())
+    alnum = count_alnum(text)
     ratio = (alnum / total_bytes) if total_bytes else 0.0
     if ratio < PDF_MIN_ALNUM_RATIO:
         return False

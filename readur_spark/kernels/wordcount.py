@@ -24,10 +24,17 @@ large-text sampling slices at byte offsets snapped back to char boundaries
 
 from __future__ import annotations
 
+import re
+
+from readur_spark.kernels.util import count_alnum
+
 LARGE_TEXT_THRESHOLD = 1_000_000  # 1 MB
 MEDIUM_TEXT_THRESHOLD = 50_000  # 50 KB
 SAMPLE_SIZE = 100_000  # 100 KB
 MAX_WORD_COUNT = 10_000_000  # 10 M cap
+
+#: [^\W_] == Unicode alnum (verified char-by-char over the BMP in tests)
+_HAS_ALNUM = re.compile(r"[^\W_]")
 
 
 def count_words_in_text(text: str) -> int:
@@ -48,7 +55,7 @@ def count_words_in_text(text: str) -> int:
     if not (is_continuous or is_no_words):
         return whitespace_words
 
-    alnum = sum(1 for c in text if c.isalnum())
+    alnum = count_alnum(text)
     if alnum == 0:
         return 0
 
@@ -72,18 +79,11 @@ def count_words_optimized(text: str) -> int:
     """Single-pass counter for medium/large text
     (src/ocr/xml_extractor.rs:1267-1290). Punctuation neither starts nor ends
     a word; only whitespace flushes, only alphanumerics start a word."""
-    count = 0
-    in_word = False
-    for ch in text:
-        if ch.isspace():
-            if in_word:
-                count += 1
-                in_word = False
-        elif ch.isalnum():
-            in_word = True
-    if in_word:
-        count += 1
-    return count
+    # equivalent one-pass form: a "word" is a whitespace-separated token
+    # containing at least one alphanumeric char (property-tested against the
+    # reference state machine in tests/test_fastpaths.py)
+    has_alnum = _HAS_ALNUM.search
+    return sum(1 for token in text.split() if has_alnum(token))
 
 
 def _floor_char_boundary(raw: bytes, index: int) -> int:
