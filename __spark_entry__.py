@@ -112,6 +112,23 @@ def _q_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
     return incremental_changes(current, previous)
 
 
+def _q_sql_search(spark: SparkSession, sf: str) -> DataFrame:
+    """The same engine through the SQL API (Catalyst produces the identical
+    plan): per-language doc counts among documents mentioning 'table'."""
+    from readur_spark.sources.views import register_views
+
+    register_views(spark, sf, tables=("documents",))
+    return spark.sql(
+        """
+        SELECT lang, count(*) AS n_docs,
+               CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+        FROM documents
+        WHERE lower(text) RLIKE '\\\\btable\\\\b'
+        GROUP BY lang
+        """
+    )
+
+
 def _q_query_vec(spark: SparkSession, sf: str) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -172,6 +189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["snippets_full"] = lambda s, sf: search.snippets_full(_docs(s, sf), "spark merge")
     q["list_documents"] = lambda s, sf: search.list_documents(_docs(s, sf), lang="en", min_chars=200)
     q["doc_stats"] = lambda s, sf: search.doc_stats(_docs(s, sf))
+    q["sql_search"] = _q_sql_search
 
     # ---- dedup (D1–D4 + near-dup family) ----
     q["dedup_exact"] = lambda s, sf: dedup.exact_duplicates(_docs(s, sf))
@@ -418,6 +436,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"
     )
+    o["sql_search"] = """
+        SELECT lang, count(*) AS n_docs,
+               CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
+        FROM documents
+        WHERE regexp_matches(lower(text), '\\btable\\b')
+        GROUP BY lang
+    """
     o["doc_stats"] = """
         SELECT source, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
                min(n_chars) AS min_chars, max(n_chars) AS max_chars
