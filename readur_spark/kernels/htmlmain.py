@@ -134,13 +134,10 @@ class _MainContentParser(HTMLParser):
         self._flush()
 
 
-def extract_main_content(html: str) -> list[dict]:
-    """Extract ordered main-content spans from an HTML document.
-
-    Returns a list of ``{"kind": "text"|"media", "text": str,
-    "media_ref": str}`` dicts in document order. Never raises on malformed
-    markup (``html.parser`` is a tolerant tokenizer).
-    """
+def extract_main_content_reference(html: str) -> list[dict]:
+    """html.parser-based implementation — kept as the cross-validation
+    reference for the fast tokenizer below (tests assert equality on the
+    corpus generator's output)."""
     parser = _MainContentParser()
     try:
         parser.feed(html)
@@ -150,6 +147,142 @@ def extract_main_content(html: str) -> list[dict]:
         parser._flush()
     out: list[dict] = []
     for kind, payload in parser.items:
+        if kind == "text":
+            out.append({"kind": "text", "text": payload, "media_ref": ""})
+        else:
+            out.append({"kind": "media", "text": "", "media_ref": payload})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Fast path: regex tokenizer with the same segmentation semantics
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(
+    r"(?s)"
+    r"<!--.*?(?:-->|$)"  # comments
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA
+    r"|<![^>]*>"  # doctype / declarations
+    r"|<\?[^>]*>"  # processing instructions
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"  # 1: close-slash, 2: tag name
+    r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"  # 3: attr blob (lazy: leave the /)
+    r"(/?)>"  # 4: self-closing slash
+)
+_SRC_RE = re.compile(r"""\bsrc\s*=\s*("([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+#: elements whose raw content runs to the matching close tag — html.parser's
+#: CDATA_CONTENT_ELEMENTS, matched exactly for cross-validation
+_RAWTEXT = frozenset({"script", "style"})
+_RAWTEXT_END = {
+    t: re.compile(rf"</{t}\b[^>]*>", re.IGNORECASE) for t in _RAWTEXT
+}
+_AMP = "&"
+
+
+def extract_main_content(html: str) -> list[dict]:
+    """Extract ordered main-content spans from an HTML document.
+
+    Returns a list of ``{"kind": "text"|"media", "text": str,
+    "media_ref": str}`` dicts in document order. Never raises on malformed
+    markup. Fast regex tokenizer; segmentation/scoring semantics are
+    identical to :func:`extract_main_content_reference` (cross-validated in
+    tests/test_htmlmain.py).
+    """
+    from html import unescape
+
+    items: list[tuple[str, str]] = []
+    exclude_depth = 0
+    link_depth = 0
+    parts: list[str] = []
+    link_chars = 0
+
+    def flush() -> None:
+        nonlocal parts, link_chars
+        raw = "".join(parts)
+        text = _WS.sub(" ", raw).strip()
+        if text:
+            density = link_chars / len(raw) if raw else 0.0
+            if len(text) >= MIN_BLOCK_CHARS and density <= MAX_LINK_DENSITY:
+                items.append(("text", text))
+        parts = []
+        link_chars = 0
+
+    pos = 0
+    n = len(html)
+    while pos < n:
+        lt = html.find("<", pos)
+        if lt == -1:
+            lt = n
+        if lt > pos:  # text run
+            if not exclude_depth:
+                data = html[pos:lt]
+                if _AMP in data:
+                    data = unescape(data)
+                parts.append(data)
+                if link_depth:
+                    link_chars += len(data)
+            pos = lt
+            continue
+        m = _TAG_RE.match(html, pos)
+        if m is None:
+            # stray '<' — html.parser treats it as text
+            if not exclude_depth:
+                parts.append("<")
+                if link_depth:
+                    link_chars += 1
+            pos += 1
+            continue
+        pos = m.end()
+        tag = m.group(2)
+        if tag is None:  # comment/doctype/CDATA/PI
+            continue
+        tag = tag.lower()
+        closing = m.group(1) == "/"
+        self_closing = m.group(4) == "/"
+
+        if not closing and tag in _RAWTEXT:
+            # skip raw content to the matching close tag (html.parser's
+            # CDATA_CONTENT_ELEMENTS behavior); script/style are excluded
+            # by policy, so the content is always dropped
+            end = _RAWTEXT_END[tag].search(html, pos)
+            pos = end.end() if end else n
+            continue
+
+        if tag in EXCLUDED_TAGS:
+            if closing:
+                exclude_depth = max(0, exclude_depth - 1)
+            elif not self_closing:
+                exclude_depth += 1
+            continue
+        if exclude_depth:
+            continue
+        if not closing:
+            if tag == "img":
+                flush()
+                sm = _SRC_RE.search(m.group(3) or "")
+                if sm:
+                    src = sm.group(2) or sm.group(3) or sm.group(4)
+                    if src:
+                        items.append(("media", src))
+                continue
+            if tag in _LINEBREAK_TAGS:
+                parts.append("\n")
+                continue
+            if tag == "a":
+                link_depth += 1
+                if self_closing:
+                    link_depth = max(0, link_depth - 1)
+            if tag in BLOCK_TAGS:
+                flush()
+        else:
+            if tag == "a":
+                link_depth = max(0, link_depth - 1)
+                continue
+            if tag in BLOCK_TAGS:
+                flush()
+    flush()
+
+    out: list[dict] = []
+    for kind, payload in items:
         if kind == "text":
             out.append({"kind": "text", "text": payload, "media_ref": ""})
         else:
