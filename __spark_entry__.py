@@ -58,7 +58,9 @@ _DUCK_NORM = (
     r"'\n{3,}', '\n\n', 'g'), "
     r"' +\n', '\n', 'g'), "
     r"'\n +', '\n', 'g'), "
-    r"'[ \t]+', ' ', 'g'))"
+    r"'[ \t]+', ' ', 'g')"
+    ", ' ' || chr(10) || chr(9) || chr(13))"  # DuckDB trim() strips only
+    # spaces by default; pass the whitespace set to match Rust .trim()
 )
 
 
@@ -110,6 +112,87 @@ def _q_incremental_sync(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return incremental_changes(current, previous)
+
+
+def _q_extract_binary_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-extraction round trip through REAL container formats: each
+    document's text is packed into a PDF / DOCX / XLSX (by doc_id % 3) with
+    the in-repo writers, pushed through the MIME-dispatch extraction
+    operator, and flattened for the relational oracle. Exercises magic-byte
+    detection, the PDF text-layer ladder, and both Office extractors inside
+    the distributed correctness gate."""
+    import pandas as pd
+
+    from readur_spark.kernels.minipdf import build_pdf
+    from readur_spark.operators.binary_extract import extract_files
+
+    docs = _docs(spark, sf).select("doc_id", "text")
+
+    def build(batches):
+        import io
+        import zipfile
+
+        w_ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+        s_ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        r_ns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+        from xml.sax.saxutils import escape
+
+        def docx(text: str) -> bytes:
+            body = f"<w:p><w:r><w:t>{escape(text)}</w:t></w:r></w:p>"
+            doc = (
+                f'<w:document xmlns:w="{w_ns}"><w:body>{body}</w:body></w:document>'
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                z.writestr("word/document.xml", doc)
+            return buf.getvalue()
+
+        def xlsx(text: str) -> bytes:
+            sst = f'<sst xmlns="{s_ns}"><si><t>{escape(text)}</t></si></sst>'
+            sheet = (
+                f'<worksheet xmlns="{s_ns}"><sheetData>'
+                '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+                "</sheetData></worksheet>"
+            )
+            wb = (
+                f'<workbook xmlns="{s_ns}" xmlns:r="{r_ns}">'
+                '<sheets><sheet name="S1" sheetId="1" r:id="rId1"/></sheets></workbook>'
+            )
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+                z.writestr("xl/workbook.xml", wb)
+                z.writestr("xl/sharedStrings.xml", sst)
+                z.writestr("xl/worksheets/sheet1.xml", sheet)
+            return buf.getvalue()
+
+        for pdf_batch in batches:
+            rows = []
+            for doc_id, text in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                kind = int(doc_id) % 3
+                if kind == 0:
+                    content = build_pdf([[(72.0, 720.0, text)]])
+                    fname = f"{doc_id}.pdf"
+                elif kind == 1:
+                    content = docx(text)
+                    fname = f"{doc_id}.docx"
+                else:
+                    content = xlsx(text)
+                    fname = f"{doc_id}.xlsx"
+                rows.append(
+                    {"doc_id": str(doc_id), "filename": fname, "content": content}
+                )
+            yield pd.DataFrame(rows)
+
+    files = docs.mapInPandas(build, "doc_id string, filename string, content binary")
+    out = extract_files(files)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "mime_type",
+        "status",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.element_at(F.col("spans"), 1)["text"].alias("span_text"),
+    )
 
 
 def _q_sql_search(spark: SparkSession, sf: str) -> DataFrame:
@@ -190,6 +273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["list_documents"] = lambda s, sf: search.list_documents(_docs(s, sf), lang="en", min_chars=200)
     q["doc_stats"] = lambda s, sf: search.doc_stats(_docs(s, sf))
     q["sql_search"] = _q_sql_search
+    q["extract_binary_roundtrip"] = _q_extract_binary_roundtrip
 
     # ---- dedup (D1–D4 + near-dup family) ----
     q["dedup_exact"] = lambda s, sf: dedup.exact_duplicates(_docs(s, sf))
@@ -436,6 +520,34 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE lang = 'en' AND n_chars >= 200 ORDER BY doc_id"
     )
+    # O6 cleaning chain only (DOCX applies clean_extracted_text without the
+    # null/hyphen pre-steps of the span pipeline)
+    clean6 = (
+        "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "regexp_replace(regexp_replace("
+        r"text || chr(10) || chr(10), "  # end-of-paragraph \n\n from w:p
+        r"'([a-z])([A-Z])', '\1 \2', 'g'), "
+        "' {3,}', '  ', 'g'), "
+        r"'\n{3,}', '\n\n', 'g'), "
+        r"' +\n', '\n', 'g'), "
+        r"'\n +', '\n', 'g'), "
+        r"'[ \t]+', ' ', 'g')"
+        ", ' ' || chr(10) || chr(9) || chr(13))"
+    )
+    docx_mime = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+    xlsx_mime = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+    o["extract_binary_roundtrip"] = f"""
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'application/pdf'
+                               WHEN 1 THEN '{docx_mime}'
+                               ELSE '{xlsx_mime}' END AS mime_type,
+               'completed' AS status,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS word_count,
+               CASE doc_id % 3 WHEN 0 THEN trim(text)
+                               WHEN 1 THEN {clean6}
+                               ELSE text END AS span_text
+        FROM documents
+    """
     o["sql_search"] = """
         SELECT lang, count(*) AS n_docs,
                CAST(round(avg(n_chars), 4) AS DOUBLE) AS avg_chars
