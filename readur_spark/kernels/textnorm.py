@@ -28,6 +28,12 @@ _NEWLINE_BEFORE_SPACE = re.compile(r"\n +")
 _MIXED_WHITESPACE = re.compile(r"[ \t]+")
 _HYPHEN_LINEBREAK = re.compile(r"(\w)-\n(\w)")
 
+#: pre-scan: any feature that makes the clean chain a non-identity
+#: (besides trim): camelCase boundary, tab, double space, 3+ newlines,
+#: space adjacent to a newline. One C-level scan skips six sub() passes on
+#: already-clean prose (property-tested identical in tests/test_fastpaths.py).
+_NEEDS_CLEAN = re.compile(r"[a-z][A-Z]|\t|  |\n\n\n| \n|\n ")
+
 #: readur truncates >10 MB text content with this literal suffix
 #: (src/ocr/enhanced.rs:1663).
 TEXT_TRUNCATION_SUFFIX = "... [TEXT TRUNCATED DUE TO SIZE]"
@@ -62,6 +68,8 @@ def clean_extracted_text(text: str) -> str:
     survives step 4 and becomes ``" \\n"`` after step 6 — matching the
     reference exactly).
     """
+    if _NEEDS_CLEAN.search(text) is None:
+        return text.strip()
     cleaned = _WORD_BOUNDARIES.sub(r"\1 \2", text)
     cleaned = _MULTIPLE_SPACES.sub("  ", cleaned)
     cleaned = _MULTIPLE_NEWLINES.sub("\n\n", cleaned)

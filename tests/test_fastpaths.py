@@ -54,6 +54,27 @@ def test_alnum_regex_class_equivalence_over_bmp():
         assert c.isalnum() == bool(alnum_re.fullmatch(c)), hex(cp)
 
 
+def _clean_chain_reference(text: str) -> str:
+    # the literal 6-pass chain with no pre-scan shortcut
+    import re as _re
+
+    c = _re.sub(r"([a-z])([A-Z])", r"\1 \2", text)
+    c = _re.sub(r" {3,}", "  ", c)
+    c = _re.sub(r"\n{3,}", "\n\n", c)
+    c = _re.sub(r" +\n", "\n", c)
+    c = _re.sub(r"\n +", "\n", c)
+    c = _re.sub(r"[ \t]+", " ", c)
+    return c.strip()
+
+
+@given(text_st)
+@settings(max_examples=300, deadline=None)
+def test_clean_shortcut_matches_chain(s):
+    from readur_spark.kernels.textnorm import clean_extracted_text
+
+    assert clean_extracted_text(s) == _clean_chain_reference(s)
+
+
 def test_fuzz_against_corpus_like_text():
     rng = random.Random(7)
     alphabet = "abc XYZ 012 .!?\n\t_²½測試naïve\0-"
