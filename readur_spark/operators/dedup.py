@@ -85,30 +85,11 @@ def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
     ).where(F.col("shingle") != "")
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame,
-    threshold: float,
-    n: int = 1,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_shingle_df: int | None = None,
-) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard ≥ threshold via the shingle
-    inverted-index join (LRU ch.3 "index-based all-pairs"):
-
-    explode distinct shingles → self-join on shingle (only docs sharing a
-    shingle ever meet — never a cross-join) → |A∩B| = count per pair →
-    |A∪B| = |A|+|B|−|A∩B|.
-
-    ``max_shingle_df``: optional skew guard for web-scale runs — drop
-    shingles occurring in more than this many docs (they generate the
-    quadratic pair blowup and carry almost no similarity signal). Leave
-    ``None`` for oracle-exact semantics.
-    """
-    sh = _shingles(docs, id_col, text_col, n).cache()
-    if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+def _jaccard_from_shingles(sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise Jaccard over a (id, shingle) table: inverted-index
+    self-join on shingle → |A∩B| per pair → |A∪B| = |A|+|B|−|A∩B|.
+    Shared by the exact all-pairs operator and the MinHash-LSH verifier so
+    the corpus is shingled exactly once per call chain."""
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -118,7 +99,7 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))
     )
-    out = (
+    return (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
         .withColumn(
@@ -128,7 +109,40 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_shingle_df: int | None = 1000,
+) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard ≥ threshold via the shingle
+    inverted-index join (LRU ch.3 "index-based all-pairs"):
+
+    explode distinct shingles → self-join on shingle (only docs sharing a
+    shingle ever meet — never a cross-join) → |A∩B| = count per pair →
+    |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_shingle_df``: skew guard — shingles occurring in more than this
+    many docs are dropped from the index (a shingle in d docs emits d²/2
+    join rows; the high-df stopword-shingle tail is quadratic death at
+    corpus scale and carries almost no similarity signal). The capped form
+    is the DEFAULT scale path; pass ``None`` only for exact small-corpus
+    semantics (the cap never binds below ``max_shingle_df`` duplicates per
+    shingle, so on test corpora both forms agree — tested). For exactness
+    AT scale, prefix filtering (Bayardo et al., AllPairs) is the known
+    upgrade; MinHash-LSH below is the standard approximate route.
+    """
+    # persisted: consumed by the df-cap filter, the size agg, and both join
+    # sides — one shingling pass instead of four
+    sh = _shingles(docs, id_col, text_col, n).persist()
+    if max_shingle_df is not None:
+        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
+        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+    return _jaccard_from_shingles(sh, threshold)
 
 
 # --------------------------------------------------------------------------
@@ -142,11 +156,15 @@ def minhash_signatures(
     n: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash signatures: h_i(doc) = min over shingles of
     xxhash64(shingle, seed=i). Pure Catalyst — the per-seed min-aggregation
-    is a single groupBy over the exploded shingle table."""
-    sh = _shingles(docs, id_col, text_col, n)
+    is a single groupBy over the exploded shingle table.
+
+    ``shingles``: a prebuilt (id, shingle) table (e.g. persisted by the
+    caller so the LSH verifier reuses it instead of re-shingling)."""
+    sh = shingles if shingles is not None else _shingles(docs, id_col, text_col, n)
     aggs = [
         F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -173,7 +191,10 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    # one shingling pass for the whole operator: signatures, candidate
+    # verification, and size aggregation all read this persisted table
+    shingle_table = _shingles(docs, id_col, text_col, n).persist()
+    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=shingle_table)
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -205,31 +226,9 @@ def minhash_lsh_pairs(
         .union(candidates.select(F.col("id_b").alias("id")))
         .distinct()
     )
-    sh = _shingles(docs, id_col, text_col, n).join(
-        F.broadcast(cand_ids), "id", "left_semi"
-    )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    exact = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
-        )
-    )
-    return (
-        candidates.join(exact, ["id_a", "id_b"])
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
+    sh = shingle_table.join(F.broadcast(cand_ids), "id", "left_semi")
+    exact = _jaccard_from_shingles(sh, threshold)
+    return candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
 
 
 # --------------------------------------------------------------------------
@@ -340,22 +339,36 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_max_rows: int = 200_000,
+    num_planes: int = 8,
+    num_tables: int = 16,
+    seed: int = 42,
 ) -> DataFrame:
-    """Exact embedding near-dup pairs (cosine ≥ threshold).
+    """Embedding near-dup pairs (cosine ≥ threshold) with a size-dispatched
+    physical strategy:
 
-    Block-matrix formulation: one side of the self-join is broadcast as a
-    single float64 matrix; each Arrow batch of the distributed side computes
-    its full similarity block with one BLAS ``matmul`` (vectorized, no
-    per-pair Python or per-pair Catalyst fold) and keeps ``id_a < id_b``
-    pairs above threshold. This is the standard brute-force-exact baseline:
-    O(n²d) flops but at memory-bandwidth speed, and embarrassingly parallel
-    across row blocks.
-
-    Scale path: the broadcast side must fit in executor memory (~0.5 GB per
-    million 64-dim vectors). Beyond that, pre-bucket both sides with
-    :func:`readur_spark.operators.similarity.hyperplane_lsh_buckets` and run
-    this per bucket — same output contract.
+    * **small corpus** (≤ ``broadcast_max_rows``, cheap parquet-stats
+      count): exact brute force — one side broadcast as a float64 matrix,
+      each Arrow batch of the distributed side computes its similarity
+      block with one BLAS ``matmul``. O(n²d) flops at memory-bandwidth
+      speed, embarrassingly parallel across row blocks. ~0.5 GB per million
+      64-dim vectors on the broadcast side is the hard ceiling — hence the
+      dispatch.
+    * **at scale**: banded random-hyperplane LSH
+      (:func:`_embedding_dup_pairs_bucketed`) — ``num_tables`` independent
+      sign-pattern bucketings (OR-construction), per-bucket exact
+      block-matmul via ``applyInPandas``, union + distinct. Nothing is ever
+      collected to the driver; the shuffle key is (table, bucket), and
+      per-bucket work is chunked so memory stays bounded even on skewed
+      buckets. Recall for a pair at cosine s is
+      1−(1−p^planes)^tables with p = 1−acos(s)/π — at the near-dup regime
+      (s ≥ 0.9, defaults 8 planes × 16 tables) that is ≥ 99.5%; candidates
+      are scored exactly so precision is always 1.
     """
+    if embeddings.count() > broadcast_max_rows:
+        return _embedding_dup_pairs_bucketed(
+            embeddings, threshold, id_col, vec_col, num_planes, num_tables, seed
+        )
     import numpy as np
 
     spark = embeddings.sparkSession
@@ -389,4 +402,82 @@ def embedding_dup_pairs(
     id_type = embeddings.schema[id_col].dataType.simpleString()
     return embeddings.select(id_col, vec_col).mapInPandas(
         run, schema=f"id_a {id_type}, id_b {id_type}, cosine double"
+    )
+
+
+def _embedding_dup_pairs_bucketed(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    seed: int,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Web-scale embedding near-dup: banded SRP-LSH + per-bucket exact
+    block-matmul. See :func:`embedding_dup_pairs` for the contract.
+
+    Plan: one projection computes all ``num_tables`` sign-pattern buckets
+    (pure Catalyst dot products against literal hyperplanes), ``explode``
+    to (table_no, bucket) rows, one shuffle on that uniform composite key,
+    ``applyInPandas`` scores each bucket exactly (chunked matmul bounds
+    memory on skewed buckets), ``distinct`` merges pairs found in several
+    tables. The same pair always produces the same rounded cosine, so
+    distinct is a clean union."""
+    import random
+
+    import numpy as np
+
+    from readur_spark.operators.similarity import _as_lit_array, _dot
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], schema=f"id_a {embeddings.schema[id_col].dataType.simpleString()}, "
+            f"id_b {embeddings.schema[id_col].dataType.simpleString()}, cosine double"
+        )
+    dim = len(first[0])
+    rng = random.Random(seed)
+    emb = F.col(vec_col).cast("array<double>")
+    table_buckets = []
+    for t in range(num_tables):
+        bucket = F.lit(0).cast("long")
+        for i in range(num_planes):
+            plane = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+            bit = F.when(_dot(emb, _as_lit_array(plane)) >= 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket + (bit.cast("long") * F.lit(1 << i))
+        table_buckets.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    bucketed = embeddings.select(
+        F.col(id_col), emb.alias(vec_col), F.explode(F.array(*table_buckets)).alias("tb")
+    ).select(id_col, vec_col, F.col("tb.t").alias("table_no"), F.col("tb.b").alias("bucket"))
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = ids.argsort(kind="stable")
+        ids = ids[order]
+        mat = np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]])
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            sims = np.round((mat[lo:hi] @ mat.T) / np.outer(norms[lo:hi], norms), 6)
+            mask = (sims >= threshold) & (ids[lo:hi, None] < ids[None, :])
+            ai, bj = np.nonzero(mask)
+            out_a.append(ids[lo:hi][ai])
+            out_b.append(ids[bj])
+            out_c.append(sims[ai, bj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=ids.dtype),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=ids.dtype),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    id_type = embeddings.schema[id_col].dataType.simpleString()
+    return (
+        bucketed.groupBy("table_no", "bucket")
+        .applyInPandas(score_bucket, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
+        .distinct()
     )

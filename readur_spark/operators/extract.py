@@ -234,8 +234,9 @@ def extract_spans_split(
         from readur_spark.kernels.extractor import extract_document
 
         for pdf in batches:
-            rows = {"doc_id": [], "pos": [], "piece": [], "had_text": []}
+            rows = {"doc_id": [], "pos": [], "piece": [], "had_text": [], "piece_us": []}
             for doc_id, pos, spans in zip(pdf["doc_id"], pdf["pos"], pdf["spans"]):
+                t0 = time.perf_counter()
                 res = extract_document(list(spans), repair_hyphens=repair_hyphens)
                 rows["doc_id"].append(doc_id)
                 rows["pos"].append(pos)
@@ -243,6 +244,7 @@ def extract_spans_split(
                 rows["had_text"].append(
                     any((s.get("kind") or "") in ("text", "html") for s in spans)
                 )
+                rows["piece_us"].append(int((time.perf_counter() - t0) * 1_000_000))
             yield pd.DataFrame(rows)
 
     piece_schema = T.StructType(
@@ -251,6 +253,7 @@ def extract_spans_split(
             T.StructField("pos", T.IntegerType(), False),
             T.StructField("piece", EXTRACTED_SCHEMA["spans"].dataType, True),
             T.StructField("had_text", T.BooleanType(), False),
+            T.StructField("piece_us", T.LongType(), False),
         ]
     )
     pieces = exploded.mapInPandas(run_span, piece_schema)
@@ -263,11 +266,13 @@ def extract_spans_split(
                 F.collect_list(F.struct(F.col("pos"), F.col("piece")))
             ).alias("ordered"),
             F.max("had_text").alias("had_text"),
+            F.sum("piece_us").alias("piece_us"),
         )
         .select(
             "doc_id",
             F.flatten(F.col("ordered.piece")).alias("raw_spans"),
             "had_text",
+            "piece_us",
         )
     )
 
@@ -286,9 +291,10 @@ def extract_spans_split(
                 "preprocessing_applied": [],
                 "processing_time_ms": [],
             }
-            for doc_id, raw, had_text in zip(
-                pdf["doc_id"], pdf["raw_spans"], pdf["had_text"]
+            for doc_id, raw, had_text, piece_us in zip(
+                pdf["doc_id"], pdf["raw_spans"], pdf["had_text"], pdf["piece_us"]
             ):
+                t0 = time.perf_counter()
                 spans = [
                     {
                         "kind": s["kind"],
@@ -325,7 +331,13 @@ def extract_spans_split(
                 out["status"].append(status)
                 out["failure_reason"].append(reason)
                 out["preprocessing_applied"].append(["Span-split extraction"])
-                out["processing_time_ms"].append(0)
+                # real lineage: summed per-piece kernel time + this doc's
+                # reassembly/finalize time (comparable to the unsplit path's
+                # per-doc wall time within tolerance — tested)
+                finalize_us = (time.perf_counter() - t0) * 1_000_000
+                out["processing_time_ms"].append(
+                    int((int(piece_us) + finalize_us) / 1000)
+                )
             yield pd.DataFrame(out)
 
     big_out = assembled.mapInPandas(finalize, EXTRACTED_SCHEMA)

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def _term_predicate(text: Column, term: str) -> Column:
@@ -102,13 +101,20 @@ def search_ranked(docs: DataFrame, term: str, limit: int = 25) -> DataFrame:
 
 def paginate(docs: DataFrame, limit: int, offset: int) -> DataFrame:
     """F8: LIMIT/OFFSET over a deterministic order (created_at in the
-    reference; doc_id here). Implemented with a row_number window (no
-    global collect) — the distributed form of OFFSET."""
-    w = Window.orderBy(F.asc("doc_id"))
+    reference; doc_id here).
+
+    Plan shape: ``orderBy + offset + limit`` compiles to a single
+    ``TakeOrderedAndProject(limit=offset+limit, offset=offset)`` — Spark's
+    distributed top-k. Each task keeps only its local top ``offset+limit``
+    rows and the driver merges those tiny heaps; nothing ever sorts the
+    full table through one task (the previous row_number() window form
+    forced an Exchange SinglePartition — a global single-task sort that
+    dies at web scale; asserted against in tests/test_plan_quality.py)."""
     return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter((F.col("rn") > offset) & (F.col("rn") <= offset + limit))
-        .select("doc_id", "lang", "source", "n_chars")
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .orderBy(F.asc("doc_id"))
+        .offset(offset)
+        .limit(limit)
     )
 
 

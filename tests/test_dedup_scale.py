@@ -1,0 +1,97 @@
+"""Scale-path equivalence for the dedup family: the web-scale physical
+strategies must produce the same answers as the exact small-corpus forms
+on corpora where both run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_embedding_bucketed_equals_broadcast(spark, emb):
+    """The LSH-banded block-matmul path (never collects to the driver) must
+    reproduce the exact broadcast path. planes=2 × tables=16 gives per-pair
+    miss probability (1-p²)^16 ≈ 3e-4 even at cosine 0.4 (p≈0.63), and the
+    seeds are fixed, so this equality is deterministic."""
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.4, broadcast_max_rows=0, num_planes=2, num_tables=16
+        ).collect()
+    }
+    assert exact, "testdata should contain planted near-dup embedding pairs"
+    assert bucketed == exact
+
+
+def test_embedding_bucketed_never_collects(spark, emb):
+    """The scale path's plan must contain no driver-side collect artifacts:
+    it is bucketed shuffle + FlatMapGroupsInPandas."""
+    df = dedup.embedding_dup_pairs(emb, threshold=0.4, broadcast_max_rows=0)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_ngram_df_cap_noop_on_small_corpus(spark, docs):
+    """The capped default (scale path) equals the uncapped exact form
+    whenever no shingle exceeds the cap — i.e. always on test corpora."""
+    capped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    uncapped = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, max_shingle_df=None
+        ).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_df_cap_drops_stopword_shingles(spark):
+    """When a shingle exceeds the cap it is excluded from the index: docs
+    related ONLY through that shingle produce no pair."""
+    rows = [(str(i), "common filler words here plus unique%d token" % i) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.01, n=3, max_shingle_df=4
+    ).collect()
+    # every 3-gram built purely from the shared prefix occurs in all 8 docs
+    # (> cap) and is dropped; the unique-suffix 3-grams occur once each, so
+    # no two docs share an indexed shingle
+    assert pairs == []
+
+
+def test_minhash_reuses_single_shingle_scan(spark, docs):
+    """Recall is preserved after the shingle-reuse refactor: LSH output at
+    threshold 0.5 equals the exact Jaccard pairs (planted pairs separate
+    cleanly at 0.5, and 8 bands × 4 rows gives ~1.0 recall there)."""
+    exact = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, max_shingle_df=None
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_pairs(
+            docs, threshold=0.5, num_hashes=32, bands=8, n=3
+        ).collect()
+    }
+    assert lsh == exact

@@ -96,3 +96,41 @@ def test_semi_and_anti_join_shapes(spark):
     semi = plan_of(customers_with_high_value_orders(customer, orders, 450_000.0))
     assert "LeftAnti" in anti, anti
     assert "LeftSemi" in semi, semi
+
+
+def test_paginate_is_distributed_topk(spark, docs):
+    """F8 pagination must compile to TakeOrderedAndProject (per-task top
+    offset+limit heaps merged on the driver), never a single-task global
+    sort (Exchange SinglePartition) — the latter materializes the whole
+    table through one task and dies at web scale."""
+    from readur_spark.operators.search import paginate
+
+    plan = plan_of(paginate(docs, limit=20, offset=10))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_corpus_wide_queries_have_no_single_partition_exchange(spark, docs):
+    """Queries returning O(corpus) rows must never funnel through one
+    partition. (Global scalar aggregates like count_matching legitimately
+    end in a 1-row final agg and are excluded.)"""
+    from readur_spark.operators import dedup
+    from readur_spark.operators.search import (
+        filter_by_values,
+        fts_simple,
+        list_documents,
+        paginate,
+        snippets,
+    )
+
+    frames = {
+        "fts_simple": fts_simple(docs, "spark window"),
+        "filter": filter_by_values(docs, "lang", ["es", "fr"]),
+        "snippets": snippets(docs, "spark"),
+        "list_documents": list_documents(docs, lang="en", min_chars=200),
+        "paginate": paginate(docs, limit=20, offset=10),
+        "dedup_keep_first": dedup.dedup_keep_first(docs),
+    }
+    for name, df in frames.items():
+        plan = plan_of(df)
+        assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan}"
