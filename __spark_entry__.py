@@ -584,8 +584,44 @@ def oracle_sql() -> dict[str, str]:
         WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                            CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """
-    # dedup_minhash_lsh / dedup_simhash / ann_topk_lsh: engine-hash-dependent
-    # (xxhash64 / blake2b / seeded SRP) — rows-only checks by design.
+    # dedup_minhash_lsh: the banding join bounds recall only, and the exact
+    # shingle-Jaccard verification removes all false positives — at the
+    # planted-pair separation of the test corpora recall is 1.0, so the
+    # correct output EQUALS the exact all-pairs oracle.
+    o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
+    # dedup_simhash / ann_topk_lsh / ann_topk_ivf / snippets_full depend on
+    # seeded hashes (blake2b bit folds, SRP hyperplanes, k-means init) or an
+    # imperative scan, so no relational SQL over the base tables exists.
+    # Oracle strategy: a driver-side pure-Python/numpy replica (tools/
+    # expected.py — duckdb scan + stdlib math, no Spark) recomputes the
+    # expected rows and registers them as a typed VALUES literal table.
+    import os as _os
+
+    _osf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    if _os.path.isdir(_osf):
+        from tools import expected as _exp
+
+        o["dedup_simhash"] = _exp.values_sql(
+            ["id_a", "id_b", "hamming"],
+            ["BIGINT", "BIGINT", "INTEGER"],
+            _exp.simhash_pairs_expected(_osf, max_hamming=3),
+        )
+        o["ann_topk_lsh"] = _exp.values_sql(
+            ["vec_id", "cosine"],
+            ["BIGINT", "DOUBLE"],
+            _exp.ann_topk_lsh_expected(_osf, k=10, num_planes=4),
+        )
+        o["ann_topk_ivf"] = _exp.values_sql(
+            ["vec_id", "cosine"],
+            ["BIGINT", "DOUBLE"],
+            _exp.ivf_topk_expected(_osf, k=10, n_centroids=16, n_probe=4),
+        )
+        o["snippets_full"] = _exp.values_sql(
+            ["doc_id", "text", "start_offset", "end_offset", "highlight_start", "highlight_end"],
+            ["BIGINT", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
+            _exp.snippets_full_expected(_osf, "spark merge"),
+        )
 
     o["ann_topk_cosine"] = """
         SELECT vec_id,

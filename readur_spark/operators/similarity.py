@@ -91,7 +91,10 @@ def ivf_assign(
 
     sample = (
         embeddings.select(vec_col)
-        .orderBy(F.xxhash64(id_col))  # deterministic, seed-free sample order
+        # deterministic AND engine-portable sample order (md5 of the id
+        # string is reproducible in any engine, unlike Spark's xxhash64 —
+        # lets the DuckDB/pure-Python oracle replay the exact same k-means)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
         .limit(sample_size)
         .toPandas()
     )

@@ -1,0 +1,251 @@
+"""Independent pure-Python/numpy replicas of the engine-hash-dependent
+operators, used to build literal-table (VALUES) DuckDB oracles for the
+queries whose semantics depend on seeded hashes (simhash bit folds, SRP
+hyperplanes, IVF k-means) or on an imperative scan (snippet generation)
+and therefore cannot be expressed as relational SQL over the base tables.
+
+Everything here recomputes the expected answer from the parquet inputs
+WITHOUT Spark: duckdb scan + stdlib/numpy math. The driver's correctness
+gate then compares the distributed execution against these driver-side
+replays — exactly the "precompute expected ids with the pure-Python
+kernel and register as literal-table oracles" pattern.
+
+Floating-point discipline: Spark's ``aggregate`` folds arrays strictly
+left-to-right in float64 and ``F.round`` is HALF_UP on the shortest
+decimal repr (java BigDecimal.valueOf). The replicas use sequential
+Python-float folds and a Decimal HALF_UP quantize so the rounded values
+agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import random
+import re
+from decimal import ROUND_HALF_UP, Decimal
+
+
+def round6(x: float) -> float:
+    """Spark F.round(col, 6): HALF_UP on the double's shortest repr."""
+    return float(Decimal(repr(float(x))).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _sdot(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    return s
+
+
+def _snorm(a) -> float:
+    s = 0.0
+    for x in a:
+        s = s + x * x
+    return math.sqrt(s)
+
+
+def _load_embeddings(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return [int(r[0]) for r in rows], [[float(x) for x in r[1]] for r in rows]
+
+
+def _load_documents(sf_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    return [(int(r[0]), r[1]) for r in rows]
+
+
+# --------------------------------------------------------------------------
+# SimHash (replica of operators/dedup.py::_simhash64 + chunk-join pairs)
+# --------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def _simhash64_py(text: str, cache: dict) -> int:
+    import numpy as np
+
+    shifts = np.arange(64, dtype=np.uint64)
+    toks = _TOKEN_RE.findall((text or "").lower())
+    if not toks:
+        return 0
+    vecs = []
+    for t in toks:
+        v = cache.get(t)
+        if v is None:
+            h = np.uint64(
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            )
+            v = ((h >> shifts) & np.uint64(1)).astype(np.int32) * 2 - 1
+            cache[t] = v
+        vecs.append(v)
+    counts = np.sum(vecs, axis=0)
+    v = int(np.packbits((counts > 0)[::-1]).view(">u8")[0])
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def simhash_pairs_expected(sf_dir: str, max_hamming: int = 3):
+    """All (id_a, id_b, hamming) with Hamming(simhash) ≤ max_hamming, by
+    brute-force over all pairs (the 4×16-bit pigeonhole join in the Spark
+    operator is complete for max_hamming ≤ 3, so outputs coincide)."""
+    docs = _load_documents(sf_dir)
+    cache: dict = {}
+    fps = [(doc_id, _simhash64_py(text, cache)) for doc_id, text in docs]
+    out = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            a, b = fps[i], fps[j]
+            ham = bin((a[1] ^ b[1]) & ((1 << 64) - 1)).count("1")
+            if ham <= max_hamming:
+                lo, hi = (a, b) if a[0] < b[0] else (b, a)
+                out.append((lo[0], hi[0], ham))
+    return out
+
+
+# --------------------------------------------------------------------------
+# SRP-LSH ANN (replica of operators/similarity.py::ann_topk_lsh)
+# --------------------------------------------------------------------------
+
+
+def _planes(num_planes: int, dim: int, seed: int):
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def _cosine_topk_py(ids, vecs, query_vec, k: int):
+    qn = _snorm(query_vec)
+    scored = [
+        (round6(_sdot(v, query_vec) / (_snorm(v) * qn)), i) for i, v in zip(ids, vecs)
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return [(i, c) for c, i in scored[:k]]
+
+
+def ann_topk_lsh_expected(
+    sf_dir: str, k: int = 10, num_planes: int = 8, dim: int = 64, seed: int = 42
+):
+    ids, vecs = _load_embeddings(sf_dir)
+    query_vec = vecs[ids.index(0)]
+    planes = _planes(num_planes, dim, seed)
+
+    def bucket(v):
+        b = 0
+        for i, p in enumerate(planes):
+            if _sdot(v, p) >= 0:
+                b |= 1 << i
+        return b
+
+    qb = bucket(query_vec)
+    members = [(i, v) for i, v in zip(ids, vecs) if bucket(v) == qb]
+    return _cosine_topk_py([i for i, _ in members], [v for _, v in members], query_vec, k)
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat ANN (replica of operators/similarity.py::ivf_topk)
+# --------------------------------------------------------------------------
+
+
+def ivf_topk_expected(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+    n_iter: int = 5,
+):
+    import numpy as np
+
+    ids, vecs = _load_embeddings(sf_dir)
+    query_vec = vecs[ids.index(0)]
+    # sample order: md5(str(id)) asc, id asc — portable mirror of the
+    # Spark-side orderBy(md5(cast(id as string)), id).limit(sample_size)
+    order = sorted(
+        range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i])
+    )[:sample_size]
+    mat = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    cent = [list(map(float, c)) for c in centroids]
+
+    def cluster(v):
+        # first index of the minimum, like array_position(dists, array_min)
+        dists = [_sdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)]) for c in cent]
+        return dists.index(min(dists))
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    probe_order = sorted(((((np.asarray(c) - q) ** 2).sum(), i) for i, c in enumerate(cent)))
+    probe = {i for _, i in probe_order[:n_probe]}
+    members = [(i, v) for i, v in zip(ids, vecs) if cluster(v) in probe]
+    return _cosine_topk_py([i for i, _ in members], [v for _, v in members], query_vec, k)
+
+
+# --------------------------------------------------------------------------
+# Snippets (driver-side replay of kernels/snippets.py over the parquet text)
+# --------------------------------------------------------------------------
+
+
+def snippets_full_expected(sf_dir: str, query: str, snippet_length: int = 200):
+    from readur_spark.kernels.snippets import generate_snippets
+
+    out = []
+    for doc_id, text in _load_documents(sf_dir):
+        for s in generate_snippets(text or "", query, snippet_length):
+            out.append(
+                (
+                    doc_id,
+                    s["text"],
+                    s["start_offset"],
+                    s["end_offset"],
+                    s["highlight_start"],
+                    s["highlight_end"],
+                )
+            )
+    return out
+
+
+# --------------------------------------------------------------------------
+# VALUES-literal SQL rendering
+# --------------------------------------------------------------------------
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def values_sql(cols: list[str], types: list[str], rows: list[tuple]) -> str:
+    """Render rows as a typed literal table: stable column names/types so
+    the driver's column-name + value-hash comparison is well-defined."""
+    sel = ", ".join(f"CAST({c} AS {t}) AS {c}" for c, t in zip(cols, types))
+    if not rows:
+        one = ", ".join("NULL" for _ in cols)
+        return f"SELECT {sel} FROM (VALUES ({one})) AS t({', '.join(cols)}) WHERE FALSE"
+    vals = ", ".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
+    return f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
