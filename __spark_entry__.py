@@ -212,6 +212,64 @@ def _q_sql_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _synthesize_pngs(spark: SparkSession, sf: str, w: int, h: int) -> DataFrame:
+    """Deterministic per-doc synthetic PNGs (corpus.quality_png_bytes) —
+    the container ships no real scanned images, so the image pipeline's
+    correctness gate runs on closed-form synthetic rasters."""
+    import pandas as pd
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def build(batches):
+        from readur_spark.corpus import quality_png_bytes
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": [quality_png_bytes(int(d), w, h) for d in pdf["doc_id"]],
+                }
+            )
+
+    return docs.mapInPandas(build, "doc_id long, content binary")
+
+
+def _q_image_quality_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """I9 distributed over synthetic PNGs: real stdlib PNG decode + the
+    reference's quality analysis; brightness/contrast have closed forms in
+    doc_id (see corpus.quality_png_bytes), so DuckDB oracles them with
+    pure arithmetic."""
+    from readur_spark.operators.multimodal import image_quality
+
+    pngs = _synthesize_pngs(spark, sf, 34, 26)
+    out = image_quality(pngs.select(F.col("doc_id").cast("string").alias("doc_id"), "content"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "width",
+        "height",
+        F.col("brightness").alias("brightness"),
+        F.round(F.col("contrast_ratio"), 6).alias("contrast_ratio"),
+    )
+
+
+def _q_image_ocr_fake(spark: SparkSession, sf: str) -> DataFrame:
+    """I1–I4 distributed: decode → preprocess (real pixel math) → fake OCR
+    engine → confidence + W3 gates. Oracle: the same kernel replayed
+    driver-side (tools/expected.image_ocr_expected) — verifies the
+    distributed execution reproduces the sequential reference ladder."""
+    from readur_spark.operators.multimodal import ocr_images
+
+    pngs = _synthesize_pngs(spark, sf, 340, 312)
+    out = ocr_images(pngs.select(F.col("doc_id").cast("string").alias("doc_id"), "content"))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "status",
+        "failure_reason",
+        F.col("word_count").cast("long").alias("word_count"),
+        "confidence",
+    )
+
+
 def _q_query_vec(spark: SparkSession, sf: str) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -274,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_stats"] = lambda s, sf: search.doc_stats(_docs(s, sf))
     q["sql_search"] = _q_sql_search
     q["extract_binary_roundtrip"] = _q_extract_binary_roundtrip
+
+    # ---- image pipeline (I1–I17, real pixel layer + fake engine) ----
+    q["image_quality_stats"] = _q_image_quality_stats
+    q["image_ocr_fake"] = _q_image_ocr_fake
 
     # ---- dedup (D1–D4 + near-dup family) ----
     q["dedup_exact"] = lambda s, sf: dedup.exact_duplicates(_docs(s, sf))
@@ -617,11 +679,28 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "DOUBLE"],
             _exp.ivf_topk_expected(_osf, k=10, n_centroids=16, n_probe=4),
         )
+        o["image_ocr_fake"] = _exp.values_sql(
+            ["doc_id", "status", "failure_reason", "word_count", "confidence"],
+            ["BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "DOUBLE"],
+            _exp.image_ocr_expected(_osf),
+        )
         o["snippets_full"] = _exp.values_sql(
             ["doc_id", "text", "start_offset", "end_offset", "highlight_start", "highlight_end"],
             ["BIGINT", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
             _exp.snippets_full_expected(_osf, "spark merge"),
         )
+
+    # image_quality_stats: the synthetic raster's stats are closed-form in
+    # doc_id (corpus.quality_png_bytes docstring): brightness = doc_id%200
+    # + 14, contrast = sqrt(38)/255 — a real relational oracle over the
+    # distributed decode+analyze path.
+    o["image_quality_stats"] = """
+        SELECT doc_id,
+               34 AS width, 26 AS height,
+               CAST(doc_id % 200 + 14 AS DOUBLE) AS brightness,
+               round(sqrt(38.0) / 255.0, 6) AS contrast_ratio
+        FROM documents
+    """
 
     o["ann_topk_cosine"] = """
         SELECT vec_id,

@@ -195,3 +195,24 @@ def docs_dataframe(
     if num_partitions:
         df = df.repartition(num_partitions)
     return df
+
+
+def quality_png_bytes(doc_id: int, w: int = 34, h: int = 26) -> bytes:
+    """Deterministic synthetic grayscale PNG for the image-pipeline
+    correctness gates: pixel(x, y) = (doc_id % 200) + (x % 17) + (y % 13).
+
+    With w a multiple of 17 and h a multiple of 13 the stats are closed
+    form (no mod wraparound, max pixel ≤ 199+16+12 = 227 < 256):
+    brightness = doc_id % 200 + 14 exactly (mean of x%17 = 8, y%13 = 6),
+    variance = (17²−1)/12 + (13²−1)/12 = 24 + 14 = 38 exactly, so
+    contrast_ratio = sqrt(38)/255 — lets a DuckDB oracle compute the
+    expected quality stats with pure arithmetic on doc_id."""
+    import numpy as np
+
+    from readur_spark.kernels.pixels import png_encode
+
+    base = int(doc_id) % 200
+    xs = np.arange(w, dtype=np.uint16) % 17
+    ys = np.arange(h, dtype=np.uint16) % 13
+    img = (base + xs[None, :] + ys[:, None]).astype(np.uint8)
+    return png_encode(img)

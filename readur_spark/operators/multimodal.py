@@ -20,6 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from readur_spark.kernels.media_meta import (
@@ -121,11 +122,12 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
-    """STUB — deterministic fake decoder. No imaging library exists in this
-    container, so the "pixels" are a reproducible byte pattern derived from
-    the content hash, sized like a real grayscale decode (w*h bytes, capped
-    at 64 KB for the fake). Replace with Pillow's ``Image.open`` on a real
-    deployment; every caller contract (shape, dtype, batching) stays."""
+    """STUB for formats without an in-repo codec (JPEG/TIFF — no imaging
+    library in this container): the "pixels" are a reproducible byte
+    pattern derived from the content hash, sized like a real grayscale
+    decode (w*h bytes, capped at 64 KB for the fake). Replace with Pillow
+    on a real deployment; every caller contract stays. PNG inputs never
+    hit this — they take the REAL stdlib decoder in kernels/pixels.py."""
     n = min(max(width * height, 1), 65536)
     seed = hashlib.blake2b(data, digest_size=32).digest()
     reps = (n // len(seed)) + 1
@@ -135,17 +137,38 @@ def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
 def decode_images(
     media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
-    """Decode stage with the stubbed decoder (flagged ``decode_stub=true``
-    on every row so downstream consumers can't mistake fake pixels for
-    real ones)."""
+    """Decode stage. PNG → REAL decode (stdlib zlib + numpy,
+    kernels/pixels.png_decode) to grayscale pixels with
+    ``decode_stub=false``; JPEG/TIFF → flagged stub (no codec in this
+    container); undecodable → null pixels."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from readur_spark.kernels.pixels import png_decode, to_luma
+
         for pdf in batches:
             rows = []
             for i in range(len(pdf)):
                 doc_id = str(pdf[id_col].iloc[i])
                 raw = pdf[content_col].iloc[i]
                 data = bytes(raw) if raw is not None else b""
+                if data.startswith(b"\x89PNG"):
+                    try:
+                        gray = to_luma(png_decode(data))
+                        rows.append(
+                            {
+                                "doc_id": doc_id,
+                                "width": int(gray.shape[1]),
+                                "height": int(gray.shape[0]),
+                                "channels": 1,
+                                "pixels": np.ascontiguousarray(gray).tobytes(),
+                                "decode_stub": False,
+                            }
+                        )
+                        continue
+                    except Exception:
+                        pass  # corrupt PNG → fall through to metadata path
                 meta = parse_image_meta(data)
                 if meta is None or not meta["width"]:
                     rows.append(
@@ -172,6 +195,133 @@ def decode_images(
             yield pd.DataFrame(rows)
 
     return media_df.select(id_col, content_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+IMAGE_QUALITY_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("brightness", T.DoubleType(), True),
+        T.StructField("contrast_ratio", T.DoubleType(), True),
+        T.StructField("noise_level", T.DoubleType(), True),
+        T.StructField("sharpness", T.DoubleType(), True),
+        T.StructField("needs_enhancement", T.BooleanType(), True),
+    ]
+)
+
+
+def image_quality(
+    media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """I9 distributed: real PNG decode + the reference's quality analysis
+    (enhanced.rs:478-639) per image; the I10 enhancement decision under
+    stat-gated (neutral) settings rides along. Arrow-batched mapInPandas —
+    per-image numpy work, no per-pixel Python."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from readur_spark.kernels.pixels import (
+            analyze_quality,
+            needs_enhancement,
+            neutral_settings,
+            png_decode,
+            to_luma,
+        )
+
+        settings = neutral_settings()
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                doc_id = str(pdf[id_col].iloc[i])
+                raw = pdf[content_col].iloc[i]
+                data = bytes(raw) if raw is not None else b""
+                try:
+                    gray = to_luma(png_decode(data))
+                except Exception:
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "width": None,
+                            "height": None,
+                            "brightness": None,
+                            "contrast_ratio": None,
+                            "noise_level": None,
+                            "sharpness": None,
+                            "needs_enhancement": None,
+                        }
+                    )
+                    continue
+                stats = analyze_quality(gray)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(gray.shape[1]),
+                        "height": int(gray.shape[0]),
+                        "brightness": stats.average_brightness,
+                        "contrast_ratio": stats.contrast_ratio,
+                        "noise_level": stats.noise_level,
+                        "sharpness": stats.sharpness,
+                        "needs_enhancement": needs_enhancement(stats, settings),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.select(id_col, content_col).mapInPandas(run, IMAGE_QUALITY_SCHEMA)
+
+
+OCR_RESULT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("confidence", T.DoubleType(), True),
+        T.StructField("word_count", T.IntegerType(), True),
+        T.StructField("preprocessing_applied", T.ArrayType(T.StringType()), True),
+        T.StructField("status", T.StringType(), False),
+        T.StructField("failure_reason", T.StringType(), True),
+        T.StructField("processing_time_ms", T.LongType(), True),
+    ]
+)
+
+
+def ocr_images(
+    media_df: DataFrame,
+    engine=None,
+    settings=None,
+    limits=None,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """I1–I4 distributed: the full image-OCR ladder (decode → preprocess →
+    engine with language combo / PSM / confidence gate / timeout → I3
+    reduced-quality retry → W3 quality gate) per document, Arrow-batched.
+    ``engine`` is the pluggable OCR engine (default: the deterministic
+    FakeOcrEngine — swap a tesseract adapter in production)."""
+    from readur_spark.kernels.ocr_engine import FakeOcrEngine, ocr_image_bytes
+
+    eng = engine if engine is not None else FakeOcrEngine()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                doc_id = str(pdf[id_col].iloc[i])
+                raw = pdf[content_col].iloc[i]
+                data = bytes(raw) if raw is not None else b""
+                res = ocr_image_bytes(data, eng, settings=settings, limits=limits)
+                res["doc_id"] = doc_id
+                res["confidence"] = float(res["confidence"])
+                rows.append(res)
+            yield pd.DataFrame(rows, columns=[f.name for f in OCR_RESULT_SCHEMA.fields])
+
+    return media_df.select(id_col, content_col).mapInPandas(run, OCR_RESULT_SCHEMA)
+
+
+def ocr_dead_letters(ocr_df: DataFrame) -> DataFrame:
+    """S8 for the image path: failed OCR rows with their classified reason
+    (the queue's dead-letter shape)."""
+    return ocr_df.filter(F.col("status") == "failed").select(
+        "doc_id", "failure_reason", "confidence", "processing_time_ms"
+    )
 
 
 FRAME_SAMPLE_SCHEMA = T.StructType(

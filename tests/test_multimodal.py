@@ -136,3 +136,96 @@ def test_frame_sampling(spark):
         by_doc.setdefault(f["doc_id"], []).append(f["frame_no"])
     for nos in by_doc.values():
         assert nos == sorted(nos) and len(nos) <= 4
+
+
+# --------------------------------------------------------------------------
+# Real PNG decode + distributed quality / OCR (round 2)
+# --------------------------------------------------------------------------
+
+
+def _real_png(seed: int, mean: int = 170, shape=(60, 48)) -> bytes:
+    import numpy as np
+
+    from readur_spark.kernels.pixels import png_encode
+
+    rng = np.random.RandomState(seed)
+    lo, hi = max(0, mean - 20), min(255, mean + 20)
+    return png_encode(rng.randint(lo, hi + 1, size=shape).astype(np.uint8))
+
+
+def test_decode_images_png_real_path(spark):
+    import numpy as np
+
+    from readur_spark.kernels.pixels import png_decode
+    from readur_spark.operators.multimodal import decode_images
+
+    rows = [
+        {"doc_id": "p1", "content": _real_png(1)},
+        {"doc_id": "p2", "content": _real_png(2, mean=40)},
+        {"doc_id": "j1", "content": make_jpeg(32, 16)},  # no codec -> stub
+        {"doc_id": "x1", "content": b"not an image"},
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = {r["doc_id"]: r for r in decode_images(df).collect()}
+    assert out["p1"]["decode_stub"] is False
+    assert out["p1"]["width"] == 48 and out["p1"]["height"] == 60
+    # distributed pixels == local decode
+    local = png_decode(_real_png(1))
+    assert bytes(out["p1"]["pixels"]) == local.tobytes()
+    assert out["j1"]["decode_stub"] is True and out["j1"]["width"] == 32
+    assert out["x1"]["pixels"] is None
+
+
+def test_image_quality_distributed_matches_kernel(spark):
+    from readur_spark.kernels.pixels import analyze_quality, png_decode
+    from readur_spark.operators.multimodal import image_quality
+
+    rows = [{"doc_id": str(i), "content": _real_png(i, mean=60 + i * 30)} for i in range(4)]
+    rows.append({"doc_id": "bad", "content": b"zz"})
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    got = {r["doc_id"]: r for r in image_quality(df).collect()}
+    for i in range(4):
+        stats = analyze_quality(png_decode(rows[i]["content"]))
+        r = got[str(i)]
+        assert r["brightness"] == pytest.approx(stats.average_brightness)
+        assert r["contrast_ratio"] == pytest.approx(stats.contrast_ratio)
+        assert r["noise_level"] == pytest.approx(stats.noise_level)
+        assert r["sharpness"] == pytest.approx(stats.sharpness)
+    assert got["bad"]["brightness"] is None
+
+
+def test_ocr_images_end_to_end_with_dead_letters(spark):
+    """The full distributed image path: decode -> preprocess -> fake OCR ->
+    W3 gate -> completed/dead-letter split (mirrors the reference's
+    ocr pipeline tests, src/tests/ocr_tests.rs)."""
+    from readur_spark.operators.multimodal import ocr_dead_letters, ocr_images
+
+    rows = [
+        {"doc_id": "bright", "content": _real_png(10, mean=180, shape=(350, 320))},
+        {"doc_id": "dim", "content": _real_png(11, mean=25, shape=(350, 320))},
+        {"doc_id": "garbage", "content": b"\x00\x01\x02"},
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    out = {r["doc_id"]: r for r in ocr_images(df).collect()}
+    assert out["bright"]["status"] == "completed"
+    assert out["bright"]["word_count"] > 0
+    assert out["bright"]["confidence"] > 60.0
+    assert out["dim"]["status"] == "failed"
+    assert out["garbage"]["status"] == "failed"
+    dead = {r["doc_id"] for r in ocr_dead_letters(ocr_images(df)).collect()}
+    assert dead == {"dim", "garbage"}
+
+
+def test_ocr_images_deterministic_across_runs(spark):
+    """Same input -> byte-identical OCR text on repeated distributed runs
+    (the fake engine is seeded by pixel content, not by task/partition)."""
+    from readur_spark.operators.multimodal import ocr_images
+
+    rows = [
+        {"doc_id": str(i), "content": _real_png(i, mean=170, shape=(120, 100))}
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary").repartition(4)
+    a = {r["doc_id"]: r["text"] for r in ocr_images(df).collect()}
+    b = {r["doc_id"]: r["text"] for r in ocr_images(df.repartition(2)).collect()}
+    assert a == b

@@ -1,0 +1,158 @@
+"""OCR swap interface (I1–I4): language combos, PSM/OEM mapping,
+confidence gate, timeout contract, reduced-quality retry ladder — driven
+end-to-end with the deterministic fake engine on real PNG bytes."""
+
+import numpy as np
+import pytest
+
+from readur_spark.kernels import ocr_engine as O
+from readur_spark.kernels.pixels import OcrSettings, png_encode
+
+RNG = np.random.RandomState(7)
+
+
+def _png(mean: int, shape=(350, 320)) -> bytes:
+    """Bright or dim PNG with mild texture (keeps FakeOcrEngine confidence
+    ≈ mean/255*100)."""
+    lo, hi = max(0, mean - 20), min(255, mean + 20)
+    return png_encode(RNG.randint(lo, hi + 1, size=shape).astype(np.uint8))
+
+
+# --------------------------------------------------------------------------
+# I4 language combination (enhanced.rs:342-360)
+# --------------------------------------------------------------------------
+
+
+def test_language_combination_multi_primary_first():
+    s = OcrSettings(
+        preferred_languages=["spa", "eng", "deu"], primary_language="eng", ocr_language="fra"
+    )
+    assert O.build_language_combination(s) == "eng+spa+deu"
+
+
+def test_language_combination_single_preferred():
+    s = OcrSettings(preferred_languages=["spa"], primary_language="eng", ocr_language="fra")
+    assert O.build_language_combination(s) == "spa"
+
+
+def test_language_combination_fallback_to_ocr_language():
+    s = OcrSettings(preferred_languages=[], primary_language="eng", ocr_language="fra")
+    assert O.build_language_combination(s) == "fra"
+
+
+def test_psm_oem_mapping_and_fallback():
+    assert O.psm_name(3) == "auto"
+    assert O.psm_name(6) == "single_block"
+    assert O.psm_name(13) == "raw_line"
+    assert O.psm_name(99) == "auto"  # default fallback arm
+    assert O.oem_name(1) == "lstm_only"
+    assert O.oem_name(42) == "default"
+
+
+def test_confidence_clamp():
+    assert O.clamp_confidence(-5.0) == 0.0
+    assert O.clamp_confidence(123.0) == 100.0
+    assert O.clamp_confidence(55.5) == 55.5
+
+
+# --------------------------------------------------------------------------
+# Fake engine determinism
+# --------------------------------------------------------------------------
+
+
+def test_fake_engine_deterministic():
+    img = RNG.randint(0, 256, size=(64, 64)).astype(np.uint8)
+    e = O.FakeOcrEngine()
+    t1, c1 = e.recognize(img, "eng")
+    t2, c2 = e.recognize(img, "eng")
+    assert (t1, c1) == (t2, c2)
+    t3, _ = e.recognize(img, "deu")  # language participates in the seed
+    assert t3 != t1
+
+
+# --------------------------------------------------------------------------
+# Full ladder on PNG bytes
+# --------------------------------------------------------------------------
+
+
+def test_ocr_bright_image_completes():
+    res = O.ocr_image_bytes(_png(180), O.FakeOcrEngine(), settings=OcrSettings())
+    assert res["status"] == "completed"
+    assert res["confidence"] > 60.0
+    assert res["word_count"] > 0
+    assert res["text"]
+    assert res["processing_time_ms"] >= 0
+
+
+def test_ocr_dim_image_retries_then_fails_classified():
+    # mean ~30 -> confidence ~12 < 60 -> recoverable -> retry (still dim)
+    # -> fail; the low-confidence message classifies via W4
+    res = O.ocr_image_bytes(_png(30), O.FakeOcrEngine(), settings=OcrSettings())
+    assert res["status"] == "failed"
+    assert res["failure_reason"] == "other"  # "confidence too low" has no
+    # W4 keyword -> other (queue.rs:1282-1304 falls through)
+
+
+def test_ocr_retry_ladder_recovers_when_reduced_quality_wins():
+    """Engine whose confidence jumps for images ≤ 2000 px wide: the first
+    (preprocessed, upscaled) pass fails the gate, the reduced-quality retry
+    passes — exercising the I3 ladder's success arm."""
+
+    class SizeBiasedEngine(O.FakeOcrEngine):
+        def recognize(self, img, lang, psm="auto", oem="default"):
+            text, _ = super().recognize(img, lang, psm, oem)
+            conf = 90.0 if max(img.shape) <= 2000 else 10.0
+            return text, conf
+
+    # 4096-wide dim-ish image: preprocess upscales/keeps > 2000 wide ->
+    # first pass conf 10 -> retry downsamples to 2000 -> conf 90
+    img = RNG.randint(100, 140, size=(900, 4096)).astype(np.uint8)
+    res = O.ocr_image_bytes(
+        png_encode(img), SizeBiasedEngine(), settings=OcrSettings(ocr_detect_orientation=False)
+    )
+    assert res["status"] == "completed"
+    assert "Reduced-quality retry" in res["preprocessing_applied"]
+
+
+def test_ocr_timeout_classified():
+    limits = O.ImageOcrLimits(ocr_timeout_seconds=0.01)
+    res = O.ocr_image_bytes(
+        _png(180), O.FakeOcrEngine(delay_s=0.05), settings=OcrSettings(), limits=limits
+    )
+    assert res["status"] == "failed"
+    assert res["failure_reason"] == "ocr_timeout"
+
+
+def test_ocr_image_too_large_rejected():
+    limits = O.ImageOcrLimits(max_image_width=100, max_image_height=100)
+    res = O.ocr_image_bytes(_png(180, shape=(200, 200)), O.FakeOcrEngine(), limits=limits)
+    assert res["status"] == "failed"
+    assert res["failure_reason"] == "file_too_large"
+
+
+def test_ocr_garbage_bytes_invalid_format():
+    res = O.ocr_image_bytes(b"\xff\xd8\xff definitely not decodable", O.FakeOcrEngine())
+    assert res["status"] == "failed"
+    assert res["failure_reason"] == "other"  # "Invalid image format" has no
+    # W4 keyword -> other, like the reference's error string would classify
+
+
+def test_ocr_empty_text_engine_fails_w3_gate():
+    class EmptyEngine:
+        def recognize(self, img, lang, psm="auto", oem="default"):
+            return "", 95.0
+
+    res = O.ocr_image_bytes(_png(180), EmptyEngine(), settings=OcrSettings())
+    assert res["status"] == "failed"
+    # W3: empty text -> "OCR result contains no characters" -> other
+    assert res["failure_reason"] == "other"
+    assert res["confidence"] == 95.0
+
+
+def test_ocr_punctuation_only_fails_content_ratio():
+    class JunkEngine:
+        def recognize(self, img, lang, psm="auto", oem="default"):
+            return "!!! ??? ... ---" * 10, 95.0
+
+    res = O.ocr_image_bytes(_png(180), JunkEngine(), settings=OcrSettings())
+    assert res["status"] == "failed"

@@ -224,6 +224,36 @@ def snippets_full_expected(sf_dir: str, query: str, snippet_length: int = 200):
 
 
 # --------------------------------------------------------------------------
+# Image OCR ladder (driver-side replay of kernels/ocr_engine over the same
+# synthetic rasters the Spark query builds)
+# --------------------------------------------------------------------------
+
+
+def image_ocr_expected(sf_dir: str, w: int = 340, h: int = 312):
+    import duckdb
+
+    from readur_spark.corpus import quality_png_bytes
+    from readur_spark.kernels.ocr_engine import FakeOcrEngine, ocr_image_bytes
+
+    con = duckdb.connect()
+    ids = [
+        int(r[0])
+        for r in con.execute(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    con.close()
+    engine = FakeOcrEngine()
+    out = []
+    for doc_id in ids:
+        res = ocr_image_bytes(quality_png_bytes(doc_id, w, h), engine)
+        out.append(
+            (doc_id, res["status"], res["failure_reason"], res["word_count"], float(res["confidence"]))
+        )
+    return out
+
+
+# --------------------------------------------------------------------------
 # VALUES-literal SQL rendering
 # --------------------------------------------------------------------------
 
