@@ -324,6 +324,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["facet_source"] = lambda s, sf: search.facet_counts(_docs(s, sf), "source")
     q["facet_lang"] = lambda s, sf: search.facet_counts(_docs(s, sf), "lang")
     q["filter_lang"] = lambda s, sf: search.filter_by_values(_docs(s, sf), "lang", ["es", "fr"])
+
+    def _q_filter_labels(s, sf):
+        from readur_spark.sources.tables import document_labels_table, labels_table
+
+        return search.filter_by_labels(
+            _docs(s, sf),
+            document_labels_table(s, sf),
+            labels_table(s),
+            ["contract", "archive"],
+        )
+
+    def _q_facet_tags(s, sf):
+        from readur_spark.sources.tables import document_labels_table, labels_table
+
+        return search.tag_facets(document_labels_table(s, sf), labels_table(s))
+
+    q["filter_labels"] = _q_filter_labels
+    q["facet_tags"] = _q_facet_tags
+    q["search_ranked_ts"] = lambda s, sf: search.search_ranked_ts(
+        _docs(s, sf), "spark merge", limit=25
+    )
     q["snippets"] = lambda s, sf: search.snippets(_docs(s, sf), "spark").select(
         "doc_id", "snippet", F.col("match_offset").cast("long").alias("match_offset")
     )
@@ -572,6 +593,37 @@ def oracle_sql() -> dict[str, str]:
     o["filter_lang"] = (
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('es', 'fr')"
     )
+    # labels synthesis: doc d carries label k iff d % (k+2) == 0
+    # (sources/tables.document_labels_table); contract=k2, archive=k5
+    o["filter_labels"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE doc_id % 4 = 0 OR doc_id % 7 = 0"
+    )
+    o["facet_tags"] = """
+        WITH labels(label_id, name) AS (VALUES
+            (0,'invoice'),(1,'receipt'),(2,'contract'),
+            (3,'report'),(4,'personal'),(5,'archive'))
+        SELECT name,
+               (SELECT count(*) FROM documents WHERE doc_id % (label_id + 2) = 0)
+               AS n_docs
+        FROM labels
+    """
+    _wc = (
+        "greatest(CASE WHEN trim(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END, 1)"
+    )
+
+    def _ts_term(t: str) -> str:
+        tf = f"len(regexp_extract_all(lower(text), '{t}'))"
+        return f"(CASE WHEN {tf} > 0 THEN (1.0 + ln({tf})) / (1.0 + ln({_wc})) ELSE 0.0 END)"
+
+    o["search_ranked_ts"] = f"""
+        SELECT doc_id, round({_ts_term('spark')} + {_ts_term('merge')}, 6) AS search_rank,
+               n_chars
+        FROM documents
+        WHERE round({_ts_term('spark')} + {_ts_term('merge')}, 6) > 0
+        ORDER BY search_rank DESC, doc_id ASC LIMIT 25
+    """
     o["snippets"] = """
         SELECT doc_id,
                substr(text, greatest(strpos(lower(text), 'spark') - 50, 1), 200) AS snippet,

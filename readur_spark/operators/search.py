@@ -137,6 +137,66 @@ def filter_by_values(docs: DataFrame, col: str, values: list[str]) -> DataFrame:
     )
 
 
+def filter_by_labels(
+    docs: DataFrame, document_labels: DataFrame, labels: DataFrame, names: list[str]
+) -> DataFrame:
+    """F6: label/tag filter — the reference's
+    ``documents.id IN (SELECT dl.document_id FROM document_labels dl JOIN
+    labels l ON dl.label_id = l.id WHERE l.name = ANY($tags))``
+    (search.rs:132-139), as a broadcast-dim + left-semi plan: the tiny
+    ``labels`` dimension is broadcast into ``document_labels`` (no shuffle
+    on the big side for that join), then docs left-semi the matching doc
+    ids. At web scale both remaining sides shuffle on doc_id — the minimal
+    shape for an IN-subquery."""
+    wanted = labels.filter(F.col("name").isin(names)).select("label_id")
+    doc_ids = document_labels.join(F.broadcast(wanted), "label_id").select("doc_id")
+    return docs.join(doc_ids, "doc_id", "left_semi").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def tag_facets(document_labels: DataFrame, labels: DataFrame) -> DataFrame:
+    """F11 tag facets — ``SELECT l.name, COUNT(DISTINCT dl.document_id)
+    FROM labels l LEFT JOIN document_labels dl ON l.id = dl.label_id
+    GROUP BY l.name`` (management.rs:169-190). Labels with no documents
+    report 0 (countDistinct ignores the left-join nulls)."""
+    return (
+        labels.alias("l")
+        .join(document_labels.alias("dl"), F.col("l.label_id") == F.col("dl.label_id"), "left")
+        .groupBy(F.col("l.name").alias("name"))
+        .agg(F.countDistinct(F.col("dl.doc_id")).alias("n_docs"))
+    )
+
+
+def search_ranked_ts(docs: DataFrame, query: str, limit: int = 25) -> DataFrame:
+    """F5 with ts_rank fidelity: Postgres ``ts_rank`` (search.rs:69-94)
+    dampens raw term frequency logarithmically and (normalization bit 1)
+    divides by 1 + log(document length). The batch mirror:
+
+        rank = Σ_terms (1 + ln(tf_t)) / (1 + ln(word_count)),  tf_t > 0
+
+    rounded to 6dp for engine-portable comparison. Matches ts_rank's
+    qualitative ordering (diminishing returns per extra occurrence, long
+    documents penalized) without Postgres's positional weighting, which
+    needs lexeme positions the batch engine doesn't index."""
+    lowered = F.lower(F.col("text"))
+    wc = F.greatest(
+        F.size(F.filter(F.split(F.trim(lowered), r"\s+"), lambda t: t != "")), F.lit(1)
+    )
+    rank = F.lit(0.0)
+    for term in query.split():
+        tf = F.regexp_count(lowered, F.lit(term.lower()))
+        rank = rank + F.when(tf > 0, (F.lit(1.0) + F.log(tf)) / (F.lit(1.0) + F.log(wc))).otherwise(
+            F.lit(0.0)
+        )
+    ranked = (
+        docs.withColumn("search_rank", F.round(rank, 6))
+        .filter(F.col("search_rank") > 0)
+        .select("doc_id", "search_rank", "n_chars")
+    )
+    return ranked.orderBy(F.desc("search_rank"), F.asc("doc_id")).limit(limit)
+
+
 def snippets(docs: DataFrame, term: str, snippet_length: int = 200) -> DataFrame:
     """F10: first-match snippet window (search.rs:190-260 generates ≤5
     snippets ≤3/term with word-boundary snapping; the batch form keeps the

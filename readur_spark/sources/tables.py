@@ -75,3 +75,26 @@ def interleaved_docs(spark: SparkSession, sf_dir: str, with_html: bool = True) -
         else F.array(text_span)
     )
     return docs.select(did.alias("doc_id"), spans.alias("spans"))
+
+
+#: Deterministic label taxonomy for the labels/tags surface (the testdata
+#: ships no labels table; the reference's document_labels/labels schema is
+#: src/db/labels.rs). is_system mirrors the reference's system-label flag.
+LABEL_NAMES = ("invoice", "receipt", "contract", "report", "personal", "archive")
+
+
+def labels_table(spark: SparkSession) -> DataFrame:
+    """The ``labels`` dimension: (label_id, name, is_system)."""
+    rows = [(k, name, k < 2) for k, name in enumerate(LABEL_NAMES)]
+    return spark.createDataFrame(rows, "label_id int, name string, is_system boolean")
+
+
+def document_labels_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``document_labels`` join table, synthesized deterministically:
+    document d carries label k iff d % (k+2) == 0 — pure Catalyst (explode
+    over the 6 label ids + modular filter), reproducible in any engine."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    k = F.explode(F.array(*[F.lit(i) for i in range(len(LABEL_NAMES))])).alias("label_id")
+    return docs.select("doc_id", k).filter(
+        F.col("doc_id") % (F.col("label_id") + 2) == 0
+    )

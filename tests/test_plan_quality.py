@@ -134,3 +134,26 @@ def test_corpus_wide_queries_have_no_single_partition_exchange(spark, docs):
     for name, df in frames.items():
         plan = plan_of(df)
         assert "Exchange SinglePartition" not in plan, f"{name}:\n{plan}"
+
+
+def test_label_filter_broadcasts_dim_and_semi_joins(spark, docs):
+    """F6 must broadcast the tiny labels dim and left-semi into docs —
+    never shuffle docs against labels (search.rs:132-139 IN-subquery)."""
+    from readur_spark.operators.search import filter_by_labels
+    from readur_spark.sources.tables import document_labels_table, labels_table
+
+    plan = plan_of(
+        filter_by_labels(
+            docs, document_labels_table(spark, SF), labels_table(spark), ["contract"]
+        )
+    )
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_ts_rank_stays_jvm_side(spark, docs):
+    from readur_spark.operators.search import search_ranked_ts
+
+    plan = plan_of(search_ranked_ts(docs, "spark merge"))
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
