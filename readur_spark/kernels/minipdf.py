@@ -465,3 +465,65 @@ def ascii_salvage(data: bytes) -> str:
         words.append(cur.decode("ascii"))
     joined = " ".join(words)
     return " ".join(w for w in joined.split() if len(w) > 1)
+
+
+# --------------------------------------------------------------------------
+# P6: page rendering (the pdftoppm analog, enhanced.rs:1402-1438)
+# --------------------------------------------------------------------------
+
+_MEDIABOX_RE = re.compile(rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]")
+
+
+def pdf_media_boxes(data: bytes) -> list[tuple[float, float]]:
+    """(width, height) in PDF points per page, in page order; US-Letter
+    612x792 when a page carries no MediaBox (the PDF default inheritance
+    is from /Pages, which this minimal parser folds to the default)."""
+    objs = _objects(data)
+    out = []
+    for p in _page_order(objs):
+        m = _MEDIABOX_RE.search(objs.get(p, b""))
+        if m:
+            x0, y0, x1, y1 = (float(m.group(i)) for i in range(1, 5))
+            out.append((abs(x1 - x0), abs(y1 - y0)))
+        else:
+            out.append((612.0, 792.0))
+    return out
+
+
+def render_pdf_pages(data: bytes, dpi: int = 300):
+    """Rasterize pages to grayscale numpy arrays (the ``pdftoppm -png -r
+    300`` stage of the reference's per-page OCR path).
+
+    Geometry is REAL: page count, MediaBox dimensions, DPI scaling, PDF
+    y-up -> raster y-down mapping, and per-run ink placement all come from
+    the parsed document. Glyph shapes are NOT (no font engine in this
+    container): each text run renders as an ink bar at its exact position,
+    one nominal 12 pt line high and ~6 pt per character wide — enough for
+    the downstream quality/OCR pipeline to see a realistic ink layout.
+    Swap in pdftoppm/pdfium on a real deployment; the page-iteration and
+    assembly contracts stay."""
+    import numpy as np
+
+    objs = _objects(data)
+    pages = _page_order(objs)
+    boxes = pdf_media_boxes(data)
+    scale = dpi / 72.0
+    out = []
+    for p, (pw, ph) in zip(pages, boxes):
+        w = max(1, int(round(pw * scale)))
+        h = max(1, int(round(ph * scale)))
+        img = np.full((h, w), 255, dtype=np.uint8)
+        for x, y, text in _runs_from_content(_page_content(objs, p)):
+            if not text:
+                continue
+            px = int(round(x * scale))
+            # PDF origin bottom-left; the run's y is the baseline
+            py_bottom = int(round((ph - y) * scale))
+            py_top = py_bottom - max(1, int(round(12.0 * scale)))
+            bar_w = max(1, int(round(len(text) * 6.0 * scale)))
+            y0, y1 = max(0, py_top), min(h, max(0, py_bottom))
+            x0, x1 = max(0, px), min(w, max(0, px + bar_w))
+            if y1 > y0 and x1 > x0:
+                img[y0:y1, x0:x1] = 0
+        out.append(img)
+    return out

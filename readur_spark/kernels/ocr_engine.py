@@ -194,8 +194,7 @@ def ocr_image_bytes(
     {text, confidence, word_count, preprocessing_applied, status,
     failure_reason, processing_time_ms} — the OcrResult shape
     (enhanced.rs:190-199) + queue-side status classification."""
-    from readur_spark.kernels.quality import classify_ocr_error, validate_ocr_quality
-    from readur_spark.kernels.wordcount import count_words_safely_enhanced
+    from readur_spark.kernels.quality import classify_ocr_error
 
     settings = settings or OcrSettings()
     limits = limits or ImageOcrLimits()
@@ -219,6 +218,38 @@ def ocr_image_bytes(
         # any decode failure on untrusted bytes degrades like the
         # reference's InvalidImageFormat (image_ocr.rs:90-95)
         return fail(f"Invalid image format: {e}")
+    out = ocr_image_array(img, engine, settings=settings, limits=limits)
+    out["processing_time_ms"] = int((time.perf_counter() - t0) * 1000)
+    return out
+
+
+def ocr_image_array(
+    img: np.ndarray,
+    engine,
+    settings: OcrSettings | None = None,
+    limits: ImageOcrLimits | None = None,
+) -> dict:
+    """The ladder from decoded pixels onward (shared by the single-image
+    path and the per-page PDF path, which renders its own rasters)."""
+    from readur_spark.kernels.quality import classify_ocr_error, validate_ocr_quality
+    from readur_spark.kernels.wordcount import count_words_safely_enhanced
+
+    settings = settings or OcrSettings()
+    limits = limits or ImageOcrLimits()
+    t0 = time.perf_counter()
+
+    def fail(msg: str) -> dict:
+        reason, _quiet = classify_ocr_error(msg)
+        return {
+            "text": None,
+            "confidence": 0.0,
+            "word_count": 0,
+            "preprocessing_applied": [],
+            "status": "failed",
+            "failure_reason": reason,
+            "processing_time_ms": int((time.perf_counter() - t0) * 1000),
+        }
+
     h, w = img.shape[0], img.shape[1]
     if w > limits.max_image_width or h > limits.max_image_height:
         return fail(

@@ -112,3 +112,108 @@ def extract_pdf(data: bytes, ocr_stub: bool = True, max_pdf_size: int = MAX_PDF_
 
     result["error"] = "No extractable text found in PDF (0 words)"
     return result
+
+
+def extract_pdf_with_engine(
+    data: bytes,
+    engine,
+    settings=None,
+    render_dpi: int = 300,
+    max_pdf_size: int = MAX_PDF_SIZE,
+) -> dict:
+    """The ladder with a REAL per-page OCR path (P6+P7): pages rendered to
+    rasters (minipdf.render_pdf_pages — the pdftoppm stage), each raster
+    pushed through the full image-OCR ladder, assembled with the faithful
+    semantics of enhanced.rs:1441-1508:
+
+    * the literal ``"\\n\\n--- Page Break ---\\n\\n"`` only between
+      non-empty page texts;
+    * failed pages are skipped (warn-and-continue), ``successful_pages``
+      counts survivors;
+    * confidence = mean over successful pages; word_count = sum;
+    * zero successful pages → error (classified upstream);
+    * preprocessing = ["PDF page-to-image OCR (N pages)"].
+
+    The text-layer fast path and its quality gate run FIRST exactly like
+    :func:`extract_pdf`; OCR engages when the PDF has images or the text
+    layer is insufficient (enhanced.rs:905-1024)."""
+    from readur_spark.kernels.minipdf import render_pdf_pages
+    from readur_spark.kernels.ocr_engine import ocr_image_array
+
+    result = {
+        "text": "",
+        "confidence": 0.0,
+        "preprocessing": [],
+        "error": None,
+        "page_count": 0,
+    }
+    if len(data) > max_pdf_size:
+        result["error"] = (
+            f"PDF file too large: {len(data) / (1024.0 * 1024.0):.1f} MB "
+            f"(max: {max_pdf_size / (1024.0 * 1024.0):.1f} MB)"
+        )
+        return result
+    if not is_valid_pdf(data[:1024]):
+        result["error"] = "Invalid PDF file: Missing or corrupted PDF header"
+        return result
+
+    pages = extract_text_layer(data)
+    result["page_count"] = pdf_page_count(data)
+    has_images = pdf_has_images(data)
+
+    def ocr_all_pages() -> dict | None:
+        rasters = render_pdf_pages(data, dpi=render_dpi)
+        all_text = ""
+        total_conf = 0.0
+        total_words = 0
+        ok_pages = 0
+        for raster in rasters:
+            page_res = ocr_image_array(raster, engine, settings=settings)
+            if page_res["status"] != "completed":
+                continue  # warn-and-skip (enhanced.rs:1480-1483)
+            if all_text and page_res["text"]:
+                all_text += PAGE_BREAK
+            all_text += page_res["text"]
+            total_conf += page_res["confidence"]
+            total_words += page_res["word_count"]
+            ok_pages += 1
+        if ok_pages == 0:
+            return None
+        return {
+            "text": remove_null_bytes(all_text),
+            "confidence": total_conf / ok_pages,
+            "preprocessing": [f"PDF page-to-image OCR ({ok_pages} pages)"],
+            "words": total_words,
+        }
+
+    if has_images:
+        ocr = ocr_all_pages()
+        if ocr is not None:
+            result.update({k: ocr[k] for k in ("text", "confidence", "preprocessing")})
+            return result
+
+    text = "\f".join(pages).strip()
+    wc_ws = len(text.split())
+    if wc_ws > 5 and pdf_text_quality_sufficient(
+        text, count_words_safely_enhanced(text), len(data)
+    ):
+        result["text"] = remove_null_bytes(text)
+        result["confidence"] = 95.0
+        result["preprocessing"] = ["PDF text extraction (text-layer)"]
+        return result
+
+    if not has_images:
+        ocr = ocr_all_pages()
+        if ocr is not None:
+            result.update({k: ocr[k] for k in ("text", "confidence", "preprocessing")})
+            return result
+
+    salvage = ascii_salvage(data)
+    if salvage:
+        result["text"] = remove_null_bytes(salvage)
+        result["confidence"] = SALVAGE_CONFIDENCE
+        result["preprocessing"] = ["Raw ASCII salvage"]
+        return result
+
+    result["error"] = "No extractable text found in PDF (0 words)"
+    return result
