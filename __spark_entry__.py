@@ -302,6 +302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fingerprint"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
     )
+
+    def _q_fingerprint_sha256(s, sf):
+        from readur_spark.functions.textstats import fingerprint_bytes_col
+
+        return _docs(s, sf).select(
+            "doc_id", fingerprint_bytes_col(F.col("text")).alias("file_hash")
+        )
+
+    q["fingerprint_sha256"] = _q_fingerprint_sha256
     q["text_metadata"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", *text_metadata_cols(F.col("text"))
     )
@@ -505,6 +514,7 @@ def oracle_sql() -> dict[str, str]:
         "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
         "AS fingerprint FROM documents"
     )
+    o["fingerprint_sha256"] = "SELECT doc_id, sha256(text) AS file_hash FROM documents"
     eng = " + ".join(
         f"len(regexp_extract_all(lower(text), '{w}'))"
         for w in ["the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by"]

@@ -72,6 +72,9 @@ def main() -> None:
         "quality_score",
         "fts_simple",
         "search_ranked",
+        "search_ranked_ts",
+        "filter_labels",
+        "image_quality_stats",
         "dedup_exact",
         "dedup_ngram_jaccard",
         "dedup_minhash_lsh",

@@ -153,6 +153,15 @@ def text_metadata_cols(c: Column) -> list[Column]:
     ]
 
 
+def fingerprint_bytes_col(c: Column) -> Column:
+    """D1 exact parity: lowercase-hex SHA-256 of the RAW bytes —
+    the reference's calculate_file_hash
+    (/root/reference/src/ingestion/document_ingestion.rs:342-347). Use on
+    the binary ingest path (content column); :func:`fingerprint_col` below
+    is the normalized-text variant for post-extraction dedup."""
+    return F.sha2(c.cast("binary"), 256)
+
+
 def fingerprint_col(c: Column) -> Column:
     """Deterministic document fingerprint: md5 hex of the
     whitespace-normalized lowercased text — the exact-dedup key (D1 analog,
