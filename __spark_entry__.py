@@ -351,6 +351,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["filter_labels"] = _q_filter_labels
     q["facet_tags"] = _q_facet_tags
+
+    def _q_filter_role(s, sf):
+        # deterministic ownership: owner_id = doc_id % 50; user 7, role=user
+        owned = _docs(s, sf).withColumn("owner_id", F.col("doc_id") % 50)
+        return search.filter_by_role(owned, user_id=7, role="user").select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
+    q["filter_role"] = _q_filter_role
     q["search_ranked_ts"] = lambda s, sf: search.search_ranked_ts(
         _docs(s, sf), "spark merge", limit=25
     )
@@ -608,6 +617,9 @@ def oracle_sql() -> dict[str, str]:
     o["filter_labels"] = (
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE doc_id % 4 = 0 OR doc_id % 7 = 0"
+    )
+    o["filter_role"] = (
+        "SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 50 = 7"
     )
     o["facet_tags"] = """
         WITH labels(label_id, name) AS (VALUES

@@ -197,6 +197,18 @@ def search_ranked_ts(docs: DataFrame, query: str, limit: int = 25) -> DataFrame:
     return ranked.orderBy(F.desc("search_rank"), F.asc("doc_id")).limit(limit)
 
 
+def filter_by_role(
+    docs: DataFrame, user_id: int, role: str, owner_col: str = "owner_id"
+) -> DataFrame:
+    """F12: role-based visibility (helpers.rs:55-67) — admins see
+    everything (no predicate), users only rows whose ``owner_col`` matches.
+    The user predicate reaches the parquet scan as a pushed filter when
+    ``owner_col`` is a physical column."""
+    if role == "admin":
+        return docs
+    return docs.filter(F.col(owner_col) == user_id)
+
+
 def snippets(docs: DataFrame, term: str, snippet_length: int = 200) -> DataFrame:
     """F10: first-match snippet window (search.rs:190-260 generates ≤5
     snippets ≤3/term with word-boundary snapping; the batch form keeps the

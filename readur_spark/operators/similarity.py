@@ -78,6 +78,7 @@ def ivf_assign(
     sample_size: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_literal_centroids: int = 64,
 ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: k-means centroids trained driver-side on a
     deterministic sample (numpy Lloyd iterations, seeded init), cluster
@@ -109,22 +110,42 @@ def ivf_assign(
             if len(members):
                 centroids[c] = members.mean(axis=0)
 
-    emb = F.col(vec_col).cast("array<double>")
-    # argmin via an array of per-centroid distances + array_position of the
-    # min — flat expression tree (a chained CASE WHEN would double the tree
-    # per centroid and blow up Catalyst)
-    dist_cols = [
-        F.aggregate(
-            F.zip_with(emb, _as_lit_array(list(cvec)), lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda s, v: s + v,
-        )
-        for cvec in centroids
-    ]
-    dists = F.array(*dist_cols)
-    cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
-    out = embeddings.withColumn("cluster", cluster)
-    return out, [list(map(float, c)) for c in centroids]
+    cents = [list(map(float, c)) for c in centroids]
+    if len(cents) <= max_literal_centroids:
+        emb = F.col(vec_col).cast("array<double>")
+        # argmin via an array of per-centroid distances + array_position of
+        # the min — flat expression tree (a chained CASE WHEN would double
+        # the tree per centroid and blow up Catalyst)
+        dist_cols = [
+            F.aggregate(
+                F.zip_with(emb, _as_lit_array(cvec), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+            for cvec in cents
+        ]
+        dists = F.array(*dist_cols)
+        cluster = (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        return embeddings.withColumn("cluster", cluster), cents
+
+    # large-k scale path: embedding k×d literals in the plan blows up
+    # Catalyst (k=4096 × d=64 doubles per expression tree); broadcast the
+    # centroid matrix and argmin with one BLAS matmul per Arrow batch
+    import pandas as pd
+    from pyspark.sql.types import IntegerType
+
+    cmat = np.asarray(cents, dtype=np.float64)  # (k, d)
+    c_sq = (cmat * cmat).sum(axis=1)  # ||c||² per centroid
+    bc = embeddings.sparkSession.sparkContext.broadcast((cmat, c_sq))
+
+    def _assign_fn(vecs):
+        m, msq = bc.value
+        block = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        # argmin ||v-c||² = argmin (||c||² − 2 v·c); ||v||² constant per row
+        return pd.Series((msq[None, :] - 2.0 * (block @ m.T)).argmin(axis=1).astype(np.int32))
+
+    _assign = F.pandas_udf(_assign_fn, IntegerType())
+    return embeddings.withColumn("cluster", _assign(F.col(vec_col))), cents
 
 
 def ivf_topk(
@@ -191,3 +212,55 @@ def ann_topk_lsh(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def ivf_write_index(
+    embeddings: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Materialize the IVF index: corpus written partitioned BY CLUSTER so
+    probes prune partitions at the scan (the 10^12-scale layout the
+    in-memory ``ivf_topk`` docstring promises). Centroids persist in a
+    JSON sidecar next to the parquet. Returns the centroids."""
+    import json
+    import os
+
+    assigned, centroids = ivf_assign(
+        embeddings, n_centroids=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+    )
+    assigned.write.partitionBy("cluster").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+    return centroids
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query the materialized IVF index: pick the ``n_probe`` nearest
+    centroids from the sidecar, scan ONLY those cluster partitions
+    (``cluster`` is a partition column — the isin filter becomes partition
+    pruning, visible as PartitionFilters in the scan), score exactly.
+    Same output contract as :func:`ivf_topk`."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = json.load(f)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dists = [(((np.asarray(c) - q) ** 2).sum(), i) for i, c in enumerate(centroids)]
+    probe = [i for _, i in sorted(dists)[:n_probe]]
+    scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
+    return cosine_topk(scan.drop("cluster"), query_vec, k=k, id_col=id_col, vec_col=vec_col)

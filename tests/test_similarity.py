@@ -67,3 +67,35 @@ def test_ivf_full_probe_equals_exact(emb, query_vec):
         for r in ivf_topk(emb, query_vec, k=10, n_centroids=8, n_probe=8).collect()
     ]
     assert full == exact  # probing every cluster = brute force
+
+
+def test_ivf_large_k_pandas_path_matches_literal_path(spark, emb, query_vec):
+    """Above max_literal_centroids the assignment switches to the
+    broadcast-matmul pandas UDF; assignments must match the Catalyst
+    literal-argmin form exactly."""
+    from readur_spark.operators.similarity import ivf_assign
+
+    lit_df, lit_c = ivf_assign(emb, n_centroids=8, seed=42, max_literal_centroids=64)
+    udf_df, udf_c = ivf_assign(emb, n_centroids=8, seed=42, max_literal_centroids=2)
+    assert lit_c == udf_c
+    a = {r["vec_id"]: r["cluster"] for r in lit_df.select("vec_id", "cluster").collect()}
+    b = {r["vec_id"]: r["cluster"] for r in udf_df.select("vec_id", "cluster").collect()}
+    assert a == b
+
+
+def test_ivf_indexed_query_matches_in_memory(spark, emb, query_vec, tmp_path):
+    """The partitioned on-disk index returns the same top-k as the
+    in-memory form, and its scan carries a cluster partition filter."""
+    from readur_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        ivf_write_index,
+    )
+
+    path = str(tmp_path / "ivf_index")
+    ivf_write_index(emb, path, n_centroids=8, seed=42)
+    indexed = ivf_topk_indexed(spark, path, query_vec, k=10, n_probe=4)
+    in_mem = ivf_topk(emb, query_vec, k=10, n_centroids=8, n_probe=4)
+    assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in in_mem.collect()]
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200], plan
