@@ -140,8 +140,27 @@ def ngram_jaccard_pairs(
     # sides — one shingling pass instead of four
     sh = _shingles(docs, id_col, text_col, n).persist()
     if max_shingle_df is not None:
-        keep = sh.groupBy("shingle").count().filter(F.col("count") <= max_shingle_df)
-        sh = sh.join(F.broadcast(keep.select("shingle")), "shingle")
+        # the DROP list (shingles above the cap) is tiny by construction —
+        # the high-df tail. Collect it (one cheap agg over the cached
+        # shingle table) and push a NOT-IN literal filter: no join at all
+        # on the main path. Pathologically large tails (>10k) fall back to
+        # a broadcast anti-join. Broadcasting the keep-list would ship the
+        # entire vocabulary — never do that. A window-count over shingle
+        # would fold this into the main job but has NO map-side combine:
+        # the mega-hot shingle this cap exists for would all land in one
+        # task just to be counted. groupBy partial-aggregates, so the df
+        # pass is itself skew-safe.
+        drop = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("shingle")
+        )
+        drop_vals = [r["shingle"] for r in drop.limit(10_001).collect()]
+        if len(drop_vals) > 10_000:
+            sh = sh.join(F.broadcast(drop), "shingle", "left_anti")
+        elif drop_vals:
+            sh = sh.filter(~F.col("shingle").isin(drop_vals))
     return _jaccard_from_shingles(sh, threshold)
 
 
@@ -194,7 +213,11 @@ def minhash_lsh_pairs(
     # one shingling pass for the whole operator: signatures, candidate
     # verification, and size aggregation all read this persisted table
     shingle_table = _shingles(docs, id_col, text_col, n).persist()
-    sig = minhash_signatures(docs, num_hashes, n, id_col, text_col, shingles=shingle_table)
+    # sig persisted too: the band self-join consumes it on BOTH sides —
+    # without the cache the whole 32-way min-agg runs twice
+    sig = minhash_signatures(
+        docs, num_hashes, n, id_col, text_col, shingles=shingle_table
+    ).persist()
     band_cols = [
         F.xxhash64(
             F.lit(b), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]

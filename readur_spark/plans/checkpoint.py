@@ -114,6 +114,46 @@ class CheckpointTable:
         )
         return {r["partition_id"]: r["a"] for r in rows}
 
+    def cleanup_completed(self, days_to_keep: int, now=None) -> int:
+        """Q8: drop completed checkpoint rows older than the retention
+        horizon — the reference's
+        ``DELETE FROM ocr_queue WHERE status='completed' AND completed_at <
+        NOW() - INTERVAL '1 day' * $1`` (queue.rs:1171-1184). Returns rows
+        deleted. NOTE: removing a completed row makes that partition
+        re-eligible on resume, exactly like deleting the queue row would —
+        cleanup is for finished runs whose outputs are already committed.
+
+        The parquet stand-in rewrites the (small, one-row-per-partition-
+        attempt) table atomically: new files first, old files removed
+        after. On Iceberg this is a metadata-only DELETE."""
+        import datetime
+
+        if not self.exists():
+            return 0
+        now = now or datetime.datetime.now()
+        cutoff = now - datetime.timedelta(days=days_to_keep)
+        df = self.read()
+        keep = df.filter(
+            ~((F.col("status") == "completed") & (F.col("completed_at") < F.lit(cutoff)))
+        )
+        rows = keep.collect()  # metadata-scale table: one row per attempt
+        deleted = df.count() - len(rows)
+        if deleted:
+            old_files = [
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".parquet") or f.startswith("part-")
+            ]
+            self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode(
+                "append"
+            ).parquet(self.path)
+            for f in old_files:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
+        return int(deleted)
+
     def stats(self) -> DataFrame:
         """Q9 analog: queue stats (queue.rs:890-1061) — per-status counts +
         latency aggregates, one groupBy."""

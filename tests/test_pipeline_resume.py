@@ -80,3 +80,29 @@ def test_lineage_metrics(spark, dirs):
     stats = {r["status"]: r for r in ckpt.stats().collect()}
     assert stats["completed"]["n"] == 4
     assert stats["completed"]["docs_processed"] == 60
+
+
+def test_cleanup_completed_q8(spark, tmp_path):
+    """Q8 (queue.rs:1171-1184): completed rows older than the horizon are
+    deleted; fresh completed rows and non-completed rows survive."""
+    import datetime
+
+    from readur_spark.plans.checkpoint import CheckpointTable
+
+    ck = CheckpointTable(spark, str(tmp_path / "ck"))
+    now = datetime.datetime(2026, 8, 16, 12, 0, 0)
+    old = now - datetime.timedelta(days=10)
+    fresh = now - datetime.timedelta(hours=2)
+    ck.append(
+        [
+            {"run_id": "r1", "partition_id": 0, "status": "completed", "completed_at": old},
+            {"run_id": "r1", "partition_id": 1, "status": "completed", "completed_at": fresh},
+            {"run_id": "r1", "partition_id": 2, "status": "failed", "completed_at": old},
+        ]
+    )
+    deleted = ck.cleanup_completed(days_to_keep=7, now=now)
+    assert deleted == 1
+    remaining = {(r["partition_id"], r["status"]) for r in ck.read().collect()}
+    assert remaining == {(1, "completed"), (2, "failed")}
+    # idempotent
+    assert ck.cleanup_completed(days_to_keep=7, now=now) == 0
