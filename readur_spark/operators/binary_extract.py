@@ -91,14 +91,22 @@ def _text_spans(text: str) -> list[dict]:
 
 
 def extract_one(doc_id: str, filename: str, content: bytes, server_mime: str | None = None,
-                ocr_stub: bool = True) -> dict:
-    """Extract one file (pure kernel — unit-testable without Spark)."""
+                ocr_stub: bool = True, engine=None, ocr_settings=None) -> dict:
+    """Extract one file (pure kernel — unit-testable without Spark).
+
+    ``engine``: optional pluggable OCR engine (kernels/ocr_engine). When
+    provided, image MIMEs run the full image-OCR ladder (decode →
+    preprocess → OCR → gates) and PDFs use the engine-backed per-page path
+    (P6/P7) instead of the text-layer stand-in. When None, behavior matches
+    the reference built without the ocr feature: images degrade with a
+    clear unsupported message."""
     mime = mimek.detect_mime(content or b"", filename or "", server_mime)
     spans: list[dict] = []
     confidence = 0.0
     word_count = 0
     prep: list[str] = []
     error: str | None = None
+    reason_override: str | None = None
     stage = "ocr"
 
     if mime in _TEXT_MIMES:
@@ -129,7 +137,12 @@ def extract_one(doc_id: str, filename: str, content: bytes, server_mime: str | N
         if not spans:
             error = "No extractable text found in document (0 words)"
     elif mime == "application/pdf":
-        res = extract_pdf(content or b"", ocr_stub=ocr_stub)
+        if engine is not None:
+            from readur_spark.kernels.pdfextract import extract_pdf_with_engine
+
+            res = extract_pdf_with_engine(content or b"", engine, settings=ocr_settings)
+        else:
+            res = extract_pdf(content or b"", ocr_stub=ocr_stub)
         error = res["error"]
         if error is None:
             spans = _text_spans(res["text"])
@@ -160,7 +173,22 @@ def extract_one(doc_id: str, filename: str, content: bytes, server_mime: str | N
             "(antiword/catdoc/wvText) are not available"
         )
     elif mime.startswith("image/"):
-        error = "Image OCR is unsupported in this build (tesseract stub)"
+        if engine is not None:
+            from readur_spark.kernels.ocr_engine import ocr_image_bytes
+
+            res = ocr_image_bytes(content or b"", engine, settings=ocr_settings)
+            if res["status"] == "completed":
+                spans = _text_spans(res["text"])
+                confidence = res["confidence"]
+                word_count = res["word_count"]
+                prep = list(res["preprocessing_applied"]) + ["Image OCR"]
+            else:
+                # the ladder already classified the failure; carry its
+                # reason through instead of re-classifying a message
+                reason_override = res["failure_reason"]
+                error = f"image OCR failed ({reason_override})"
+        else:
+            error = "Image OCR is unsupported in this build (tesseract stub)"
     else:
         error = f"Unsupported file type: {mime}"
 
@@ -172,7 +200,7 @@ def extract_one(doc_id: str, filename: str, content: bytes, server_mime: str | N
             stage = "validation"
 
     if error is not None:
-        reason, _ = classify_ocr_error(error)
+        reason = reason_override or classify_ocr_error(error)[0]
         return {
             "doc_id": doc_id,
             "filename": filename,
@@ -208,6 +236,8 @@ def extract_files(
     filename_col: str = "filename",
     content_col: str = "content",
     server_mime_col: str | None = None,
+    engine=None,
+    ocr_settings=None,
 ) -> DataFrame:
     """Distributed binary extraction. ``files_df`` needs (id, filename,
     content:binary[, server_mime]); pairs naturally with
@@ -229,6 +259,8 @@ def extract_files(
                     pdf[content_col].iloc[i],
                     server.iloc[i] if server is not None else None,
                     ocr_stub=ocr_stub,
+                    engine=engine,
+                    ocr_settings=ocr_settings,
                 )
                 r["processing_time_ms"] = int((time.perf_counter() - t0) * 1000)
                 rows.append(r)

@@ -128,3 +128,59 @@ def test_distributed_extraction(spark, files_df):
     assert ok.count() == 5
     f = failed.collect()
     assert len(f) == 1 and f[0]["doc_id"] == "f5"
+
+
+class TestEngineBackedDispatch:
+    """With a pluggable engine, image MIMEs run the full OCR ladder and
+    PDFs take the engine-backed per-page path — the extract_files surface
+    a reference user actually hits for scanned input."""
+
+    def test_png_through_extract_one_completes(self):
+        import numpy as np
+
+        from readur_spark.kernels.ocr_engine import FakeOcrEngine
+        from readur_spark.kernels.pixels import png_encode
+        from readur_spark.operators.binary_extract import extract_one
+
+        rng = np.random.RandomState(3)
+        png = png_encode(rng.randint(160, 200, size=(350, 320)).astype(np.uint8))
+        r = extract_one("d1", "scan.png", png, engine=FakeOcrEngine())
+        assert r["mime_type"] == "image/png"
+        assert r["status"] == "completed"
+        assert r["word_count"] > 0
+        assert "Image OCR" in r["preprocessing_applied"]
+
+    def test_dim_png_fails_with_ladder_reason(self):
+        import numpy as np
+
+        from readur_spark.kernels.ocr_engine import FakeOcrEngine
+        from readur_spark.kernels.pixels import png_encode
+        from readur_spark.operators.binary_extract import extract_one
+
+        rng = np.random.RandomState(4)
+        png = png_encode(rng.randint(10, 40, size=(350, 320)).astype(np.uint8))
+        r = extract_one("d2", "dark.png", png, engine=FakeOcrEngine())
+        assert r["status"] == "failed"
+        assert r["failure_reason"] == "other"  # ladder-classified reason carried through
+
+    def test_no_engine_keeps_reference_degrade(self):
+        from readur_spark.operators.binary_extract import extract_one
+
+        r = extract_one("d3", "scan.png", b"\x89PNG\r\n\x1a\n junk")
+        assert r["status"] == "failed"
+        assert r["failure_reason"] == "unsupported_format"
+
+    def test_pdf_with_images_uses_engine_page_path(self, spark):
+        from readur_spark.kernels.minipdf import build_pdf
+        from readur_spark.kernels.ocr_engine import FakeOcrEngine
+        from readur_spark.operators.binary_extract import extract_files
+
+        pdf = build_pdf([[(72.0, 720.0, "scanned page")]], with_image=True)
+        files = spark.createDataFrame(
+            [{"doc_id": "p", "filename": "scan.pdf", "content": pdf}],
+            "doc_id string, filename string, content binary",
+        )
+        out = extract_files(files, engine=FakeOcrEngine()).collect()[0]
+        assert out["status"] in ("completed", "failed")
+        if out["status"] == "completed":
+            assert any("page-to-image OCR" in p for p in out["preprocessing_applied"])
