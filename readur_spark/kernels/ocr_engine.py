@@ -31,7 +31,7 @@ import numpy as np
 from readur_spark.kernels.pixels import (
     OcrSettings,
     PngError,
-    png_decode,
+    decode_image,
     preprocess_image,
     resize_lanczos3,
     to_luma,
@@ -213,7 +213,7 @@ def ocr_image_bytes(
         }
 
     try:
-        img = png_decode(data)
+        img = decode_image(data)
     except Exception as e:
         # any decode failure on untrusted bytes degrades like the
         # reference's InvalidImageFormat (image_ocr.rs:90-95)

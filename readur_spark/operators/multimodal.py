@@ -1,16 +1,17 @@
 """Multimodal column operators: opaque binary media + typed metadata.
 
-Images/audio/video travel as ``binary`` columns with metadata extracted by
-Arrow-batched UDFs. The *decode* step is STUBBED (this container ships no
-imaging/audio libraries — see ``_decode_image_stub``); everything around it
-— schemas, batch shapes, partition behavior, the EXIF/resize decision math —
-is real and tested, so swapping in Pillow/opencv/ffmpeg on a real cluster
-is a one-function change.
+Images/audio/video travel as ``binary`` columns. PNG and baseline JPEG
+decode is REAL (in-repo stdlib+numpy codecs, kernels/pixels +
+kernels/minijpeg, EXIF auto-rotate applied); only formats with no in-repo
+codec (TIFF/GIF pixels, audio, video frames) use the clearly-flagged
+deterministic stub — schemas, batch shapes and partition behavior are
+identical either way, so swapping in Pillow/ffmpeg is a one-function
+change.
 
 Reference parity: image metadata I17 (metadata_extraction.rs:52-81), EXIF
 auto-rotate I5 (document_ingestion.rs:356-408), smart resize I7
-(enhanced.rs:442-475). Frame sampling is the training-data-pipeline
-extension for video refs.
+(enhanced.rs:442-475), quality analysis I9 + OCR ladder I1-I4 distributed.
+Frame sampling is the training-data-pipeline extension for video refs.
 """
 
 from __future__ import annotations
@@ -122,12 +123,12 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
-    """STUB for formats without an in-repo codec (JPEG/TIFF — no imaging
-    library in this container): the "pixels" are a reproducible byte
-    pattern derived from the content hash, sized like a real grayscale
-    decode (w*h bytes, capped at 64 KB for the fake). Replace with Pillow
-    on a real deployment; every caller contract stays. PNG inputs never
-    hit this — they take the REAL stdlib decoder in kernels/pixels.py."""
+    """STUB for formats without an in-repo codec (TIFF/GIF pixels): a
+    reproducible byte pattern derived from the content hash, sized like a
+    real grayscale decode (w*h bytes, capped at 64 KB). Replace with
+    Pillow on a real deployment; every caller contract stays. PNG and
+    baseline JPEG never hit this — they take the REAL decoders
+    (kernels/pixels.decode_image)."""
     n = min(max(width * height, 1), 65536)
     seed = hashlib.blake2b(data, digest_size=32).digest()
     reps = (n // len(seed)) + 1
@@ -137,15 +138,15 @@ def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
 def decode_images(
     media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
-    """Decode stage. PNG → REAL decode (stdlib zlib + numpy,
-    kernels/pixels.png_decode) to grayscale pixels with
-    ``decode_stub=false``; JPEG/TIFF → flagged stub (no codec in this
-    container); undecodable → null pixels."""
+    """Decode stage. PNG and baseline JPEG → REAL decode (in-repo codecs,
+    EXIF auto-rotate applied for JPEG) to grayscale pixels with
+    ``decode_stub=false``; TIFF/GIF → flagged stub; undecodable → null
+    pixels."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from readur_spark.kernels.pixels import png_decode, to_luma
+        from readur_spark.kernels.pixels import decode_image, to_luma
 
         for pdf in batches:
             rows = []
@@ -153,9 +154,9 @@ def decode_images(
                 doc_id = str(pdf[id_col].iloc[i])
                 raw = pdf[content_col].iloc[i]
                 data = bytes(raw) if raw is not None else b""
-                if data.startswith(b"\x89PNG"):
+                if data.startswith(b"\x89PNG") or data.startswith(b"\xff\xd8"):
                     try:
-                        gray = to_luma(png_decode(data))
+                        gray = to_luma(decode_image(data))
                         rows.append(
                             {
                                 "doc_id": doc_id,
@@ -222,9 +223,9 @@ def image_quality(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from readur_spark.kernels.pixels import (
             analyze_quality,
+            decode_image,
             needs_enhancement,
             neutral_settings,
-            png_decode,
             to_luma,
         )
 
@@ -236,7 +237,7 @@ def image_quality(
                 raw = pdf[content_col].iloc[i]
                 data = bytes(raw) if raw is not None else b""
                 try:
-                    gray = to_luma(png_decode(data))
+                    gray = to_luma(decode_image(data))
                 except Exception:
                     rows.append(
                         {
