@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda s, sf: dedup.embedding_dup_pairs(
         load_table(s, sf, "embeddings"), threshold=0.4
     )
+    q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
+        _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
+    ).select("doc_id", "lang", "source", "n_chars")
 
     # ---- similarity search ----
     q["ann_topk_cosine"] = lambda s, sf: similarity.cosine_topk(
@@ -737,6 +740,20 @@ def oracle_sql() -> dict[str, str]:
     _osf = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     if _os.path.isdir(_osf):
         from tools import expected as _exp
+
+        # cluster dedup: DuckDB computes the same exact pair graph, a pure-
+        # Python union-find derives components; survivors = NOT IN losers
+        _pairs_sql = _SHINGLE3 + (
+            "SELECT ia, ib FROM inter JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id "
+            "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"
+        )
+        _drop = _exp.cluster_drop_ids(_osf, _pairs_sql)
+        _not_in = (
+            f"WHERE doc_id NOT IN ({', '.join(map(str, _drop))})" if _drop else ""
+        )
+        o["dedup_cluster"] = (
+            f"SELECT doc_id, lang, source, n_chars FROM documents {_not_in}"
+        )
 
         o["dedup_simhash"] = _exp.values_sql(
             ["id_a", "id_b", "hamming"],

@@ -504,3 +504,78 @@ def _embedding_dup_pairs_bucketed(
         .applyInPandas(score_bucket, schema=f"id_a {id_type}, id_b {id_type}, cosine double")
         .distinct()
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: pairs → connected components → keep-first
+# --------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list by iterative min-label
+    propagation (the standard distributed formulation; converges in
+    O(cluster diameter) rounds — near-dup clusters are shallow, so this is
+    2-4 rounds in practice, each one join + one map-side-combining groupBy).
+
+    Returns (id, component) where component = min id in the cluster.
+    Only ids that appear in ``pairs`` are returned (singletons are their
+    own component by definition — callers union them in for free).
+    """
+    F_ = F
+    fwd = pairs.select(F_.col(id_a).alias("src"), F_.col(id_b).alias("dst"))
+    edges = fwd.union(
+        fwd.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F_.col("src").alias("id"))
+        .distinct()
+        .withColumn("lbl", F_.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(F_.col("src").alias("nid"))
+            .agg(F_.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["nid"], "left")
+            .select(
+                "id",
+                F_.least(F_.col("lbl"), F_.coalesce(F_.col("nlbl"), F_.col("lbl"))).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F_.col("n.lbl") != F_.col("o.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F_.col("id"), F_.col("lbl").alias("component"))
+
+
+def dedup_cluster_keep_first(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cluster-level near-dup policy: group the pair graph into connected
+    components and keep only the smallest id per cluster (the cluster
+    generalization of D2 policy=Skip — pairwise keep-first under-deletes
+    when A~B and B~C but A!~C). Docs not in any pair survive untouched."""
+    comp = connected_components(pairs, "id_a", "id_b")
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

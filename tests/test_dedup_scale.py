@@ -95,3 +95,26 @@ def test_minhash_reuses_single_shingle_scan(spark, docs):
         ).collect()
     }
     assert lsh == exact
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D but A!~D: components must merge the whole chain (the
+    pairwise keep-first policy would leave B,C,D partially deduped)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "id_a long, id_b long",
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_cluster_keeps_min_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 5, 10, 11)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    kept = {r["doc_id"] for r in dedup.dedup_cluster_keep_first(docs, pairs).collect()}
+    assert kept == {1, 4, 5, 10}

@@ -224,6 +224,38 @@ def snippets_full_expected(sf_dir: str, query: str, snippet_length: int = 200):
 
 
 # --------------------------------------------------------------------------
+# Near-dup cluster dedup: DuckDB computes the pair graph (the same SQL the
+# pairwise oracle uses), pure-Python union-find derives the components
+# --------------------------------------------------------------------------
+
+
+def cluster_drop_ids(sf_dir: str, pairs_sql: str) -> list[int]:
+    """Ids that cluster dedup deletes: every member of a connected
+    component except its minimum. ``pairs_sql`` must select (id_a, id_b)
+    over the registered views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents",):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    pairs = con.execute(pairs_sql).fetchall()
+    con.close()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ((int(r[0]), int(r[1])) for r in pairs):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return sorted(x for x in parent if find(x) != x)
+
+
+# --------------------------------------------------------------------------
 # Image OCR ladder (driver-side replay of kernels/ocr_engine over the same
 # synthetic rasters the Spark query builds)
 # --------------------------------------------------------------------------
