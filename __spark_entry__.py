@@ -426,6 +426,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, sf, "region"),
     )
     q["event_type_stats"] = lambda s, sf: relational.event_type_stats(load_table(s, sf, "events"))
+
+    def _q_event_windowed_metrics(s, sf):
+        from readur_spark.streaming.metrics import windowed_metrics
+
+        return windowed_metrics(load_table(s, sf, "events"), window="1 hour").select(
+            "window_start", "window_end", "event_type", "n_events", "total_value"
+        )
+
+    q["event_windowed_metrics"] = _q_event_windowed_metrics
     q["user_event_windows"] = lambda s, sf: relational.user_event_windows(
         load_table(s, sf, "events")
     ).select(
@@ -838,6 +847,14 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
+    """
+    o["event_windowed_metrics"] = """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2, 3
     """
     o["event_type_stats"] = """
         SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
