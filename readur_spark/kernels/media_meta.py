@@ -154,3 +154,107 @@ def orientation_label(width: int, height: int) -> str:
     if height > width:
         return "portrait"
     return "square"
+
+
+# --------------------------------------------------------------------------
+# Audio / video container metadata (multimodal columns beyond images —
+# opaque binary + typed metadata; decode itself stays out of scope)
+# --------------------------------------------------------------------------
+
+
+def parse_audio_meta(data: bytes) -> dict | None:
+    """WAV (RIFF/WAVE fmt chunk) header parse: channels, sample rate, bit
+    depth, duration. MP3 recognized by ID3/frame-sync sniff (stream
+    metadata needs a frame walk — format reported, fields None).
+    Returns None when not audio."""
+    if len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        pos = 12
+        fmt = None
+        data_size = None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body = data[pos + 8 : pos + 8 + csize]
+            if cid == b"fmt " and len(body) >= 16:
+                _fmt_tag, channels, sample_rate = struct.unpack("<HHI", body[:8])
+                byte_rate = struct.unpack("<I", body[8:12])[0]
+                bits = struct.unpack("<H", body[14:16])[0]
+                fmt = (channels, sample_rate, byte_rate, bits)
+            elif cid == b"data":
+                data_size = csize
+            pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+        if fmt is None:
+            return None
+        channels, sample_rate, byte_rate, bits = fmt
+        duration = (data_size / byte_rate) if (data_size and byte_rate) else None
+        return {
+            "format": "wav",
+            "channels": channels,
+            "sample_rate": sample_rate,
+            "bits_per_sample": bits,
+            "duration_s": round(duration, 6) if duration is not None else None,
+        }
+    if len(data) >= 3 and (data[:3] == b"ID3" or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)):
+        return {
+            "format": "mp3",
+            "channels": None,
+            "sample_rate": None,
+            "bits_per_sample": None,
+            "duration_s": None,
+        }
+    return None
+
+
+def _walk_mp4_boxes(data: bytes, start: int, end: int):
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        kind = data[pos + 4 : pos + 8]
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            yield kind, pos + 16, pos + size
+        elif size == 0:  # to end of file
+            yield kind, pos + 8, end
+            return
+        else:
+            yield kind, pos + 8, pos + size
+        if size < 8:
+            return
+        pos += size
+
+
+def parse_video_meta(data: bytes) -> dict | None:
+    """MP4/MOV (ISO BMFF) box parse: duration from moov/mvhd
+    (timescale-normalized), display dimensions from the first video
+    trak/tkhd (16.16 fixed point). Returns None when not an MP4."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    out = {"format": "mp4", "duration_s": None, "width": None, "height": None}
+    for kind, s, e in _walk_mp4_boxes(data, 0, len(data)):
+        if kind != b"moov":
+            continue
+        for k2, s2, e2 in _walk_mp4_boxes(data, s, e):
+            if k2 == b"mvhd" and e2 - s2 >= 20:
+                version = data[s2]
+                if version == 1:
+                    timescale = struct.unpack(">I", data[s2 + 20 : s2 + 24])[0]
+                    duration = struct.unpack(">Q", data[s2 + 24 : s2 + 32])[0]
+                else:
+                    timescale = struct.unpack(">I", data[s2 + 12 : s2 + 16])[0]
+                    duration = struct.unpack(">I", data[s2 + 16 : s2 + 20])[0]
+                if timescale:
+                    out["duration_s"] = round(duration / timescale, 6)
+            elif k2 == b"trak" and out["width"] is None:
+                for k3, s3, e3 in _walk_mp4_boxes(data, s2, e2):
+                    if k3 == b"tkhd" and e3 - s3 >= 84:
+                        version = data[s3]
+                        off = s3 + (92 if version == 1 else 80)
+                        if off + 8 <= e3:
+                            w = struct.unpack(">I", data[off : off + 4])[0] / 65536.0
+                            h = struct.unpack(">I", data[off + 4 : off + 8])[0] / 65536.0
+                            if w and h:
+                                out["width"] = int(w)
+                                out["height"] = int(h)
+    return out

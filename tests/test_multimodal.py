@@ -229,3 +229,90 @@ def test_ocr_images_deterministic_across_runs(spark):
     a = {r["doc_id"]: r["text"] for r in ocr_images(df).collect()}
     b = {r["doc_id"]: r["text"] for r in ocr_images(df.repartition(2)).collect()}
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# Audio / video metadata (real header parsing)
+# --------------------------------------------------------------------------
+
+
+def _wav_bytes(channels=2, rate=16000, width=2, seconds=0.5) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * int(rate * seconds) * channels * width)
+    return buf.getvalue()
+
+
+def _mp4_bytes(duration_s=7.5, timescale=1000, w=640, h=360) -> bytes:
+    def box(kind, payload):
+        return struct.pack(">I", len(payload) + 8) + kind + payload
+
+    mvhd = (
+        b"\x00\x00\x00\x00"  # version/flags
+        + b"\x00" * 8  # creation/modification
+        + struct.pack(">I", timescale)
+        + struct.pack(">I", int(duration_s * timescale))
+        + b"\x00" * 80
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07"
+        + b"\x00" * 76  # through the matrix (version 0 layout)
+        + struct.pack(">I", w << 16)
+        + struct.pack(">I", h << 16)
+    )
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")
+    return ftyp + moov
+
+
+def test_parse_wav_metadata():
+    from readur_spark.kernels.media_meta import parse_audio_meta
+
+    m = parse_audio_meta(_wav_bytes(channels=2, rate=16000, width=2, seconds=0.5))
+    assert m["format"] == "wav"
+    assert m["channels"] == 2
+    assert m["sample_rate"] == 16000
+    assert m["bits_per_sample"] == 16
+    assert m["duration_s"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_parse_mp3_sniff_and_not_audio():
+    from readur_spark.kernels.media_meta import parse_audio_meta
+
+    assert parse_audio_meta(b"ID3\x04\x00" + b"\x00" * 20)["format"] == "mp3"
+    assert parse_audio_meta(b"\xff\xfb\x90\x00" + b"\x00" * 20)["format"] == "mp3"
+    assert parse_audio_meta(b"not audio at all") is None
+
+
+def test_parse_mp4_metadata():
+    from readur_spark.kernels.media_meta import parse_video_meta
+
+    m = parse_video_meta(_mp4_bytes(duration_s=7.5, w=640, h=360))
+    assert m["format"] == "mp4"
+    assert m["duration_s"] == pytest.approx(7.5)
+    assert (m["width"], m["height"]) == (640, 360)
+    assert parse_video_meta(b"RIFF....WAVE") is None
+
+
+def test_distributed_audio_video_metadata(spark):
+    from readur_spark.operators.multimodal import audio_metadata, video_metadata
+
+    rows = [
+        {"doc_id": "w", "content": _wav_bytes(channels=1, rate=8000, seconds=1.0)},
+        {"doc_id": "v", "content": _mp4_bytes(duration_s=3.0, w=320, h=240)},
+        {"doc_id": "x", "content": b"junk"},
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    a = {r["doc_id"]: r for r in audio_metadata(df).collect()}
+    assert a["w"]["format"] == "wav" and a["w"]["duration_s"] == pytest.approx(1.0)
+    assert a["x"]["format"] is None
+    v = {r["doc_id"]: r for r in video_metadata(df).collect()}
+    assert v["v"]["format"] == "mp4" and v["v"]["duration_s"] == pytest.approx(3.0)
+    assert v["v"]["width"] == 320
+    assert v["w"]["format"] is None
