@@ -168,10 +168,30 @@ def extract_one(doc_id: str, filename: str, content: bytes, server_mime: str | N
     elif mime == "application/vnd.ms-excel":
         error = "Legacy XLS format is unsupported - convert to XLSX"
     elif mime == "application/msword":
-        error = (
-            "Legacy DOC extraction unsupported here - external tools "
-            "(antiword/catdoc/wvText) are not available"
-        )
+        # O3 ladder (xml_extractor.rs:1069-1152): the reference tries
+        # antiword → catdoc → wvText; none exist in this container, so the
+        # first rung is the in-repo native extractor (non-complex files);
+        # its failure degrades with the same convert-to-DOCX guidance
+        from readur_spark.kernels.minidoc import extract_doc
+        from readur_spark.kernels.textnorm import clean_extracted_text, remove_null_bytes
+
+        doc_text, doc_err = extract_doc(content or b"")
+        if doc_err is None:
+            text = remove_null_bytes(clean_extracted_text(doc_text))
+            if text.strip():
+                spans = _text_spans(text)
+                # external-tool extraction confidence (xml_extractor.rs:1112)
+                confidence = 90.0
+                word_count = count_words_safely_office(text)
+                prep = ["DOC native extraction (minidoc)"]
+            else:
+                error = "DOC document contains no extractable text"
+        else:
+            error = (
+                f"Legacy DOC extraction failed ({doc_err}); external tools "
+                "(antiword/catdoc/wvText) are not available - convert to "
+                "DOCX or PDF"
+            )
     elif mime.startswith("image/"):
         if engine is not None:
             from readur_spark.kernels.ocr_engine import ocr_image_bytes

@@ -184,3 +184,44 @@ class TestEngineBackedDispatch:
         assert out["status"] in ("completed", "failed")
         if out["status"] == "completed":
             assert any("page-to-image OCR" in p for p in out["preprocessing_applied"])
+
+
+class TestLegacyDocNative:
+    def test_simple_doc_extracts(self):
+        from readur_spark.kernels.minidoc import build_doc
+        from readur_spark.operators.binary_extract import extract_one
+
+        doc = build_doc("Quarterly report text.\nWith two paragraphs of words.")
+        r = extract_one("d", "report.doc", doc)
+        assert r["mime_type"] == "application/msword"
+        assert r["status"] == "completed"
+        assert r["confidence"] == 90.0  # external-tool-rung confidence
+        assert "Quarterly report text." in r["spans"][0]["text"]
+        assert r["preprocessing_applied"] == ["DOC native extraction (minidoc)"]
+
+    def test_utf16_doc_extracts(self):
+        from readur_spark.kernels.minidoc import build_doc
+        from readur_spark.operators.binary_extract import extract_one
+
+        r = extract_one("d", "u.doc", build_doc("Unicode † dagger words here", extchar=True))
+        assert r["status"] == "completed"
+        assert "†" in r["spans"][0]["text"]
+
+    def test_complex_doc_degrades_with_guidance(self):
+        from readur_spark.kernels.minidoc import build_doc
+        from readur_spark.operators.binary_extract import extract_one
+
+        r = extract_one("d", "c.doc", build_doc("x", complex_flag=True))
+        assert r["status"] == "failed"
+        assert "convert" in r["error_message"].lower()
+
+    def test_non_word_ole2_degrades(self):
+        from readur_spark.kernels.minidoc import build_doc
+        from readur_spark.operators.binary_extract import extract_one
+
+        # valid OLE2 but the stream isn't a Word FIB — flip the magic
+        doc = bytearray(build_doc("hello words"))
+        # WordDocument stream starts at sector 2 → byte 512*3
+        doc[512 * 3] = 0x00
+        r = extract_one("d", "fake.doc", bytes(doc))
+        assert r["status"] == "failed"
