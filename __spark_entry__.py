@@ -391,6 +391,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_embedding"] = lambda s, sf: dedup.embedding_dup_pairs(
         load_table(s, sf, "embeddings"), threshold=0.4
     )
+    q["winnow_overlap"] = lambda s, sf: dedup.winnow_overlap_pairs(
+        _docs(s, sf), min_shared=3, k=25, window=16
+    ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -778,6 +781,11 @@ def oracle_sql() -> dict[str, str]:
             ["vec_id", "cosine"],
             ["BIGINT", "DOUBLE"],
             _exp.ivf_topk_expected(_osf, k=10, n_centroids=16, n_probe=4),
+        )
+        o["winnow_overlap"] = _exp.values_sql(
+            ["id_a", "id_b", "shared_fps"],
+            ["BIGINT", "BIGINT", "BIGINT"],
+            _exp.winnow_overlap_expected(_osf, min_shared=3, k=25, window=16),
         )
         o["image_ocr_fake"] = _exp.values_sql(
             ["doc_id", "status", "failure_reason", "word_count", "confidence"],

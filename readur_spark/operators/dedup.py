@@ -579,3 +579,126 @@ def dedup_cluster_keep_first(
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Winnowing fingerprints (rolling-hash document fingerprinting)
+# --------------------------------------------------------------------------
+
+
+_ROLL_B = 1000003  # odd base → invertible mod 2^64
+_ROLL_INV_B = pow(_ROLL_B, -1, 1 << 64)
+
+
+def _rolling_kgram_hashes(norm: str, k: int):
+    """All k-gram polynomial rolling hashes mod 2^64, fully vectorized:
+    h_i = Σ_t c[i+t]·B^(k-1-t) = (S[i+k] − S[i])·B^(i+k-1) where
+    S = prefix sums of c[j]·B^(−j) — uint64 wraparound IS the modulus, and
+    the inverse powers exist because B is odd. One cumsum + two multiplies
+    instead of a per-position digest call."""
+    import numpy as np
+
+    codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(codes)
+    inv_pows = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        inv_pows[1:] = np.uint64(_ROLL_INV_B)
+        np.multiply.accumulate(inv_pows, out=inv_pows)
+    pows = np.ones(n, dtype=np.uint64)
+    if n > 1:
+        pows[1:] = np.uint64(_ROLL_B)
+        np.multiply.accumulate(pows, out=pows)
+    s = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(codes * inv_pows, out=s[1:])
+    # h_i for i in 0..n-k: (S[i+k]-S[i]) * B^(i+k-1)
+    return (s[k:] - s[:-k]) * pows[k - 1 :]
+
+
+def _winnow_py(text: str, k: int, window: int):
+    """Pure winnowing kernel (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    normalize → character k-gram rolling hashes → per-window RIGHTmost
+    minimum → dedupe repeated selections. Returns [(hash, pos)]; also used
+    by the driver-side oracle replica so distributed == sequential is
+    testable."""
+    import numpy as np
+
+    norm = " ".join((text or "").lower().split())
+    if len(norm) < k:
+        return []
+    hashes = _rolling_kgram_hashes(norm, k).view(np.int64)
+    if len(hashes) <= window:
+        pos = len(hashes) - 1 - int(np.argmin(hashes[::-1]))
+        return [(int(hashes[pos]), int(pos))]
+    out = []
+    last_pos = -1
+    view = np.lib.stride_tricks.sliding_window_view(hashes, window)
+    # rightmost min per window: argmin over the reversed window
+    right_arg = window - 1 - np.argmin(view[:, ::-1], axis=1)
+    for w_start, a in enumerate(right_arg):
+        pos = w_start + int(a)
+        if pos != last_pos:
+            out.append((int(hashes[pos]), pos))
+            last_pos = pos
+    return out
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash winnowing fingerprints, one row per selected
+    fingerprint: (id, fp, pos). Guarantees: any shared substring of length
+    ≥ k + window - 1 between two documents yields at least one shared
+    fingerprint; density ≈ 2/(window+1). Arrow-batched; the per-doc kernel
+    is numpy (sliding-window rightmost-argmin)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, fps, poss = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                for fp, pos in _winnow_py(text, k, window):
+                    ids.append(doc_id)
+                    fps.append(fp)
+                    poss.append(pos)
+            yield pd.DataFrame({"id": ids, "fp": fps, "pos": poss})
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"id {id_type}, fp long, pos int"
+    )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    min_shared: int = 3,
+    k: int = 8,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Content-overlap candidate pairs: documents sharing ≥ ``min_shared``
+    winnowing fingerprints (the plagiarism/near-dup detection shape —
+    MOSS). Inverted-index join on the fingerprint (never all-pairs) with
+    the same high-df skew cap as the shingle family."""
+    fps = winnow_fingerprints(docs, k, window, id_col, text_col).select("id", "fp").distinct().persist()
+    pruned = fps
+    if max_fp_df is not None:
+        drop = fps.groupBy("fp").count().filter(F.col("count") > max_fp_df).select("fp")
+        drop_vals = [r["fp"] for r in drop.limit(10_001).collect()]
+        if len(drop_vals) > 10_000:
+            pruned = fps.join(F.broadcast(drop), "fp", "left_anti")
+        elif drop_vals:
+            pruned = fps.filter(~F.col("fp").isin(drop_vals))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    return (
+        a.join(b, "fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
+    )

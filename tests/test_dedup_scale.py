@@ -118,3 +118,37 @@ def test_dedup_cluster_keeps_min_per_component(spark):
     pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     kept = {r["doc_id"] for r in dedup.dedup_cluster_keep_first(docs, pairs).collect()}
     assert kept == {1, 4, 5, 10}
+
+
+def test_winnowing_guarantee_and_distributed(spark):
+    """Winnowing guarantee: any shared substring of length >= k+window-1
+    yields >= 1 shared fingerprint; the distributed operator matches the
+    sequential kernel."""
+    shared = "a long common sentence that both documents contain verbatim"
+    rows = [
+        (1, f"prefix one {shared} suffix alpha"),
+        (2, f"different beginning {shared} other ending"),
+        (3, "completely unrelated text with no overlap at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.winnow_overlap_pairs(docs, min_shared=1, k=10, window=4).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_fingerprints_density_and_determinism(spark):
+    from readur_spark.operators.dedup import _winnow_py
+
+    text = "word " * 200
+    fps = _winnow_py(text, 8, 4)
+    # density ~ 2/(w+1): selections must be far sparser than positions
+    assert 0 < len(fps) < len(" ".join(text.split())) / 2
+    assert fps == _winnow_py(text, 8, 4)
+    # distributed == sequential
+    docs = spark.createDataFrame([(7, text)], "doc_id long, text string")
+    dist = {
+        (r["fp"], r["pos"])
+        for r in dedup.winnow_fingerprints(docs, k=8, window=4).collect()
+    }
+    assert dist == set(fps)

@@ -311,3 +311,26 @@ def values_sql(cols: list[str], types: list[str], rows: list[tuple]) -> str:
         return f"SELECT {sel} FROM (VALUES ({one})) AS t({', '.join(cols)}) WHERE FALSE"
     vals = ", ".join("(" + ", ".join(_lit(v) for v in row) + ")" for row in rows)
     return f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
+
+
+def winnow_overlap_expected(sf_dir: str, min_shared: int = 5, k: int = 8, window: int = 4):
+    """Driver-side replay of the winnowing overlap operator (same kernel,
+    sequential, inverted-index in a dict — verifies the distributed
+    execution like image_ocr_expected does for the OCR ladder)."""
+    from collections import defaultdict
+
+    from readur_spark.operators.dedup import _winnow_py
+
+    fp_docs = defaultdict(set)
+    for doc_id, text in _load_documents(sf_dir):
+        for fp, _pos in _winnow_py(text or "", k, window):
+            fp_docs[fp].add(doc_id)
+    counts = defaultdict(int)
+    for docs in fp_docs.values():
+        ds = sorted(docs)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                counts[(ds[i], ds[j])] += 1
+    return sorted(
+        (a, b, c) for (a, b), c in counts.items() if c >= min_shared
+    )
