@@ -311,6 +311,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["fingerprint_sha256"] = _q_fingerprint_sha256
+
+    def _q_quality_gopher(s, sf):
+        from readur_spark.functions.textstats import gopher_flags_cols
+
+        # corpus-appropriate stopword list (the synthetic corpus speaks a
+        # technical vocabulary; Gopher's English list is the default)
+        return _docs(s, sf).select(
+            "doc_id",
+            *gopher_flags_cols(
+                F.col("text"), stopwords=("the", "a", "table", "value", "row", "key")
+            ),
+        )
+
+    q["quality_gopher"] = _q_quality_gopher
     q["text_metadata"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", *text_metadata_cols(F.col("text"))
     )
@@ -539,6 +553,43 @@ def oracle_sql() -> dict[str, str]:
         "AS fingerprint FROM documents"
     )
     o["fingerprint_sha256"] = "SELECT doc_id, sha256(text) AS file_hash FROM documents"
+    _gw = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '')"
+    _gwc = f"len({_gw})"
+    _gsafe = f"greatest({_gwc}, 1)"
+    _glines = "regexp_split_to_array(text, '\\n')"
+    _gnl = f"greatest(len({_glines}), 1)"
+    _gstops = " + ".join(
+        f"CASE WHEN regexp_matches(lower(text), '\\b{s}\\b') THEN 1 ELSE 0 END"
+        for s in ["the", "a", "table", "value", "row", "key"]
+    )
+    _gflags = {
+        "ok_word_count": f"({_gwc} >= 50 AND {_gwc} <= 100000)",
+        "ok_mean_word_length": (
+            f"(list_sum(list_transform({_gw}, w -> length(w))) * 1.0 / {_gsafe} >= 3.0"
+            f" AND list_sum(list_transform({_gw}, w -> length(w))) * 1.0 / {_gsafe} <= 10.0)"
+        ),
+        "ok_symbol_ratio": (
+            "((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))"
+            f" + len(regexp_extract_all(text, '…'))) * 1.0 / {_gsafe} <= 0.1)"
+        ),
+        "ok_bullet_lines": (
+            f"(len(list_filter({_glines}, l -> regexp_matches(trim(l), '^([-*•])')))"
+            f" * 1.0 / {_gnl} <= 0.9)"
+        ),
+        "ok_ellipsis_lines": (
+            f"(len(list_filter({_glines}, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$')))"
+            f" * 1.0 / {_gnl} <= 0.3)"
+        ),
+        "ok_alpha_words": (
+            f"(len(list_filter({_gw}, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / {_gsafe} >= 0.8)"
+        ),
+        "ok_stopwords": f"(({_gstops}) >= 2)",
+    }
+    _gsel = ", ".join(f"{sql} AS {name}" for name, sql in _gflags.items())
+    _gpass = " AND ".join(_gflags.values())
+    o["quality_gopher"] = (
+        f"SELECT doc_id, {_gsel}, ({_gpass}) AS gopher_pass FROM documents"
+    )
     eng = " + ".join(
         f"len(regexp_extract_all(lower(text), '{w}'))"
         for w in ["the", "and", "or", "but", "in", "on", "at", "to", "for", "of", "with", "by"]

@@ -170,3 +170,69 @@ def fingerprint_col(c: Column) -> Column:
     identical hex output)."""
     norm = F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
     return F.md5(norm)
+
+
+#: Gopher's required-stopword list (Rae et al. 2021 A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_flags_cols(c: Column, stopwords: tuple[str, ...] = GOPHER_STOPWORDS) -> list[Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models", table A1 — the standard web-corpus filter set),
+    entirely Catalyst-native so the filter sweep is a codegen'd projection
+    at 100 TB. Returns boolean flag columns + the conjunction:
+
+    * 50 ≤ word_count ≤ 100000
+    * 3 ≤ mean word length ≤ 10
+    * symbol-to-word ratio (#, …, ...) ≤ 0.1
+    * ≤ 90% of lines start with a bullet
+    * ≤ 30% of lines end with an ellipsis
+    * ≥ 80% of words contain an alphabetic character
+    * ≥ 2 distinct required stopwords present (``stopwords`` — Gopher's
+      English list by default; pass a corpus-appropriate list for other
+      domains, e.g. the synthetic technical corpus in testdata)
+    """
+    words = F.filter(F.split(F.trim(c), r"\s+"), lambda w: w != "")
+    wc = F.size(words)
+    safe_wc = F.greatest(wc, F.lit(1))
+    total_len = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+    mean_wl = total_len / safe_wc
+    ok_word_count = (wc >= 50) & (wc <= 100_000)
+    ok_mean_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
+    symbols = (
+        F.regexp_count(c, F.lit(r"#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    ok_symbol_ratio = (symbols / safe_wc) <= 0.1
+    lines = F.split(c, r"\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^([-*•])"))
+    )
+    ok_bullets = (bullet / n_lines) <= 0.9
+    ellipsis = F.size(F.filter(lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+    ok_ellipsis = (ellipsis / n_lines) <= 0.3
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    ok_alpha = (alpha_words / safe_wc) >= 0.8
+    stops = list(stopwords)
+    stop_hits = None
+    low = F.lower(c)
+    for s in stops:
+        hit = F.when(low.rlike(rf"\b{s}\b"), F.lit(1)).otherwise(F.lit(0))
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    ok_stops = stop_hits >= 2
+    passes = (
+        ok_word_count & ok_mean_wl & ok_symbol_ratio & ok_bullets & ok_ellipsis
+        & ok_alpha & ok_stops
+    )
+    return [
+        ok_word_count.alias("ok_word_count"),
+        ok_mean_wl.alias("ok_mean_word_length"),
+        ok_symbol_ratio.alias("ok_symbol_ratio"),
+        ok_bullets.alias("ok_bullet_lines"),
+        ok_ellipsis.alias("ok_ellipsis_lines"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_stops.alias("ok_stopwords"),
+        passes.alias("gopher_pass"),
+    ]
