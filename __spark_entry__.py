@@ -325,6 +325,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["quality_gopher"] = _q_quality_gopher
+
+    def _q_chunk_documents(s, sf):
+        from readur_spark.operators.extract import chunk_texts
+
+        return chunk_texts(_docs(s, sf), chunk_words=40, overlap_words=8).select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            "chunk_text",
+            F.col("n_words").cast("long").alias("n_words"),
+        )
+
+    q["chunk_documents"] = _q_chunk_documents
     q["text_metadata"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", *text_metadata_cols(F.col("text"))
     )
@@ -612,6 +624,26 @@ def oracle_sql() -> dict[str, str]:
                     ELSE NULL END AS text_format,
                ({eng}) > ({wc}) // 20 AS likely_english
         FROM documents
+    """
+    # chunking: stride 32 (= 40 - 8); DuckDB 1-based inclusive list slice
+    # words[a:b] == Spark slice(words, a, b-a+1)
+    o["chunk_documents"] = """
+        WITH w AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x != '') AS words
+          FROM documents),
+        c AS (
+          SELECT doc_id, words, len(words) AS n,
+                 CASE WHEN len(words) = 0 THEN 0
+                      ELSE 1 + CAST(ceil(greatest(len(words) - 40, 0) / 32.0) AS INT)
+                 END AS nc
+          FROM w)
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_no,
+               array_to_string(words[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text,
+               CAST(least(n - i * 32, 40) AS BIGINT) AS n_words
+        FROM c, unnest(range(nc)) AS t(i)
+        WHERE nc > 0
     """
     o["incremental_sync"] = """
         WITH current AS (SELECT doc_id AS path, md5(text) AS etag FROM documents),

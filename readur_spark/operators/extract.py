@@ -342,3 +342,58 @@ def extract_spans_split(
 
     big_out = assembled.mapInPandas(finalize, EXTRACTED_SCHEMA)
     return small_out.unionByName(big_out)
+
+
+def chunk_texts(
+    docs_df: DataFrame,
+    chunk_words: int = 128,
+    overlap_words: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data chunking: split each document into word-bounded
+    chunks of ``chunk_words`` with ``overlap_words`` overlap (stride =
+    chunk_words − overlap_words), emitting (id, chunk_no, chunk_text,
+    n_words). Pure Catalyst — split + sequence + slice + explode compile
+    to a codegen'd projection, so chunking 100 TB is a scan-speed map with
+    no shuffle at all; the explode multiplies rows ~len/stride×, which
+    AQE-coalesced downstream stages absorb.
+
+    Boundary semantics (mirrored exactly in the DuckDB oracle):
+    * empty/whitespace docs produce no chunks;
+    * the last chunk is the final ≤chunk_words window — a doc shorter than
+      chunk_words yields exactly one chunk;
+    * trailing windows fully contained in the previous chunk are not
+      emitted (stride walks past the end at most once).
+    """
+    assert 0 <= overlap_words < chunk_words
+    stride = chunk_words - overlap_words
+    words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(n - chunk_words, 0) / stride)
+    extra = F.greatest(n - F.lit(chunk_words), F.lit(0))
+    n_chunks = F.when(n == 0, F.lit(0)).otherwise(
+        F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_no"),
+                F.array_join(
+                    F.slice(words, i * stride + 1, chunk_words), " "
+                ).alias("chunk_text"),
+                F.least(n - i * stride, F.lit(chunk_words)).cast("int").alias("n_words"),
+            ),
+        )
+    ).alias("c")
+    return (
+        docs_df.filter(n > 0)
+        .select(F.col(id_col), chunk)
+        .select(
+            id_col,
+            F.col("c.chunk_no").alias("chunk_no"),
+            F.col("c.chunk_text").alias("chunk_text"),
+            F.col("c.n_words").alias("n_words"),
+        )
+    )

@@ -79,3 +79,44 @@ def test_mega_doc_handled(spark):
     rows = extract_spans(docs, num_partitions=4).collect()
     assert len(rows) == 5
     assert all(len(r["spans"]) > 0 for r in rows)
+
+
+class TestChunking:
+    def test_chunk_boundaries_and_overlap(self, spark):
+        from readur_spark.operators.extract import chunk_texts
+
+        words = [f"w{i}" for i in range(100)]
+        docs = spark.createDataFrame(
+            [("d", " ".join(words)), ("short", "only three words"), ("empty", "   ")],
+            "doc_id string, text string",
+        )
+        rows = sorted(
+            ((r["doc_id"], r["chunk_no"], r["chunk_text"], r["n_words"])
+             for r in chunk_texts(docs, chunk_words=40, overlap_words=8).collect()),
+        )
+        by_doc = {}
+        for d, no, text, n in rows:
+            by_doc.setdefault(d, []).append((no, text.split(), n))
+        # 100 words, stride 32: 1 + ceil((100-40)/32) = 3 chunks at 0,32,64
+        assert [c[0] for c in by_doc["d"]] == [0, 1, 2]
+        assert by_doc["d"][0][1] == words[0:40]
+        assert by_doc["d"][1][1] == words[32:72]  # 8-word overlap
+        assert by_doc["d"][2][1] == words[64:100]  # final partial chunk
+        assert by_doc["d"][2][2] == 36
+        # full coverage: every word appears in some chunk
+        covered = set()
+        for _no, toks, _n in by_doc["d"]:
+            covered.update(toks)
+        assert covered == set(words)
+        # short doc -> exactly one chunk
+        assert len(by_doc["short"]) == 1 and by_doc["short"][0][2] == 3
+        # empty doc -> no chunks
+        assert "empty" not in by_doc
+
+    def test_chunking_is_pure_catalyst(self, spark):
+        from readur_spark.operators.extract import chunk_texts
+
+        docs = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
+        plan = chunk_texts(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
+        assert "Exchange" not in plan, plan  # no shuffle: scan-speed map
