@@ -1,0 +1,76 @@
+"""Adversarial robustness: the in-repo codecs must fail CLEANLY (raise,
+never hang or segfault-style crash) on malformed bytes — these parsers sit
+in executors fed by untrusted web-scale content."""
+
+import numpy as np
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from readur_spark.kernels.minidoc import extract_doc
+from readur_spark.kernels.minijpeg import jpeg_decode, jpeg_encode
+from readur_spark.kernels.pixels import png_decode, png_encode
+
+FUZZ = settings(
+    max_examples=120, deadline=2000, suppress_health_check=[HealthCheck.too_slow]
+)
+
+
+@given(st.binary(min_size=0, max_size=400))
+@FUZZ
+def test_png_decode_never_hangs_on_garbage(data):
+    try:
+        png_decode(data)
+    except Exception:
+        pass  # any clean raise is fine; hang/crash is the failure mode
+
+
+@given(st.binary(min_size=0, max_size=400))
+@FUZZ
+def test_jpeg_decode_never_hangs_on_garbage(data):
+    try:
+        jpeg_decode(b"\xff\xd8" + data)
+    except Exception:
+        pass
+
+
+@given(st.binary(min_size=0, max_size=400))
+@FUZZ
+def test_doc_extract_never_hangs_on_garbage(data):
+    text, err = extract_doc(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data)
+    assert text is not None or err is not None
+
+
+@given(st.integers(min_value=0, max_value=4000))
+@FUZZ
+def test_png_truncation(cut):
+    arr = np.arange(300, dtype=np.uint8).reshape(15, 20) % 256
+    data = png_encode(arr)
+    truncated = data[: min(cut, len(data) - 1)]
+    try:
+        out = png_decode(truncated)
+        # if it decodes, dims must still be sane
+        assert out.shape == (15, 20)
+    except Exception:
+        pass
+
+
+@given(st.integers(min_value=2, max_value=3000))
+@FUZZ
+def test_jpeg_truncation(cut):
+    arr = (np.arange(400, dtype=np.uint16) % 256).astype(np.uint8).reshape(20, 20)
+    data = jpeg_encode(arr, quality=80)
+    truncated = data[: min(cut, len(data) - 1)]
+    try:
+        out = jpeg_decode(truncated)
+        assert out.shape == (20, 20)  # bit-feeder pads with zeros past EOF
+    except Exception:
+        pass
+
+
+def test_audio_video_parsers_on_garbage():
+    from readur_spark.kernels.media_meta import parse_audio_meta, parse_video_meta
+
+    for blob in (b"", b"RIFF", b"RIFF1234WAVE", b"\x00" * 64, b"ftyp" * 10):
+        parse_audio_meta(blob)  # must not raise
+        parse_video_meta(blob)
