@@ -163,12 +163,14 @@ def png_decode(data: bytes) -> np.ndarray:
 
 
 def decode_image(data: bytes, auto_orient: bool = True) -> np.ndarray:
-    """Decode PNG or baseline JPEG bytes to a pixel array; JPEGs with an
-    EXIF orientation tag are auto-rotated (I5,
+    """Decode PNG, baseline JPEG, or GIF bytes to a pixel array; JPEGs
+    with an EXIF orientation tag are auto-rotated (I5,
     document_ingestion.rs:356-408 applies the correction at ingest).
     Raises ValueError subclasses on undecodable input."""
     if data.startswith(_PNG_SIG):
         return png_decode(data)
+    if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
+        return gif_decode(data)
     if data.startswith(b"\xff\xd8"):
         from readur_spark.kernels.minijpeg import jpeg_decode
 
@@ -688,3 +690,191 @@ def preprocess_image(
         gray = morphological_open_close(gray)
         applied.append("Morphological operations")
     return gray, applied, stats
+
+
+# --------------------------------------------------------------------------
+# GIF decoder (LZW) — the last raster format in testdata fixtures
+# --------------------------------------------------------------------------
+
+
+def gif_decode(data: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/89a to (H,W,3) RGB uint8.
+
+    Full LZW decompression (variable code width, clear/EOI codes), local
+    or global color table, interlace pass reordering. Animated GIFs yield
+    frame 1 (the multimodal contract treats video-ish media via
+    sample_frames). Raises PngError-family ValueError on malformed input.
+    """
+    if not (data.startswith(b"GIF87a") or data.startswith(b"GIF89a")):
+        raise PngError("not a GIF")
+    if len(data) < 14:
+        raise PngError("truncated GIF header")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    gct_size = 2 << (packed & 0x07)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        gct = np.frombuffer(data[pos : pos + gct_size * 3], dtype=np.uint8).reshape(-1, 3)
+        pos += gct_size * 3
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data) and data[p] != 0:
+            p += 1 + data[p]
+        return p + 1
+
+    while pos < len(data):
+        b = data[pos]
+        if b == 0x21:  # extension
+            pos = skip_subblocks(pos + 2)
+        elif b == 0x2C:  # image descriptor
+            ix, iy, iw, ih = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                lct_size = 2 << (ipacked & 0x07)
+                table = np.frombuffer(
+                    data[pos : pos + lct_size * 3], dtype=np.uint8
+                ).reshape(-1, 3)
+                pos += lct_size * 3
+            if table is None:
+                raise PngError("GIF image without color table")
+            interlaced = bool(ipacked & 0x40)
+            min_code_size = data[pos]
+            pos += 1
+            # concatenate LZW sub-blocks
+            chunks = []
+            p = pos
+            while p < len(data) and data[p] != 0:
+                n = data[p]
+                chunks.append(data[p + 1 : p + 1 + n])
+                p += 1 + n
+            stream = b"".join(chunks)
+            indices = _lzw_decode(stream, min_code_size, iw * ih)
+            if len(indices) < iw * ih:
+                raise PngError("GIF LZW stream truncated")
+            idx = np.asarray(indices[: iw * ih], dtype=np.int32).reshape(ih, iw)
+            if interlaced:
+                out = np.empty_like(idx)
+                rows = list(range(0, ih, 8)) + list(range(4, ih, 8)) + list(
+                    range(2, ih, 4)
+                ) + list(range(1, ih, 2))
+                for src, dst in enumerate(rows):
+                    out[dst] = idx[src]
+                idx = out
+            idx = np.clip(idx, 0, len(table) - 1)
+            return table[idx]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise PngError(f"unexpected GIF block 0x{b:02x}")
+    raise PngError("GIF contains no image data")
+
+
+def _lzw_decode(stream: bytes, min_code_size: int, max_pixels: int) -> list[int]:
+    """GIF-flavor LZW: LSB-first variable-width codes, CLEAR resets the
+    table, EOI ends; code width grows after table fills (cap 12 bits)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    bitpos = 0
+    nbits = len(stream) * 8
+
+    def base_table():
+        return {i: [i] for i in range(clear)}
+
+    table = base_table()
+    next_code = eoi + 1
+    width = min_code_size + 1
+    prev: list[int] | None = None
+    while bitpos + width <= nbits and len(out) < max_pixels:
+        byte = bitpos >> 3
+        # read `width` bits LSB-first
+        chunk = int.from_bytes(stream[byte : byte + 3], "little")
+        code = (chunk >> (bitpos & 7)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table = base_table()
+            next_code = eoi + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise PngError("bad initial LZW code")
+            out.extend(entry)
+            prev = entry
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + [prev[0]]
+        else:
+            raise PngError("bad LZW code")
+        out.extend(entry)
+        table[next_code] = prev + [entry[0]]
+        next_code += 1
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+def gif_encode(arr: np.ndarray) -> bytes:
+    """Encode (H,W) palette-index uint8 (≤128 colors, grayscale ramp
+    palette) as an uncompressed-style GIF87a — fixture writer for tests:
+    emits literal LZW codes with CLEAR injected before the table fills, so
+    every conforming decoder reads it."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise PngError("gif_encode takes a 2D index/gray array")
+    if a.max() > 127:
+        a = a >> 1  # fold into 7-bit palette space
+    h, w = a.shape
+    min_code_size = 7
+    clear, eoi = 128, 129
+    palette = np.zeros((128, 3), dtype=np.uint8)
+    ramp = (np.arange(128, dtype=np.uint16) * 2).astype(np.uint8)
+    palette[:, 0] = palette[:, 1] = palette[:, 2] = ramp
+
+    bits = bytearray()
+    acc = 0
+    accbits = 0
+
+    def put(code: int, width: int):
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            bits.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    width_bits = min_code_size + 1
+    put(clear, width_bits)
+    count = 0
+    for v in a.flatten():
+        put(int(v), width_bits)
+        count += 1
+        # keep the decoder's table from growing past 9 bits: clear often
+        if count % 100 == 0:
+            put(clear, width_bits)
+    put(eoi, width_bits)
+    if accbits:
+        bits.append(acc & 0xFF)
+
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | 0x06, 0, 0])  # GCT present, 128 entries (2<<6)
+    out += palette.tobytes()
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out += bytes([min_code_size])
+    for i in range(0, len(bits), 255):
+        blk = bits[i : i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+    return bytes(out)

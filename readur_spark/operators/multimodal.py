@@ -154,7 +154,11 @@ def decode_images(
                 doc_id = str(pdf[id_col].iloc[i])
                 raw = pdf[content_col].iloc[i]
                 data = bytes(raw) if raw is not None else b""
-                if data.startswith(b"\x89PNG") or data.startswith(b"\xff\xd8"):
+                if (
+                    data.startswith(b"\x89PNG")
+                    or data.startswith(b"\xff\xd8")
+                    or data.startswith(b"GIF8")
+                ):
                     try:
                         gray = to_luma(decode_image(data))
                         rows.append(

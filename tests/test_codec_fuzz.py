@@ -74,3 +74,14 @@ def test_audio_video_parsers_on_garbage():
     for blob in (b"", b"RIFF", b"RIFF1234WAVE", b"\x00" * 64, b"ftyp" * 10):
         parse_audio_meta(blob)  # must not raise
         parse_video_meta(blob)
+
+
+@given(st.binary(min_size=0, max_size=300))
+@FUZZ
+def test_gif_decode_never_hangs_on_garbage(data):
+    from readur_spark.kernels.pixels import gif_decode
+
+    try:
+        gif_decode(b"GIF89a" + data)
+    except Exception:
+        pass

@@ -406,3 +406,34 @@ def test_exif_roundtrip_all_orientations(o):
     upright = np.arange(12, dtype=np.uint8).reshape(3, 4)
     stored = P.apply_orientation(upright, INV[o])
     assert np.array_equal(P.apply_orientation(stored, o), upright)
+
+
+# --------------------------------------------------------------------------
+# GIF decoder
+# --------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact():
+    a = RNG.randint(0, 128, size=(23, 31)).astype(np.uint8)
+    rgb = P.gif_decode(P.gif_encode(a))
+    assert rgb.shape == (23, 31, 3)
+    assert np.array_equal(rgb[:, :, 0], a * 2)  # ramp palette: idx i -> 2i
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+
+
+def test_gif_decode_rejects_garbage_and_truncation():
+    import pytest as _pytest
+
+    with _pytest.raises(P.PngError):
+        P.gif_decode(b"GIF87a" + b"\x00" * 4)
+    full = P.gif_encode(np.zeros((8, 8), dtype=np.uint8))
+    with _pytest.raises(Exception):
+        P.gif_decode(full[: len(full) // 2])
+
+
+def test_gif_through_decode_image_and_distributed(spark=None):
+    from readur_spark.kernels.pixels import decode_image
+
+    a = RNG.randint(0, 128, size=(10, 12)).astype(np.uint8)
+    img = decode_image(P.gif_encode(a))
+    assert img.shape == (10, 12, 3)
