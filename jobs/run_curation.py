@@ -1,0 +1,55 @@
+"""Cluster entry point: the full training-data curation funnel.
+
+    spark-submit --master <cluster> --py-files dist/readur_spark.zip \
+        jobs/run_curation.py --input <interleaved or documents parquet> \
+        --output <chunks parquet> [--min-quality 0.3] [--no-gopher] \
+        [--chunk-words 128] [--overlap 32]
+
+Prints one JSON line with the funnel metrics (input → quality filter →
+exact dedup → near-dup cluster dedup → chunks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--min-quality", type=float, default=0.0)
+    ap.add_argument("--no-gopher", action="store_true")
+    ap.add_argument("--gopher-stopwords", default=None,
+                    help="comma-separated corpus-appropriate stopword list")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--chunk-words", type=int, default=128)
+    ap.add_argument("--overlap", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from readur_spark.plans.curation import curate_to_parquet
+
+    spark = SparkSession.builder.appName("readur_spark_curation").getOrCreate()
+    docs = spark.read.parquet(args.input)
+    metrics = curate_to_parquet(
+        spark,
+        docs,
+        args.output,
+        min_quality=args.min_quality,
+        require_gopher=not args.no_gopher,
+        gopher_stopwords=(
+            tuple(args.gopher_stopwords.split(",")) if args.gopher_stopwords else None
+        ),
+        near_dup_threshold=args.near_dup_threshold,
+        chunk_words=args.chunk_words,
+        overlap_words=args.overlap,
+    )
+    print(json.dumps(metrics))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -528,14 +528,19 @@ def connected_components(
     """
     F_ = F
     fwd = pairs.select(F_.col(id_a).alias("src"), F_.col(id_b).alias("dst"))
+    # localCheckpoint TRUNCATES the logical plan, not just the execution:
+    # an iterative join otherwise doubles Catalyst's analysis tree every
+    # round (labels appears twice per iteration), and re-analysis cost
+    # grows exponentially even with everything cached — the classic
+    # iterative-algorithm trap. With truncation every round is O(1) plan.
     edges = fwd.union(
         fwd.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F_.col("src").alias("id"))
         .distinct()
         .withColumn("lbl", F_.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -549,7 +554,7 @@ def connected_components(
                 "id",
                 F_.least(F_.col("lbl"), F_.coalesce(F_.col("nlbl"), F_.col("lbl"))).alias("lbl"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -557,11 +562,9 @@ def connected_components(
             .filter(F_.col("n.lbl") != F_.col("o.lbl"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels.select(F_.col("id"), F_.col("lbl").alias("component"))
 
 

@@ -1,0 +1,124 @@
+"""End-to-end training-data curation pipeline: the engine's operators
+composed into the canonical corpus-prep flow —
+
+    extract (interleaved spans → text)
+    → text analysis (language ID, quality score, Gopher filter flags)
+    → quality filtering
+    → exact dedup (keep-first)
+    → near-dup CLUSTER dedup (MinHash-LSH pairs → connected components)
+    → chunking (overlapping word windows)
+    → partitioned parquet commit
+
+Every stage is one of the already-oracled operators, so the pipeline's
+correctness decomposes into the driver gate's per-operator checks; this
+module contributes the composition, the per-stage survivor accounting
+(the curation funnel every data team reports), and the job entry point
+(jobs/run_curation.py ships it via spark-submit --py-files).
+
+Scale notes: stages 1–3 are a single fused scan (no shuffle); exact dedup
+is one hash shuffle; near-dup is the banded-LSH shape; chunking is a
+shuffle-free explode. The output is written partitioned by detected
+language — the layout downstream training-data samplers prune on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from readur_spark.functions.textstats import (
+    gopher_flags_cols,
+    lang_id_col,
+    quality_score_col,
+)
+from readur_spark.operators import dedup
+from readur_spark.operators.extract import chunk_texts, extract_spans
+
+
+def _to_text(docs_df: DataFrame) -> DataFrame:
+    """Normalize input: interleaved (doc_id, spans) runs the extraction
+    operator and joins text spans; flat (doc_id, text) passes through."""
+    if "spans" in docs_df.columns:
+        extracted = extract_spans(docs_df)
+        return extracted.filter(F.col("status") == "completed").select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                    lambda s: s["text"],
+                ),
+                "\n\n",
+            ).alias("text"),
+        )
+    return docs_df.select("doc_id", "text")
+
+
+def curate(
+    docs_df: DataFrame,
+    min_quality: float = 0.0,
+    require_gopher: bool = True,
+    gopher_stopwords: tuple[str, ...] | None = None,
+    near_dup_threshold: float = 0.5,
+    shingle_n: int = 3,
+    chunk_words: int = 128,
+    overlap_words: int = 32,
+) -> tuple[DataFrame, dict]:
+    """Run the curation funnel. Returns (chunks DataFrame, funnel metrics).
+
+    The metrics dict counts survivors at each stage — computed with
+    ``count()`` actions on persisted intermediates, the standard curation
+    report. Callers that only need the output frame can ignore it; the
+    counts are what you put on the run dashboard.
+    """
+    metrics: dict[str, int] = {}
+    text_df = _to_text(docs_df).persist()
+    metrics["input_docs"] = text_df.count()
+
+    gopher_cols = (
+        gopher_flags_cols(F.col("text"), stopwords=gopher_stopwords)
+        if gopher_stopwords
+        else gopher_flags_cols(F.col("text"))
+    )
+    analyzed = text_df.select(
+        "doc_id",
+        "text",
+        lang_id_col(F.col("text")).alias("lang"),
+        quality_score_col(F.col("text")).alias("quality"),
+        *gopher_cols,
+    )
+    filtered = analyzed.filter(F.col("quality") >= min_quality)
+    if require_gopher:
+        filtered = filtered.filter(F.col("gopher_pass"))
+    filtered = filtered.select("doc_id", "text", "lang", "quality").persist()
+    metrics["after_quality_filter"] = filtered.count()
+
+    exact = dedup.dedup_keep_first(filtered).persist()
+    metrics["after_exact_dedup"] = exact.count()
+
+    pairs = dedup.minhash_lsh_pairs(
+        exact, threshold=near_dup_threshold, n=shingle_n
+    )
+    curated = dedup.dedup_cluster_keep_first(exact, pairs).persist()
+    metrics["after_near_dedup"] = curated.count()
+
+    chunks = chunk_texts(
+        curated, chunk_words=chunk_words, overlap_words=overlap_words
+    ).join(curated.select("doc_id", "lang", "quality"), "doc_id")
+    metrics["chunks"] = chunks.count()
+
+    text_df.unpersist()
+    filtered.unpersist()
+    return chunks, metrics
+
+
+def curate_to_parquet(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    output_dir: str,
+    **kwargs,
+) -> dict:
+    """Curate and commit, partitioned by language (downstream samplers
+    prune on the partition column). Returns the funnel metrics."""
+    chunks, metrics = curate(docs_df, **kwargs)
+    chunks.write.partitionBy("lang").mode("overwrite").parquet(output_dir)
+    return metrics
