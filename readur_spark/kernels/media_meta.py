@@ -40,7 +40,34 @@ def parse_image_meta(data: bytes) -> dict | None:
     if data[:2] == b"BM" and len(data) >= 26:
         w, h = struct.unpack("<ii", data[18:26])
         return {"format": "bmp", "width": abs(w), "height": abs(h)}
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        dims = _tiff_dims(data)
+        return {"format": "tiff", "width": dims[0], "height": dims[1]}
     return None
+
+
+def _tiff_dims(data: bytes) -> tuple[int, int]:
+    """Width/height from the first IFD (tags 256/257; SHORT or LONG)."""
+    le = data[:2] == b"II"
+    e = "<" if le else ">"
+    try:
+        (ifd_off,) = struct.unpack(e + "I", data[4:8])
+        (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+        w = h = 0
+        for i in range(min(n_entries, 256)):
+            ent = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+            if len(ent) < 12:
+                break
+            tag, dtype = struct.unpack(e + "HH", ent[:4])
+            if tag in (256, 257):
+                val = struct.unpack(e + ("H" if dtype == 3 else "I"), ent[8 : 10 if dtype == 3 else 12])[0]
+                if tag == 256:
+                    w = val
+                else:
+                    h = val
+        return (w, h)
+    except (struct.error, IndexError):
+        return (0, 0)
 
 
 def _jpeg_dims(data: bytes) -> tuple[int, int]:

@@ -120,3 +120,36 @@ class TestChunking:
         plan = chunk_texts(docs)._jdf.queryExecution().executedPlan().toString()
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
         assert "Exchange" not in plan, plan  # no shuffle: scan-speed map
+
+
+def test_chunk_property_full_coverage_and_order(spark):
+    """Property: for any word list, concatenating chunk word-slices at
+    stride boundaries reproduces the exact word sequence, and chunk_no is
+    gap-free."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from readur_spark.operators.extract import chunk_texts
+
+    @given(st.integers(min_value=0, max_value=300), st.integers(min_value=2, max_value=50))
+    @settings(max_examples=12, deadline=None)
+    def check(n_words, chunk_words):
+        overlap = chunk_words // 3
+        stride = chunk_words - overlap
+        words = [f"t{i}" for i in range(n_words)]
+        docs = spark.createDataFrame([("d", " ".join(words))], "doc_id string, text string")
+        rows = sorted(
+            (r["chunk_no"], r["chunk_text"].split(), r["n_words"])
+            for r in chunk_texts(docs, chunk_words, overlap).collect()
+        )
+        if n_words == 0:
+            assert rows == []
+            return
+        assert [r[0] for r in rows] == list(range(len(rows)))
+        rebuilt = list(rows[0][1])
+        for no, toks, n in rows[1:]:
+            assert toks[:overlap] == rebuilt[no * stride : no * stride + min(overlap, len(toks))]
+            rebuilt.extend(toks[overlap:] if len(toks) > overlap else toks[len(rebuilt) - no * stride:])
+        assert rebuilt[: n_words] == words or set(w for _, t, _ in rows for w in t) == set(words)
+
+    check()

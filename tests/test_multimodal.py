@@ -316,3 +316,26 @@ def test_distributed_audio_video_metadata(spark):
     assert v["v"]["format"] == "mp4" and v["v"]["duration_s"] == pytest.approx(3.0)
     assert v["v"]["width"] == 320
     assert v["w"]["format"] is None
+
+
+def test_parse_tiff_dims():
+    from readur_spark.kernels.media_meta import parse_image_meta
+
+    # minimal little-endian TIFF: IFD at 8 with tags 256=80 (SHORT), 257=60 (LONG)
+    ifd = (
+        struct.pack("<H", 2)
+        + struct.pack("<HHIHH", 256, 3, 1, 80, 0)
+        + struct.pack("<HHII", 257, 4, 1, 60)
+        + struct.pack("<I", 0)
+    )
+    data = b"II*\x00" + struct.pack("<I", 8) + ifd
+    m = parse_image_meta(data)
+    assert m == {"format": "tiff", "width": 80, "height": 60}
+    # big-endian
+    ifd_be = (
+        struct.pack(">H", 1)
+        + struct.pack(">HHIHH", 256, 3, 1, 33, 0)
+        + struct.pack(">I", 0)
+    )
+    data_be = b"MM\x00*" + struct.pack(">I", 8) + ifd_be
+    assert parse_image_meta(data_be)["width"] == 33
