@@ -171,6 +171,8 @@ def decode_image(data: bytes, auto_orient: bool = True) -> np.ndarray:
         return png_decode(data)
     if data.startswith(b"GIF87a") or data.startswith(b"GIF89a"):
         return gif_decode(data)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        return tiff_decode(data)
     if data.startswith(b"\xff\xd8"):
         from readur_spark.kernels.minijpeg import jpeg_decode
 
@@ -878,3 +880,193 @@ def gif_encode(arr: np.ndarray) -> bytes:
         out += bytes([len(blk)]) + blk
     out += b"\x00\x3b"
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# TIFF decoder — completes the raster matrix (PNG/JPEG/GIF/TIFF all real)
+# --------------------------------------------------------------------------
+
+
+def _tiff_lzw_decode(stream: bytes, expected: int) -> bytes:
+    """TIFF-flavor LZW (spec §13): MSB-first codes, early code-width
+    change (width grows at table size 511/1023/2047), CLEAR=256, EOI=257."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    accbits = 0
+    for byte in stream:
+        acc = (acc << 8) | byte
+        accbits += 8
+        while accbits >= width:
+            code = (acc >> (accbits - width)) & ((1 << width) - 1)
+            accbits -= width
+            if code == clear:
+                table = [bytes([i]) for i in range(256)] + [b"", b""]
+                width = 9
+                prev = None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise PngError("bad TIFF LZW code")
+            out.extend(entry)
+            if prev is not None:
+                table.append(prev + entry[:1])
+            # early change: width bumps one code BEFORE the table fills
+            if len(table) + 1 >= (1 << width) and width < 12:
+                width += 1
+            prev = entry
+            if len(out) >= expected:
+                return bytes(out)
+    return bytes(out)
+
+
+def _packbits_decode(stream: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(stream) and len(out) < expected:
+        n = stream[i]
+        i += 1
+        if n < 128:
+            out.extend(stream[i : i + n + 1])
+            i += n + 1
+        elif n > 128:
+            if i < len(stream):
+                out.extend(stream[i : i + 1] * (257 - n))
+                i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode a baseline TIFF (first IFD): 8-bit grayscale or RGB, strip
+    layout, compression none (1) / LZW (5) / PackBits (32773), optional
+    horizontal differencing predictor (2). Tiled, 16-bit, and palette
+    TIFFs raise PngError."""
+    if data[:4] not in (b"II*\x00", b"MM\x00*"):
+        raise PngError("not a TIFF")
+    e = "<" if data[:2] == b"II" else ">"
+    (ifd_off,) = struct.unpack(e + "I", data[4:8])
+    (n_entries,) = struct.unpack(e + "H", data[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        ent = data[ifd_off + 2 + 12 * i : ifd_off + 14 + 12 * i]
+        if len(ent) < 12:
+            raise PngError("truncated TIFF IFD")
+        tag, dtype, count = struct.unpack(e + "HHI", ent[:8])
+        size = {1: 1, 3: 2, 4: 4}.get(dtype)
+        if size is None:
+            continue
+        total = size * count
+        raw = ent[8 : 8 + min(total, 4)]
+        if total > 4:
+            (off,) = struct.unpack(e + "I", ent[8:12])
+            raw = data[off : off + total]
+        fmt = {1: "B", 3: "H", 4: "I"}[dtype]
+        tags[tag] = list(struct.unpack(e + fmt * count, raw[: size * count]))
+    try:
+        w = tags[256][0]
+        h = tags[257][0]
+    except KeyError:
+        raise PngError("TIFF missing dimensions") from None
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise PngError("only 8-bit TIFF supported")
+    spp = tags.get(277, [1])[0]
+    if spp not in (1, 3):
+        raise PngError(f"{spp} samples/pixel unsupported")
+    compression = tags.get(259, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    if 322 in tags:
+        raise PngError("tiled TIFF unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts:
+        raise PngError("TIFF missing strip layout")
+    rows_per_strip = tags.get(278, [h])[0]
+    out = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        strip_rows = min(rows_per_strip, h - si * rows_per_strip)
+        expected = strip_rows * w * spp
+        raw = data[off : off + cnt]
+        if compression == 1:
+            out.extend(raw[:expected])
+        elif compression == 5:
+            out.extend(_tiff_lzw_decode(raw, expected))
+        elif compression == 32773:
+            out.extend(_packbits_decode(raw, expected))
+        else:
+            raise PngError(f"TIFF compression {compression} unsupported")
+    if len(out) < h * w * spp:
+        raise PngError("TIFF pixel data truncated")
+    arr = np.frombuffer(bytes(out[: h * w * spp]), dtype=np.uint8)
+    arr = arr.reshape(h, w) if spp == 1 else arr.reshape(h, w, spp)
+    if predictor == 2:
+        # horizontal differencing: per-sample cumulative sum along the row
+        # (mod 256; axis 1 is the pixel axis for both (h,w) and (h,w,3))
+        arr = np.cumsum(arr.astype(np.uint64), axis=1).astype(np.uint8)
+    return arr
+
+
+def tiff_encode(arr: np.ndarray, compression: int = 1) -> bytes:
+    """Fixture writer: little-endian single-strip TIFF, 8-bit gray or RGB,
+    compression none (1) or PackBits (32773)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[0], a.shape[1]
+    spp = 1 if gray else a.shape[2]
+    pixels = a.tobytes()
+    if compression == 32773:
+        # naive packbits: literal runs of ≤128
+        packed = bytearray()
+        for i in range(0, len(pixels), 128):
+            blk = pixels[i : i + 128]
+            packed.append(len(blk) - 1)
+            packed.extend(blk)
+        pixels = bytes(packed)
+    elif compression != 1:
+        raise PngError("fixture writer supports none/packbits only")
+    header = b"II*\x00" + struct.pack("<I", 8)
+    entries = [
+        (256, 3, 1, w),
+        (257, 3, 1, h),
+        (258, 3, 1, 8) if gray else (258, 3, 3, None),  # BitsPerSample
+        (259, 3, 1, compression),
+        (262, 3, 1, 1),  # BlackIsZero
+        (273, 4, 1, None),  # StripOffsets (patched)
+        (277, 3, 1, spp),
+        (278, 3, 1, h),
+        (279, 4, 1, len(pixels)),
+    ]
+    n = len(entries)
+    ifd_off = 8
+    extra = bytearray()
+    extra_base = ifd_off + 2 + 12 * n + 4
+    body = bytearray()
+    body += struct.pack("<H", n)
+    strip_off_pos = None
+    for tag, dtype, count, val in entries:
+        body += struct.pack("<HHI", tag, dtype, count)
+        if tag == 273:
+            strip_off_pos = len(body)
+            body += struct.pack("<I", 0)
+        elif tag == 258 and not gray:
+            body += struct.pack("<I", extra_base + len(extra))
+            extra += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+        elif dtype == 3:
+            body += struct.pack("<HH", val, 0)
+        else:
+            body += struct.pack("<I", val)
+    body += struct.pack("<I", 0)  # next IFD
+    pixel_off = extra_base + len(extra)
+    struct.pack_into("<I", body, strip_off_pos, pixel_off)
+    return header + bytes(body) + bytes(extra) + pixels

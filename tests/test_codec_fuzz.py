@@ -85,3 +85,14 @@ def test_gif_decode_never_hangs_on_garbage(data):
         gif_decode(b"GIF89a" + data)
     except Exception:
         pass
+
+
+@given(st.binary(min_size=0, max_size=300))
+@FUZZ
+def test_tiff_decode_never_hangs_on_garbage(data):
+    from readur_spark.kernels.pixels import tiff_decode
+
+    try:
+        tiff_decode(b"II*\x00" + data)
+    except Exception:
+        pass

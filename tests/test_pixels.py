@@ -437,3 +437,69 @@ def test_gif_through_decode_image_and_distributed(spark=None):
     a = RNG.randint(0, 128, size=(10, 12)).astype(np.uint8)
     img = decode_image(P.gif_encode(a))
     assert img.shape == (10, 12, 3)
+
+
+# --------------------------------------------------------------------------
+# TIFF decoder
+# --------------------------------------------------------------------------
+
+
+def test_tiff_roundtrips():
+    g = RNG.randint(0, 256, size=(19, 27)).astype(np.uint8)
+    assert np.array_equal(P.tiff_decode(P.tiff_encode(g)), g)
+    assert np.array_equal(P.tiff_decode(P.tiff_encode(g, 32773)), g)
+    rgb = RNG.randint(0, 256, size=(11, 13, 3)).astype(np.uint8)
+    assert np.array_equal(P.tiff_decode(P.tiff_encode(rgb)), rgb)
+
+
+def test_tiff_lzw_with_predictor():
+    """Hand-assemble an LZW + horizontal-predictor strip and decode it."""
+    import struct as _s
+
+    row = np.array([100, 101, 103, 106, 110], dtype=np.uint8)
+    # predictor 2 stores the first sample raw, then per-sample differences
+    diff = np.concatenate([row[:1], np.diff(row.astype(np.int16)).astype(np.uint8)])
+
+    # TIFF LZW-encode `diff` with CLEAR + literals + EOI (9-bit codes)
+    bits = []
+    def put(code, width=9):
+        bits.extend(int(b) for b in format(code, f"0{width}b"))
+    put(256)
+    for v in diff:
+        put(int(v))
+    put(257)
+    while len(bits) % 8:
+        bits.append(0)
+    stream = bytes(
+        int("".join(map(str, bits[i : i + 8])), 2) for i in range(0, len(bits), 8)
+    )
+    # minimal LE TIFF with predictor 2, compression 5
+    entries = [
+        (256, 3, 1, 5), (257, 3, 1, 1), (258, 3, 1, 8), (259, 3, 1, 5),
+        (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, 1),
+        (279, 4, 1, len(stream)), (317, 3, 1, 2),
+    ]
+    body = bytearray(_s.pack("<H", len(entries)))
+    strip_pos = None
+    for tag, dt, cnt, val in entries:
+        body += _s.pack("<HHI", tag, dt, cnt)
+        if tag == 273:
+            strip_pos = len(body)
+            body += _s.pack("<I", 0)
+        elif dt == 3:
+            body += _s.pack("<HH", val, 0)
+        else:
+            body += _s.pack("<I", val)
+    body += _s.pack("<I", 0)
+    pixel_off = 8 + len(body)
+    _s.pack_into("<I", body, strip_pos, pixel_off)
+    data = b"II*\x00" + _s.pack("<I", 8) + bytes(body) + stream
+    out = P.tiff_decode(data)
+    assert np.array_equal(out, row.reshape(1, 5))
+
+
+def test_tiff_rejects_unsupported():
+    import pytest as _pytest
+
+    with _pytest.raises(P.PngError):
+        P.tiff_decode(b"II*\x00" + b"\x00" * 20)  # IFD at offset 0 -> nonsense
