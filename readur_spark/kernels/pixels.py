@@ -173,6 +173,8 @@ def decode_image(data: bytes, auto_orient: bool = True) -> np.ndarray:
         return gif_decode(data)
     if data[:4] in (b"II*\x00", b"MM\x00*"):
         return tiff_decode(data)
+    if data.startswith(b"BM"):
+        return bmp_decode(data)
     if data.startswith(b"\xff\xd8"):
         from readur_spark.kernels.minijpeg import jpeg_decode
 
@@ -1070,3 +1072,42 @@ def tiff_encode(arr: np.ndarray, compression: int = 1) -> bytes:
     pixel_off = extra_base + len(extra)
     struct.pack_into("<I", body, strip_off_pos, pixel_off)
     return header + bytes(body) + bytes(extra) + pixels
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Uncompressed BI_RGB BMP (8-bit paletted or 24/32-bit), bottom-up or
+    top-down rows, 4-byte row padding. Returns (H,W,3) RGB or (H,W) gray
+    for an identity-gray palette."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise PngError("not a BMP")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    w, h = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise PngError(f"BMP compression {compression} unsupported")
+    if bpp not in (8, 24, 32):
+        raise PngError(f"{bpp}-bit BMP unsupported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    raw = data[pixel_off : pixel_off + row_bytes * h]
+    if len(raw) < row_bytes * h:
+        raise PngError("BMP pixel data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        palette = np.frombuffer(
+            data[14 + hdr_size : 14 + hdr_size + 1024], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRA -> RGB
+        idx = rows[:, :w]
+        if len(palette) >= 256 and np.all(palette[:, 0] == palette[:, 1]) and np.all(
+            palette[:, 1] == palette[:, 2]
+        ):
+            return palette[idx][:, :, 0]  # grayscale palette
+        return palette[np.clip(idx, 0, len(palette) - 1)]
+    nch = bpp // 8
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    return np.ascontiguousarray(px[:, :, 2::-1])  # BGR(A) -> RGB

@@ -158,6 +158,7 @@ def decode_images(
                     data.startswith(b"\x89PNG")
                     or data.startswith(b"\xff\xd8")
                     or data.startswith(b"GIF8")
+                    or data.startswith(b"BM")
                     or data[:4] in (b"II*\x00", b"MM\x00*")
                 ):
                     try:

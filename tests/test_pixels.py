@@ -503,3 +503,39 @@ def test_tiff_rejects_unsupported():
 
     with _pytest.raises(P.PngError):
         P.tiff_decode(b"II*\x00" + b"\x00" * 20)  # IFD at offset 0 -> nonsense
+
+
+def test_bmp_decode_24bit_and_gray_palette():
+    import struct as _s
+
+    rng = np.random.RandomState(2)
+    h, w = 7, 5
+    rgb = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = bytearray()
+        for x in range(w):
+            r, g, b = rgb[y, x]
+            row += bytes([b, g, r])
+        row += b"\x00" * (row_bytes - len(row))
+        body += row
+    hdr = b"BM" + _s.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    assert np.array_equal(P.bmp_decode(hdr + bytes(body)), rgb)
+
+    # 8-bit gray palette
+    gray = rng.randint(0, 256, size=(4, 6)).astype(np.uint8)
+    row_bytes = (6 + 3) & ~3
+    body = bytearray()
+    for y in range(3, -1, -1):
+        body += bytes(gray[y]) + b"\x00" * (row_bytes - 6)
+    palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+    off = 54 + 1024
+    hdr = b"BM" + _s.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += _s.pack("<IiiHHIIiiII", 40, 6, 4, 1, 8, 0, len(body), 2835, 2835, 256, 0)
+    out = P.bmp_decode(hdr + palette + bytes(body))
+    assert out.ndim == 2 and np.array_equal(out, gray)
+
+    with pytest.raises(P.PngError):
+        P.bmp_decode(b"BM" + b"\x00" * 10)
