@@ -425,6 +425,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     ).select("doc_id", "lang", "source", "n_chars")
 
     # ---- similarity search ----
+    def _q_embedding_quantize(s, sf):
+        emb = load_table(s, sf, "embeddings")
+        q8 = similarity.quantize_int8(emb)
+        deq = similarity.dequantize_int8(q8)
+        e = F.col("embedding").cast("array<double>")
+        err = F.sqrt(
+            F.aggregate(
+                F.zip_with(e, F.col("embedding_deq"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        )
+        return deq.select(
+            "vec_id",
+            F.round(F.col("embedding_q8_scale"), 9).alias("scale"),
+            F.round(err, 6).alias("l2_error"),
+        )
+
+    q["embedding_quantize"] = _q_embedding_quantize
     q["ann_topk_cosine"] = lambda s, sf: similarity.cosine_topk(
         load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10
     )
@@ -893,6 +912,18 @@ def oracle_sql() -> dict[str, str]:
         FROM documents
     """
 
+    o["embedding_quantize"] = """
+        WITH q AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                 list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) / 127.0
+                 AS scale
+          FROM embeddings)
+        SELECT vec_id, round(scale, 9) AS scale,
+               round(sqrt(list_sum([
+                   pow(e[i] - round(e[i] / scale) * scale, 2)
+                   for i in range(1, len(e) + 1)])), 6) AS l2_error
+        FROM q
+    """
     o["ann_topk_cosine"] = """
         SELECT vec_id,
                round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),

@@ -264,3 +264,42 @@ def ivf_topk_indexed(
     probe = [i for _, i in sorted(dists)[:n_probe]]
     scan = spark.read.parquet(path).filter(F.col("cluster").isin(probe))
     return cosine_topk(scan.drop("cluster"), query_vec, k=k, id_col=id_col, vec_col=vec_col)
+
+
+def l2_normalize(
+    embeddings: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_norm"
+) -> DataFrame:
+    """Unit-normalize embeddings (pure Catalyst fold — cosine becomes a
+    plain dot product downstream, halving the ANN scoring cost)."""
+    emb = F.col(vec_col).cast("array<double>")
+    norm = _norm(emb)
+    return embeddings.withColumn(
+        out_col,
+        F.when(norm == 0, emb).otherwise(F.transform(emb, lambda x: x / norm)),
+    )
+
+
+def quantize_int8(
+    embeddings: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q8"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127, stored
+    as (scale, array<tinyint>) — 4x smaller than float32 at rest, the
+    standard storage trade for 10^12-vector corpora. Pure Catalyst;
+    dequantize with :func:`dequantize_int8`. round() is HALF_UP, matching
+    the DuckDB oracle."""
+    emb = F.col(vec_col).cast("array<double>")
+    scale = F.array_max(F.transform(emb, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(scale == 0, F.transform(emb, lambda x: x.cast("tinyint"))).otherwise(
+        F.transform(emb, lambda x: F.round(x / scale, 0).cast("tinyint"))
+    )
+    return embeddings.withColumn(f"{out_col}_scale", scale).withColumn(out_col, q)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "embedding_q8", scale_col: str = "embedding_q8_scale",
+    out_col: str = "embedding_deq",
+) -> DataFrame:
+    return df.withColumn(
+        out_col,
+        F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
+    )

@@ -99,3 +99,31 @@ def test_ivf_indexed_query_matches_in_memory(spark, emb, query_vec, tmp_path):
     assert [tuple(r) for r in indexed.collect()] == [tuple(r) for r in in_mem.collect()]
     plan = indexed._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_l2_normalize_and_quantize_roundtrip(spark, emb):
+    from readur_spark.operators.similarity import (
+        dequantize_int8,
+        l2_normalize,
+        quantize_int8,
+    )
+    from pyspark.sql import functions as F
+
+    normed = l2_normalize(emb)
+    norms = normed.select(
+        F.sqrt(
+            F.aggregate(
+                F.transform(F.col("embedding_norm"), lambda x: x * x),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+        ).alias("n")
+    ).collect()
+    assert all(abs(r["n"] - 1.0) < 1e-9 for r in norms)
+
+    deq = dequantize_int8(quantize_int8(emb))
+    rows = deq.select("embedding", "embedding_deq", "embedding_q8_scale").collect()
+    for r in rows:
+        scale = r["embedding_q8_scale"]
+        for orig, back in zip(r["embedding"], r["embedding_deq"]):
+            assert abs(float(orig) - back) <= scale / 2 + 1e-12
