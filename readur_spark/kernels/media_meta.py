@@ -13,8 +13,10 @@ Pillow/opencv, so dimensions are parsed straight from the container headers
 * BMP  — BITMAPINFOHEADER.
 
 The EXIF 8-case orientation→transform table is reproduced exactly
-(document_ingestion.rs:389-399); the pixel transform itself is the stubbed
-part (no decoder), but the dimension/operation math is real and tested.
+(document_ingestion.rs:389-399); the pixel apply lives in
+kernels/pixels.apply_orientation (real, all formats decode natively via
+kernels/pixels + kernels/minijpeg). WAV PCM content decode + audio
+features are real too (wav_decode / audio_features below).
 """
 
 from __future__ import annotations
@@ -285,3 +287,62 @@ def parse_video_meta(data: bytes) -> dict | None:
                                 out["width"] = int(w)
                                 out["height"] = int(h)
     return out
+
+
+def wav_decode(data: bytes):
+    """Decode WAV PCM samples to (sample_rate, numpy array shaped
+    (n_frames, channels), int16/int32/uint8 per bit depth). Real decode —
+    PCM is raw sample data; non-PCM (compressed) WAV raises ValueError."""
+    import numpy as np
+
+    meta = parse_audio_meta(data)
+    if not meta or meta["format"] != "wav":
+        raise ValueError("not a WAV file")
+    pos = 12
+    fmt_tag = None
+    pcm = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (csize,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_tag = struct.unpack("<H", body[:2])[0]
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + csize + (csize & 1)
+    if fmt_tag not in (1, 0xFFFE):  # PCM / extensible-PCM
+        raise ValueError(f"non-PCM WAV (format tag {fmt_tag}) unsupported")
+    if pcm is None:
+        raise ValueError("WAV has no data chunk")
+    bits = meta["bits_per_sample"]
+    channels = meta["channels"]
+    dtype = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    if dtype is None:
+        raise ValueError(f"{bits}-bit WAV unsupported")
+    samples = np.frombuffer(pcm, dtype=dtype)
+    frames = len(samples) // channels
+    return meta["sample_rate"], samples[: frames * channels].reshape(frames, channels)
+
+
+def audio_features(data: bytes) -> dict | None:
+    """Real audio content features from decoded PCM: RMS level, peak,
+    silence ratio (|x| < 1% full scale), duration. None for non-WAV."""
+    import numpy as np
+
+    try:
+        rate, samples = wav_decode(data)
+    except (ValueError, struct.error):
+        return None
+    if samples.size == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "peak": 0.0, "silence_ratio": 1.0}
+    if samples.dtype == np.uint8:
+        x = (samples.astype(np.float64) - 128.0) / 128.0
+    else:
+        x = samples.astype(np.float64) / float(np.iinfo(samples.dtype).max)
+    mono = x.mean(axis=1)
+    return {
+        "duration_s": round(len(mono) / rate, 6),
+        "rms": round(float(np.sqrt((mono * mono).mean())), 6),
+        "peak": round(float(np.abs(mono).max()), 6),
+        "silence_ratio": round(float((np.abs(mono) < 0.01).mean()), 6),
+    }

@@ -1,12 +1,12 @@
 """Multimodal column operators: opaque binary media + typed metadata.
 
-Images/audio/video travel as ``binary`` columns. PNG and baseline JPEG
-decode is REAL (in-repo stdlib+numpy codecs, kernels/pixels +
-kernels/minijpeg, EXIF auto-rotate applied); only formats with no in-repo
-codec (TIFF/GIF pixels, audio, video frames) use the clearly-flagged
-deterministic stub — schemas, batch shapes and partition behavior are
-identical either way, so swapping in Pillow/ffmpeg is a one-function
-change.
+Images/audio/video travel as ``binary`` columns. Image decode is REAL for
+every format in the MIME table (PNG/JPEG/GIF/TIFF/BMP — in-repo
+stdlib+numpy codecs in kernels/pixels + kernels/minijpeg, EXIF auto-rotate
+applied); WAV PCM content decode + features are real
+(kernels/media_meta.wav_decode). The remaining stubs are compressed
+audio/video CONTENT decode (metadata is real; swap in ffmpeg on a real
+deployment — schemas, batch shapes and partition behavior stay).
 
 Reference parity: image metadata I17 (metadata_extraction.rs:52-81), EXIF
 auto-rotate I5 (document_ingestion.rs:356-408), smart resize I7
@@ -123,12 +123,11 @@ DECODED_SCHEMA = T.StructType(
 
 
 def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
-    """STUB for formats without an in-repo codec (TIFF/GIF pixels): a
+    """STUB fallback — only reachable for files whose header parses but
+    whose pixel data is undecodable (corrupt/exotic variants): a
     reproducible byte pattern derived from the content hash, sized like a
-    real grayscale decode (w*h bytes, capped at 64 KB). Replace with
-    Pillow on a real deployment; every caller contract stays. PNG and
-    baseline JPEG never hit this — they take the REAL decoders
-    (kernels/pixels.decode_image)."""
+    real grayscale decode (w*h bytes, capped at 64 KB). Every format in
+    the MIME table decodes for real via kernels/pixels.decode_image."""
     n = min(max(width * height, 1), 65536)
     seed = hashlib.blake2b(data, digest_size=32).digest()
     reps = (n // len(seed)) + 1
@@ -138,10 +137,10 @@ def _decode_image_stub(data: bytes, width: int, height: int) -> bytes:
 def decode_images(
     media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
-    """Decode stage. PNG and baseline JPEG → REAL decode (in-repo codecs,
-    EXIF auto-rotate applied for JPEG) to grayscale pixels with
-    ``decode_stub=false``; TIFF/GIF → flagged stub; undecodable → null
-    pixels."""
+    """Decode stage: PNG/JPEG/GIF/TIFF/BMP → REAL decode (in-repo codecs,
+    EXIF auto-rotate for JPEG) to grayscale pixels with
+    ``decode_stub=false``; corrupt-but-parseable headers → flagged stub;
+    undecodable → null pixels."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -463,3 +462,44 @@ def video_metadata(
             yield pd.DataFrame(rows)
 
     return media_df.select(id_col, content_col).mapInPandas(run, VIDEO_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("duration_s", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+        T.StructField("peak", T.DoubleType(), True),
+        T.StructField("silence_ratio", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_content_features(
+    media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """REAL audio content features: WAV PCM decoded to samples per batch,
+    RMS/peak/silence computed in numpy (kernels/media_meta.audio_features).
+    Non-PCM/non-WAV rows yield nulls (compressed-audio decode is the one
+    remaining swap point — ffmpeg on a real deployment)."""
+    from readur_spark.kernels.media_meta import audio_features
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                raw = pdf[content_col].iloc[i]
+                data = bytes(raw) if raw is not None else b""
+                feats = audio_features(data) or {}
+                rows.append(
+                    {
+                        "doc_id": str(pdf[id_col].iloc[i]),
+                        "duration_s": feats.get("duration_s"),
+                        "rms": feats.get("rms"),
+                        "peak": feats.get("peak"),
+                        "silence_ratio": feats.get("silence_ratio"),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return media_df.select(id_col, content_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -339,3 +339,46 @@ def test_parse_tiff_dims():
     )
     data_be = b"MM\x00*" + struct.pack(">I", 8) + ifd_be
     assert parse_image_meta(data_be)["width"] == 33
+
+
+def test_wav_pcm_decode_and_features():
+    import io
+    import math
+    import wave
+
+    from readur_spark.kernels.media_meta import audio_features, wav_decode
+
+    rate, amp = 8000, 0.5
+    n = rate // 4
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", int(amp * 32767 * math.sin(2 * math.pi * 440 * t / rate)))
+                for t in range(n)
+            )
+        )
+    data = buf.getvalue()
+    r, samples = wav_decode(data)
+    assert r == rate and samples.shape == (n, 1)
+    f = audio_features(data)
+    assert abs(f["rms"] - amp / math.sqrt(2)) < 0.01  # sine RMS = A/√2
+    assert abs(f["duration_s"] - 0.25) < 1e-6
+    assert audio_features(b"not audio") is None
+
+
+def test_distributed_audio_features(spark):
+    from readur_spark.operators.multimodal import audio_content_features
+
+    rows = [
+        {"doc_id": "w", "content": _wav_bytes(channels=1, rate=8000, seconds=0.5)},
+        {"doc_id": "x", "content": b"junk"},
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, content binary")
+    got = {r["doc_id"]: r for r in audio_content_features(df).collect()}
+    assert got["w"]["duration_s"] == pytest.approx(0.5)
+    assert got["w"]["silence_ratio"] == pytest.approx(1.0)  # silent frames
+    assert got["x"]["rms"] is None
