@@ -10,9 +10,10 @@ flagged stub until now. This module implements the actual standard:
 * decoder: baseline sequential, 8-bit, grayscale / YCbCr (4:4:4, 4:2:2,
   4:2:0), standard or custom Huffman + quant tables, restart markers,
   byte unstuffing;
-* encoder: grayscale or RGB→YCbCr 4:4:4 with the Annex-K example tables
-  (quality-scaled per the IJG recipe) — used to synthesize deterministic
-  test/bench fixtures in-container.
+* encoder: grayscale or RGB→YCbCr, 4:4:4 or 4:2:0 (``subsample=True``),
+  Annex-K example tables quality-scaled per the IJG recipe — used to
+  synthesize deterministic test/bench fixtures in-container and to
+  exercise the decoder's subsampled-MCU walk.
 
 JPEG is lossy: the roundtrip contract is PSNR, not equality (tested
 >30 dB at q=90 on noise, much higher on smooth content). Not supported
@@ -250,9 +251,11 @@ def _dqt_segment(tq: int, table: np.ndarray) -> bytes:
     return b"\xff\xdb" + struct.pack(">H", len(payload) + 2) + payload
 
 
-def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
+def jpeg_encode(arr: np.ndarray, quality: int = 90, subsample: bool = False) -> bytes:
     """Encode (H,W) grayscale or (H,W,3) RGB uint8 as baseline JPEG
-    (4:4:4, Annex-K tables quality-scaled)."""
+    (Annex-K tables quality-scaled). ``subsample=True`` emits 4:2:0
+    (2x2 luma blocks + mean-pooled chroma per MCU — the common camera
+    layout, exercising the decoder's upsampling path)."""
     arr = np.asarray(arr, dtype=np.uint8)
     gray = arr.ndim == 2
     h, w = arr.shape[0], arr.shape[1]
@@ -266,7 +269,8 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
     # SOF0
     ncomp = 1 if gray else 3
     sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
-    sof += bytes([1, 0x11, 0])  # comp 1: 1x1 sampling, qtable 0
+    y_sampling = 0x22 if (subsample and not gray) else 0x11
+    sof += bytes([1, y_sampling, 0])  # comp 1 sampling, qtable 0
     if not gray:
         sof += bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
@@ -297,14 +301,40 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90) -> bytes:
         y = 0.299 * r + 0.587 * g + 0.114 * b
         cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
         cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        # 4:4:4 interleaved: one block of each component per MCU
-        by, bcb, bcr = (_blocks_of(p) for p in (y, cb, cr))
-        py = pcb = pcr = 0
         q2y, q2c = qy.astype(np.float64), qc.astype(np.float64)
-        for i in range(len(by)):
-            py = _encode_component(by[i : i + 1], q2y, dc_y, ac_y, writer, py)
-            pcb = _encode_component(bcb[i : i + 1], q2c, dc_c, ac_c, writer, pcb)
-            pcr = _encode_component(bcr[i : i + 1], q2c, dc_c, ac_c, writer, pcr)
+        if subsample:
+            # 4:2:0: MCU = 2x2 luma blocks + one mean-pooled block each of
+            # Cb/Cr; planes edge-padded to 16-multiples
+            ph, pw = (h + 15) // 16 * 16, (w + 15) // 16 * 16
+            yp = np.pad(y, ((0, ph - h), (0, pw - w)), mode="edge")
+            cbp = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            crp = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb2 = cbp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            cr2 = crp.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            py = pcb = pcr = 0
+            for my in range(ph // 16):
+                for mx in range(pw // 16):
+                    for byi in range(2):
+                        for bxi in range(2):
+                            blk = yp[
+                                my * 16 + byi * 8 : my * 16 + byi * 8 + 8,
+                                mx * 16 + bxi * 8 : mx * 16 + bxi * 8 + 8,
+                            ]
+                            py = _encode_component(
+                                blk[None, :, :], q2y, dc_y, ac_y, writer, py
+                            )
+                    cblk = cb2[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    pcb = _encode_component(cblk[None, :, :], q2c, dc_c, ac_c, writer, pcb)
+                    rblk = cr2[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                    pcr = _encode_component(rblk[None, :, :], q2c, dc_c, ac_c, writer, pcr)
+        else:
+            # 4:4:4 interleaved: one block of each component per MCU
+            by, bcb, bcr = (_blocks_of(p) for p in (y, cb, cr))
+            py = pcb = pcr = 0
+            for i in range(len(by)):
+                py = _encode_component(by[i : i + 1], q2y, dc_y, ac_y, writer, py)
+                pcb = _encode_component(bcb[i : i + 1], q2c, dc_c, ac_c, writer, pcb)
+                pcr = _encode_component(bcr[i : i + 1], q2c, dc_c, ac_c, writer, pcr)
     writer.flush()
     out += writer.buf
     out += b"\xff\xd9"  # EOI

@@ -108,3 +108,17 @@ def test_jpeg_through_ocr_ladder():
     res = ocr_image_bytes(jpeg_encode(bright, 90), FakeOcrEngine())
     assert res["status"] == "completed"
     assert res["word_count"] > 0
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 encoding (2x2 luma + pooled chroma MCUs) exercises the
+    decoder's subsampling walk and chroma upsampling."""
+    rgb = np.zeros((37, 52, 3), np.uint8)  # non-16-multiple dims
+    rgb[:, :, 0] = np.tile((np.arange(52) * 4 % 256).astype(np.uint8), (37, 1))
+    rgb[:, :, 1] = 90
+    rgb[:, :, 2] = np.tile(((np.arange(37) * 6 % 256).astype(np.uint8))[:, None], (1, 52))
+    out = jpeg_decode(jpeg_encode(rgb, quality=90, subsample=True))
+    assert out.shape == rgb.shape
+    assert _psnr(rgb, out) > 28
+    # 4:2:0 stream really is smaller than 4:4:4 for the same content
+    assert len(jpeg_encode(rgb, 90, subsample=True)) < len(jpeg_encode(rgb, 90))
