@@ -224,12 +224,13 @@ def parse_audio_meta(data: bytes) -> dict | None:
             "duration_s": round(duration, 6) if duration is not None else None,
         }
     if len(data) >= 3 and (data[:3] == b"ID3" or (data[0] == 0xFF and (data[1] & 0xE0) == 0xE0)):
+        info = mp3_info(data) or {}
         return {
             "format": "mp3",
-            "channels": None,
-            "sample_rate": None,
+            "channels": None,  # needs per-frame mode parse; not exposed
+            "sample_rate": info.get("sample_rate"),
             "bits_per_sample": None,
-            "duration_s": None,
+            "duration_s": info.get("duration_s"),
         }
     return None
 
@@ -346,3 +347,55 @@ def audio_features(data: bytes) -> dict | None:
         "peak": round(float(np.abs(mono).max()), 6),
         "silence_ratio": round(float((np.abs(mono) < 0.01).mean()), 6),
     }
+
+
+_MP3_BITRATES = {  # kbps, MPEG1 Layer III column of the standard table
+    1: 32, 2: 40, 3: 48, 4: 56, 5: 64, 6: 80, 7: 96,
+    8: 112, 9: 128, 10: 160, 11: 192, 12: 224, 13: 256, 14: 320,
+}
+_MP3_RATES = {0: 44100, 1: 48000, 2: 32000}
+
+
+def mp3_info(data: bytes) -> dict | None:
+    """MP3 stream info from the first MPEG1-Layer-III frame header after
+    any ID3v2 tag: bitrate, sample rate, and a duration estimate — exact
+    frame count from a Xing/Info header when present (VBR), else
+    CBR size/bitrate arithmetic. Returns None when no valid frame is
+    found."""
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = (
+            (data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7 | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    n = len(data)
+    while pos + 4 <= n:
+        if data[pos] == 0xFF and (data[pos + 1] & 0xFE) == 0xFA:  # MPEG1 L3
+            b = data[pos + 2]
+            bitrate_idx, rate_idx = b >> 4, (b >> 2) & 0x3
+            if bitrate_idx in _MP3_BITRATES and rate_idx in _MP3_RATES:
+                bitrate = _MP3_BITRATES[bitrate_idx] * 1000
+                rate = _MP3_RATES[rate_idx]
+                # Xing/Info header (VBR): frame count at side-info offset
+                ch_mode = data[pos + 3] >> 6
+                xing_off = pos + 4 + (17 if ch_mode != 3 else 32)
+                duration = None
+                if data[xing_off : xing_off + 4] in (b"Xing", b"Info") and len(
+                    data
+                ) >= xing_off + 12:
+                    (flags,) = struct.unpack(">I", data[xing_off + 4 : xing_off + 8])
+                    if flags & 1:
+                        (frames,) = struct.unpack(
+                            ">I", data[xing_off + 8 : xing_off + 12]
+                        )
+                        duration = round(frames * 1152.0 / rate, 6)
+                if duration is None:
+                    duration = round((n - pos) * 8.0 / bitrate, 6)
+                return {
+                    "bitrate": bitrate,
+                    "sample_rate": rate,
+                    "duration_s": duration,
+                }
+        pos += 1
+    return None

@@ -382,3 +382,23 @@ def test_distributed_audio_features(spark):
     assert got["w"]["duration_s"] == pytest.approx(0.5)
     assert got["w"]["silence_ratio"] == pytest.approx(1.0)  # silent frames
     assert got["x"]["rms"] is None
+
+
+def test_mp3_frame_walk_info():
+    from readur_spark.kernels.media_meta import mp3_info, parse_audio_meta
+
+    hdr = bytes([0xFF, 0xFB, (9 << 4), 0x00])  # 128 kbps, 44.1 kHz, stereo
+    frame_len = 144 * 128000 // 44100
+    cbr = (hdr + b"\x00" * (frame_len - 4)) * 10
+    info = mp3_info(cbr)
+    assert info["bitrate"] == 128000 and info["sample_rate"] == 44100
+    assert info["duration_s"] == pytest.approx(len(cbr) * 8 / 128000, abs=1e-6)
+    # Xing VBR frame count wins over the CBR estimate
+    xing = hdr + b"\x00" * 17 + b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 100) + b"\x00" * 64
+    assert mp3_info(xing)["duration_s"] == pytest.approx(100 * 1152 / 44100, abs=1e-4)
+    # ID3v2 prefix is skipped (syncsafe size)
+    id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+    meta = parse_audio_meta(id3 + cbr)
+    assert meta["format"] == "mp3" and meta["sample_rate"] == 44100
+    assert meta["duration_s"] is not None
+    assert mp3_info(b"\x00" * 50) is None
