@@ -219,7 +219,11 @@ def gopher_flags_cols(c: Column, stopwords: tuple[str, ...] = GOPHER_STOPWORDS) 
     stop_hits = None
     low = F.lower(c)
     for s in stops:
-        hit = F.when(low.rlike(rf"\b{s}\b"), F.lit(1)).otherwise(F.lit(0))
+        # caller-supplied stopwords are literals — escape before embedding.
+        # Lookarounds instead of \b: identical for word-edged terms, but \b
+        # never matches at a punctuation-edged term boundary ('c++' ).
+        pat = rf"(?<!\w){re.escape(s)}(?!\w)"
+        hit = F.when(low.rlike(pat), F.lit(1)).otherwise(F.lit(0))
         stop_hits = hit if stop_hits is None else stop_hits + hit
     ok_stops = stop_hits >= 2
     passes = (

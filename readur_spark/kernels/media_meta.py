@@ -377,19 +377,28 @@ def mp3_info(data: bytes) -> dict | None:
             if bitrate_idx in _MP3_BITRATES and rate_idx in _MP3_RATES:
                 bitrate = _MP3_BITRATES[bitrate_idx] * 1000
                 rate = _MP3_RATES[rate_idx]
-                # Xing/Info header (VBR): frame count at side-info offset
+                # Xing/Info header (VBR): frame count sits right after the
+                # side info — 32 bytes for MPEG1 L3 stereo/joint/dual,
+                # 17 for mono (ISO 11172-3 §2.4.1.7). Mode-correct offset
+                # first, then the other MPEG1 offset defensively (some
+                # encoders place it wrong).
                 ch_mode = data[pos + 3] >> 6
-                xing_off = pos + 4 + (17 if ch_mode != 3 else 32)
+                side = 17 if ch_mode == 3 else 32
                 duration = None
-                if data[xing_off : xing_off + 4] in (b"Xing", b"Info") and len(
-                    data
-                ) >= xing_off + 12:
-                    (flags,) = struct.unpack(">I", data[xing_off + 4 : xing_off + 8])
-                    if flags & 1:
-                        (frames,) = struct.unpack(
-                            ">I", data[xing_off + 8 : xing_off + 12]
+                for off in (side, 49 - side):
+                    xing_off = pos + 4 + off
+                    if data[xing_off : xing_off + 4] in (b"Xing", b"Info") and len(
+                        data
+                    ) >= xing_off + 12:
+                        (flags,) = struct.unpack(
+                            ">I", data[xing_off + 4 : xing_off + 8]
                         )
-                        duration = round(frames * 1152.0 / rate, 6)
+                        if flags & 1:
+                            (frames,) = struct.unpack(
+                                ">I", data[xing_off + 8 : xing_off + 12]
+                            )
+                            duration = round(frames * 1152.0 / rate, 6)
+                        break
                 if duration is None:
                     duration = round((n - pos) * 8.0 / bitrate, 6)
                 return {

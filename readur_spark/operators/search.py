@@ -11,6 +11,8 @@ whose column names match the DuckDB oracles in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -185,7 +187,11 @@ def search_ranked_ts(docs: DataFrame, query: str, limit: int = 25) -> DataFrame:
     )
     rank = F.lit(0.0)
     for term in query.split():
-        tf = F.regexp_count(lowered, F.lit(term.lower()))
+        # user terms are literals, not patterns — escape regex
+        # metacharacters ('c++', '(test') the way plainto_tsquery
+        # sanitizes input (re.escape output is Java-Pattern-safe:
+        # backslash before punctuation is always a literal there)
+        tf = F.regexp_count(lowered, F.lit(re.escape(term.lower())))
         rank = rank + F.when(tf > 0, (F.lit(1.0) + F.log(tf)) / (F.lit(1.0) + F.log(wc))).otherwise(
             F.lit(0.0)
         )

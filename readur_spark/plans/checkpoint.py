@@ -57,7 +57,32 @@ class CheckpointTable:
         self.spark = spark
         self.path = path
 
+    def _recover(self) -> None:
+        """Crash recovery for the two-rename compaction commit in
+        ``cleanup_completed``. Invariants: a ``.old-*`` sibling means the
+        pre-compaction table was moved aside; if the main path is missing
+        the crash hit between the renames → restore the old table (the
+        compaction simply didn't happen). A ``.compact-*`` sibling is a
+        write that never committed → drop it. If the main path exists, any
+        ``.old-*`` leftovers are already-superseded tables → drop them."""
+        import shutil
+
+        parent = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        if not os.path.isdir(parent):
+            return
+        sibs = [f for f in os.listdir(parent) if f.startswith(base + ".")]
+        main_exists = os.path.isdir(self.path)
+        for s in sibs:
+            full = os.path.join(parent, s)
+            if s.startswith(base + ".old-") and not main_exists:
+                os.rename(full, self.path)
+                main_exists = True
+            else:
+                shutil.rmtree(full, ignore_errors=True)
+
     def exists(self) -> bool:
+        self._recover()
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
         )
@@ -68,6 +93,7 @@ class CheckpointTable:
         return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
 
     def append(self, rows: list[dict]) -> None:
+        self._recover()
         df = self.spark.createDataFrame(
             [
                 {
@@ -124,9 +150,18 @@ class CheckpointTable:
         cleanup is for finished runs whose outputs are already committed.
 
         The parquet stand-in rewrites the (small, one-row-per-partition-
-        attempt) table atomically: new files first, old files removed
-        after. On Iceberg this is a metadata-only DELETE."""
+        attempt) table via a crash-safe commit: compacted copy to a temp
+        sibling dir → old table renamed aside → temp renamed into place →
+        old removed. ``_recover`` repairs every intermediate crash state
+        (see its invariants) with no window where kept rows are duplicated
+        — the defect the round-2 advice flagged in the append-then-delete
+        version. On Iceberg this whole method is a metadata-only DELETE.
+
+        Rows with status='completed' but NULL ``completed_at`` are RETAINED
+        (a tri-state NOT over a NULL comparison silently deleted them
+        before): age unknown is not age expired."""
         import datetime
+        import shutil
 
         if not self.exists():
             return 0
@@ -134,24 +169,24 @@ class CheckpointTable:
         cutoff = now - datetime.timedelta(days=days_to_keep)
         df = self.read()
         keep = df.filter(
-            ~((F.col("status") == "completed") & (F.col("completed_at") < F.lit(cutoff)))
+            ~(
+                (F.col("status") == "completed")
+                & F.col("completed_at").isNotNull()
+                & (F.col("completed_at") < F.lit(cutoff))
+            )
         )
         rows = keep.collect()  # metadata-scale table: one row per attempt
         deleted = df.count() - len(rows)
         if deleted:
-            old_files = [
-                os.path.join(self.path, f)
-                for f in os.listdir(self.path)
-                if f.endswith(".parquet") or f.startswith("part-")
-            ]
-            self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA).write.mode(
-                "append"
-            ).parquet(self.path)
-            for f in old_files:
-                try:
-                    os.remove(f)
-                except OSError:
-                    pass
+            token = uuid.uuid4().hex[:8]
+            tmp = f"{self.path}.compact-{token}"
+            old = f"{self.path}.old-{token}"
+            self.spark.createDataFrame(rows, CHECKPOINT_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            os.rename(self.path, old)
+            os.rename(tmp, self.path)
+            shutil.rmtree(old, ignore_errors=True)
         return int(deleted)
 
     def stats(self) -> DataFrame:

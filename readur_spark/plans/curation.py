@@ -106,8 +106,15 @@ def curate(
     ).join(curated.select("doc_id", "lang", "quality"), "doc_id")
     metrics["chunks"] = chunks.count()
 
+    # full lifecycle: every persisted intermediate is released once the
+    # final chunk count has materialized the whole funnel. The returned
+    # `chunks` plan still references `curated`, so that one is released
+    # lazily via blocking=False unpersist AFTER the count — recomputation
+    # (if the caller re-collects) is correct, just uncached.
     text_df.unpersist()
     filtered.unpersist()
+    exact.unpersist()
+    curated.unpersist()
     return chunks, metrics
 
 

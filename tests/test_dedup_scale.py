@@ -49,11 +49,13 @@ def test_embedding_bucketed_never_collects(spark, emb):
 
 
 def test_ngram_df_cap_noop_on_small_corpus(spark, docs):
-    """The capped default (scale path) equals the uncapped exact form
+    """The capped scale path (opt-in) equals the uncapped exact default
     whenever no shingle exceeds the cap — i.e. always on test corpora."""
     capped = {
         (r.id_a, r.id_b, r.jaccard)
-        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, max_shingle_df=1000
+        ).collect()
     }
     uncapped = {
         (r.id_a, r.id_b, r.jaccard)
@@ -74,8 +76,58 @@ def test_ngram_df_cap_drops_stopword_shingles(spark):
     ).collect()
     # every 3-gram built purely from the shared prefix occurs in all 8 docs
     # (> cap) and is dropped; the unique-suffix 3-grams occur once each, so
-    # no two docs share an indexed shingle
+    # no two docs share an indexed shingle. Each doc keeps its unique
+    # shingles, so the mass-duplicate path does not fire either.
     assert pairs == []
+
+
+def test_ngram_df_cap_mass_duplicate_family_recovered(spark):
+    """A family of > cap IDENTICAL docs loses every shingle to the df cap —
+    round-2 advice: the old code then reported zero pairs for the prime
+    dedup target (boilerplate clusters). The mass-duplicate path must pair
+    them all at jaccard 1.0."""
+    fam = [(f"b{i:02d}", "exact same boilerplate spam body text") for i in range(6)]
+    other = [("u1", "completely unrelated content one"), ("u2", "different text two")]
+    docs = spark.createDataFrame(fam + other, "doc_id string, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, n=3, max_shingle_df=4
+        ).collect()
+    }
+    fam_ids = sorted(d for d, _ in fam)
+    expected = {
+        (a, b) for i, a in enumerate(fam_ids) for b in fam_ids[i + 1 :]
+    }
+    assert set(pairs) == expected  # all 15 family pairs, nothing else
+    assert all(j == 1.0 for j in pairs.values())
+
+
+def test_ngram_df_cap_never_inflates_jaccard(spark):
+    """With the cap set, set sizes come from the UN-pruned shingle table:
+    the reported jaccard for surviving pairs can only under-count, never
+    exceed the exact value (no false positives from pruning)."""
+    rows = [
+        ("a", "alpha beta gamma delta epsilon zeta eta theta"),
+        ("b", "alpha beta gamma delta epsilon zeta iota kappa"),
+        ("c", "alpha beta gamma other words entirely here now"),
+        ("d", "alpha beta gamma more unrelated filler tokens here"),
+        ("e", "alpha beta gamma yet another unrelated doc body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.0001, n=1).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.0001, n=1, max_shingle_df=3
+        ).collect()
+    }
+    assert capped  # alpha/beta/gamma (df=5) dropped, but a–b still share 3 kept shingles
+    for pair, j in capped.items():
+        assert pair in exact and j <= exact[pair] + 1e-9
 
 
 def test_minhash_reuses_single_shingle_scan(spark, docs):

@@ -393,9 +393,17 @@ def test_mp3_frame_walk_info():
     info = mp3_info(cbr)
     assert info["bitrate"] == 128000 and info["sample_rate"] == 44100
     assert info["duration_s"] == pytest.approx(len(cbr) * 8 / 128000, abs=1e-6)
-    # Xing VBR frame count wins over the CBR estimate
-    xing = hdr + b"\x00" * 17 + b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 100) + b"\x00" * 64
-    assert mp3_info(xing)["duration_s"] == pytest.approx(100 * 1152 / 44100, abs=1e-4)
+    # Xing VBR frame count wins over the CBR estimate. MPEG1 L3 side info
+    # is 32 bytes for stereo (ch_mode != 3), 17 for mono — spec layouts:
+    xing_payload = b"Xing" + struct.pack(">I", 1) + struct.pack(">I", 100) + b"\x00" * 64
+    xing_stereo = hdr + b"\x00" * 32 + xing_payload
+    assert mp3_info(xing_stereo)["duration_s"] == pytest.approx(100 * 1152 / 44100, abs=1e-4)
+    mono_hdr = bytes([0xFF, 0xFB, (9 << 4), 0xC0])  # ch_mode=3 (mono)
+    xing_mono = mono_hdr + b"\x00" * 17 + xing_payload
+    assert mp3_info(xing_mono)["duration_s"] == pytest.approx(100 * 1152 / 44100, abs=1e-4)
+    # defensive: encoder that wrote the mono offset under a stereo header
+    xing_wrongoff = hdr + b"\x00" * 17 + xing_payload + b"\x00" * 15
+    assert mp3_info(xing_wrongoff)["duration_s"] == pytest.approx(100 * 1152 / 44100, abs=1e-4)
     # ID3v2 prefix is skipped (syncsafe size)
     id3 = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
     meta = parse_audio_meta(id3 + cbr)

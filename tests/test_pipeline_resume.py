@@ -106,3 +106,70 @@ def test_cleanup_completed_q8(spark, tmp_path):
     assert remaining == {(1, "completed"), (2, "failed")}
     # idempotent
     assert ck.cleanup_completed(days_to_keep=7, now=now) == 0
+    # expired partition is re-eligible on resume (its completed row is gone)
+    assert ck.completed_partitions() == {1}
+
+
+def test_cleanup_retains_null_completed_at(spark, tmp_path):
+    """A completed row with NULL completed_at must be RETAINED — the old
+    tri-state NOT filter evaluated to NULL and silently deleted it
+    regardless of age (round-2 advice)."""
+    import datetime
+
+    from readur_spark.plans.checkpoint import CheckpointTable
+
+    ck = CheckpointTable(spark, str(tmp_path / "ck"))
+    now = datetime.datetime(2026, 8, 16, 12, 0, 0)
+    old = now - datetime.timedelta(days=10)
+    ck.append(
+        [
+            {"run_id": "r1", "partition_id": 0, "status": "completed", "completed_at": None},
+            {"run_id": "r1", "partition_id": 1, "status": "completed", "completed_at": old},
+        ]
+    )
+    assert ck.cleanup_completed(days_to_keep=7, now=now) == 1
+    remaining = {r["partition_id"] for r in ck.read().collect()}
+    assert remaining == {0}
+
+
+def test_cleanup_crash_recovery(spark, tmp_path):
+    """The compaction commit is crash-safe: every intermediate state the
+    two-rename protocol can crash in is repaired by _recover with no
+    duplicated rows."""
+    import datetime
+    import os
+    import shutil
+
+    from readur_spark.plans.checkpoint import CheckpointTable
+
+    now = datetime.datetime(2026, 8, 16, 12, 0, 0)
+    old = now - datetime.timedelta(days=10)
+    rows = [
+        {"run_id": "r1", "partition_id": 0, "status": "completed", "completed_at": old},
+        {"run_id": "r1", "partition_id": 1, "status": "running", "completed_at": None},
+    ]
+
+    # state A: crash after writing the compacted temp dir (never committed)
+    ck = CheckpointTable(spark, str(tmp_path / "a"))
+    ck.append(rows)
+    shutil.copytree(ck.path, ck.path + ".compact-deadbeef")
+    got = ck.read().collect()
+    assert len(got) == 2  # temp dropped, original intact
+    assert not os.path.exists(ck.path + ".compact-deadbeef")
+
+    # state B: crash between the two renames (main missing, .old present)
+    ck = CheckpointTable(spark, str(tmp_path / "b"))
+    ck.append(rows)
+    os.rename(ck.path, ck.path + ".old-deadbeef")
+    got = ck.read().collect()
+    assert len(got) == 2  # old table restored as-is
+    assert os.path.isdir(ck.path)
+
+    # state C: crash after commit, stale .old leftover
+    ck = CheckpointTable(spark, str(tmp_path / "c"))
+    ck.append(rows)
+    assert ck.cleanup_completed(days_to_keep=7, now=now) == 1
+    shutil.copytree(ck.path, ck.path + ".old-cafebabe")
+    got = ck.read().collect()
+    assert len(got) == 1  # leftover dropped, no duplication
+    assert not os.path.exists(ck.path + ".old-cafebabe")

@@ -87,3 +87,39 @@ class TestClassifyOcrError:
     def test_corrupted_beats_timeout(self):
         # first-match-wins order from queue.rs:1282-1304
         assert classify_ocr_error("corrupted after timeout")[0] == "file_corrupted"
+
+
+def test_search_ranked_ts_escapes_regex_metacharacters(spark):
+    """User query terms are literals: 'c++' or '(test' must not throw a
+    pattern-compile error, and '.' must not wildcard-match (round-3 fix —
+    plainto_tsquery sanitizes its input the same way)."""
+    from readur_spark.operators.search import search_ranked_ts
+
+    rows = [
+        ("d1", "we write c++ here and more c++ daily", 37),
+        ("d2", "plain prose with no plus signs at all", 37),
+        ("d3", "cxx is not a literal match for the query", 40),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string, n_chars int")
+    got = {r["doc_id"] for r in search_ranked_ts(docs, "c++").collect()}
+    assert got == {"d1"}
+    # '(test' would be an unclosed group without escaping
+    rows2 = [("p1", "some (test material here", 24), ("p2", "no parens", 9)]
+    docs2 = spark.createDataFrame(rows2, "doc_id string, text string, n_chars int")
+    got2 = {r["doc_id"] for r in search_ranked_ts(docs2, "(test").collect()}
+    assert got2 == {"p1"}
+
+
+def test_gopher_stopwords_escaped(spark):
+    """Caller-supplied stopwords with regex metacharacters must be treated
+    literally, not compiled as patterns."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.functions.textstats import gopher_flags_cols
+
+    body = ("c++ and e.g. appear here " + "solid prose word " * 20).strip()
+    df = spark.createDataFrame([("d1", body)], "doc_id string, text string")
+    out = df.select(
+        *gopher_flags_cols(F.col("text"), stopwords=("c++", "e.g."))
+    ).collect()[0]
+    assert out["ok_stopwords"] is True
