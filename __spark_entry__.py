@@ -270,6 +270,39 @@ def _q_image_ocr_fake(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _q_pdf_ocr_glyph(spark: SparkSession, sf: str) -> DataFrame:
+    """P6→P7 closed loop, distributed: per-doc PDFs are built with a
+    deterministic two-line body, rendered with the built-in 5×7 glyph font
+    (kernels/font5x7.py), and READ BACK by GlyphOcrEngine template
+    matching. The engine shares only the font with the renderer, so the
+    oracle (the planted text, pure SQL arithmetic over doc_id) verifies
+    genuine end-to-end reading — enhanced.rs:1402-1508 semantics."""
+    import pandas as pd
+
+    docs = _docs(spark, sf).select("doc_id")
+
+    def run(batches):
+        from readur_spark.kernels.minipdf import build_pdf, render_pdf_pages
+        from readur_spark.kernels.ocr_engine import GlyphOcrEngine
+
+        eng = GlyphOcrEngine(dpi=72)
+        for pdf in batches:
+            ids, texts, confs = [], [], []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                line1 = f"document {d} rendered page"
+                line2 = f"checksum {d % 97} of body text"
+                data = build_pdf([[(72.0, 720.0, line1), (72.0, 700.0, line2)]])
+                (img,) = render_pdf_pages(data, dpi=72)
+                text, conf = eng.recognize(img, "eng")
+                ids.append(d)
+                texts.append(text)
+                confs.append(float(conf))
+            yield pd.DataFrame({"doc_id": ids, "ocr_text": texts, "confidence": confs})
+
+    return docs.mapInPandas(run, "doc_id long, ocr_text string, confidence double")
+
+
 def _q_query_vec(spark: SparkSession, sf: str) -> list[float]:
     row = (
         load_table(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
@@ -401,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- image pipeline (I1–I17, real pixel layer + fake engine) ----
     q["image_quality_stats"] = _q_image_quality_stats
     q["image_ocr_fake"] = _q_image_ocr_fake
+    q["pdf_ocr_glyph"] = _q_pdf_ocr_glyph
 
     # ---- dedup (D1–D4 + near-dup family) ----
     q["dedup_exact"] = lambda s, sf: dedup.exact_duplicates(_docs(s, sf))
@@ -899,6 +933,19 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
             _exp.snippets_full_expected(_osf, "spark merge"),
         )
+
+    # pdf_ocr_glyph: the glyph engine reads rendered pages EXACTLY, so the
+    # expected OCR text is the planted body — closed-form in doc_id. Any
+    # rendering or template-matching defect breaks the hash.
+    o["pdf_ocr_glyph"] = """
+        SELECT doc_id,
+               'document ' || CAST(doc_id AS VARCHAR) || ' rendered page'
+                 || chr(10) ||
+               'checksum ' || CAST(doc_id % 97 AS VARCHAR) || ' of body text'
+                 AS ocr_text,
+               100.0 AS confidence
+        FROM documents
+    """
 
     # image_quality_stats: the synthetic raster's stats are closed-form in
     # doc_id (corpus.quality_png_bytes docstring): brightness = doc_id%200

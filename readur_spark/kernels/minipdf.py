@@ -492,22 +492,27 @@ def pdf_media_boxes(data: bytes) -> list[tuple[float, float]]:
 
 def render_pdf_pages(data: bytes, dpi: int = 300):
     """Rasterize pages to grayscale numpy arrays (the ``pdftoppm -png -r
-    300`` stage of the reference's per-page OCR path).
+    300`` stage of the reference's per-page OCR path,
+    enhanced.rs:1402-1438).
 
     Geometry is REAL: page count, MediaBox dimensions, DPI scaling, PDF
     y-up -> raster y-down mapping, and per-run ink placement all come from
-    the parsed document. Glyph shapes are NOT (no font engine in this
-    container): each text run renders as an ink bar at its exact position,
-    one nominal 12 pt line high and ~6 pt per character wide — enough for
-    the downstream quality/OCR pipeline to see a realistic ink layout.
-    Swap in pdftoppm/pdfium on a real deployment; the page-iteration and
-    assembly contracts stay."""
+    the parsed document. Glyph shapes are real too: each character is
+    stamped with the built-in 5×7 bitmap font (kernels/font5x7.py) at font
+    pixel ``k = max(1, round(dpi/72))`` — one font pixel per PDF point, so
+    a char cell advances 6 pt and the glyph sits 7 pt above its baseline.
+    ``GlyphOcrEngine`` reads these pages back exactly, closing the
+    render→OCR loop end-to-end. A real deployment swaps in
+    pdftoppm/pdfium; the page-iteration and assembly contracts stay."""
     import numpy as np
+
+    from readur_spark.kernels.font5x7 import CELL_H, draw_text
 
     objs = _objects(data)
     pages = _page_order(objs)
     boxes = pdf_media_boxes(data)
     scale = dpi / 72.0
+    k = max(1, int(round(scale)))
     out = []
     for p, (pw, ph) in zip(pages, boxes):
         w = max(1, int(round(pw * scale)))
@@ -517,13 +522,9 @@ def render_pdf_pages(data: bytes, dpi: int = 300):
             if not text:
                 continue
             px = int(round(x * scale))
-            # PDF origin bottom-left; the run's y is the baseline
-            py_bottom = int(round((ph - y) * scale))
-            py_top = py_bottom - max(1, int(round(12.0 * scale)))
-            bar_w = max(1, int(round(len(text) * 6.0 * scale)))
-            y0, y1 = max(0, py_top), min(h, max(0, py_bottom))
-            x0, x1 = max(0, px), min(w, max(0, px + bar_w))
-            if y1 > y0 and x1 > x0:
-                img[y0:y1, x0:x1] = 0
+            # PDF origin bottom-left; the run's y is the baseline, and the
+            # glyph cell extends CELL_H font pixels above it
+            py_base = int(round((ph - y) * scale))
+            draw_text(img, text, py_base - CELL_H * k, px, k)
         out.append(img)
     return out

@@ -145,6 +145,335 @@ class FakeOcrEngine:
         return " ".join(words), confidence
 
 
+_PSM_NUMBERS = {name: num for num, name in PSM_MODES.items()}
+_OEM_NUMBERS = {name: num for num, name in OEM_MODES.items()}
+
+
+# ---------------------------------------------------------------------------
+# GlyphOcrEngine: actually READS pages rendered with the built-in 5×7 font
+# ---------------------------------------------------------------------------
+
+_GLYPH_TEMPLATES: dict[int, tuple[dict[bytes, str], list[tuple[str, "np.ndarray"]]]] = {}
+
+
+def _glyph_templates(k: int):
+    """(exact-match dict, char list, stacked template array) of 7k×5k
+    glyph-area bitmaps at font pixel size k, built from the same font the
+    renderer stamps with. The stacked array vectorizes nearest-Hamming."""
+    got = _GLYPH_TEMPLATES.get(k)
+    if got is None:
+        from readur_spark.kernels.font5x7 import FONT, glyph_cell
+
+        exact: dict[bytes, str] = {}
+        chars: list[str] = []
+        mats: list[np.ndarray] = []
+        for c in FONT:
+            if c == " ":
+                continue
+            area = glyph_cell(c, k)[:, : 5 * k]
+            key = np.packbits(area).tobytes()
+            exact.setdefault(key, c)
+            chars.append(c)
+            mats.append(area)
+        got = (exact, chars, np.stack(mats))
+        _GLYPH_TEMPLATES[k] = got
+    return got
+
+
+@dataclass
+class GlyphOcrEngine:
+    """A real (if minimal) OCR engine for pages rendered by
+    ``render_pdf_pages``: it segments ink into lines and words, recovers
+    the character-cell grid (horizontal phase + baseline offset are
+    unknown — both are searched over the font-pixel lattice and scored by
+    exact template hits), and classifies each cell against the built-in
+    5×7 font, falling back to nearest-Hamming for degraded cells.
+
+    This is genuine reading — the engine shares only the font tables with
+    the renderer, not the text. Confidence = % of cells matched exactly,
+    so noise/degradation lowers it and drives the I2/I3 gates honestly.
+    Deterministic and picklable like the other engines.
+
+    Known limits (documented, not load-bearing for the pipeline): glyph
+    pairs closer than one cell but separated by ≥5 blank font columns
+    (e.g. ``!!``) read as two words, and text not rendered on this font's
+    lattice (photographs, third-party rasters) yields low confidence
+    rather than text — exactly how the confidence gate should treat it.
+    """
+
+    dpi: int = 300
+    ink_threshold: int = 128
+
+    def recognize(
+        self, img: np.ndarray, lang: str, psm: str = "auto", oem: str = "default"
+    ) -> tuple[str, float]:
+        from readur_spark.kernels.font5x7 import CELL_H, CELL_W
+
+        k = max(1, int(round(self.dpi / 72.0)))
+        a = np.asarray(img)
+        if a.ndim == 3:
+            a = a.mean(axis=2)
+        ink = a < self.ink_threshold
+        ink_rows = np.flatnonzero(ink.any(axis=1))
+        if ink_rows.size == 0:
+            return "", 0.0
+        templates = _glyph_templates(k)
+        # line bands: ink-row groups separated by > 3k blank rows (adjacent
+        # 12 pt lines leave a 5k gap; intra-glyph blanks never exceed ~2k)
+        bands: list[tuple[int, int]] = []
+        start = prev = int(ink_rows[0])
+        for r in ink_rows[1:]:
+            r = int(r)
+            if r - prev > 3 * k:
+                bands.append((start, prev))
+                start = r
+            prev = r
+        bands.append((start, prev))
+        lines: list[str] = []
+        n_cells = 0
+        sim_total = 0.0
+        for rtop, rbot in bands:
+            text, cells, sim = self._read_line(ink, rtop, rbot, k, templates)
+            lines.append(text)
+            n_cells += cells
+            sim_total += sim
+        # confidence = mean per-character similarity (1.0 for an exact
+        # template hit, 1 − hamming/(|obs|+|tmpl|) for degraded cells) —
+        # graded like a real engine's mean word confidence
+        confidence = clamp_confidence(100.0 * sim_total / n_cells) if n_cells else 0.0
+        return "\n".join(lines), confidence
+
+    def _read_line(self, ink, rtop, rbot, k, templates):
+        from readur_spark.kernels.font5x7 import CELL_H, CELL_W
+
+        cols_any = np.flatnonzero(ink[rtop : rbot + 1].any(axis=0))
+        if cols_any.size == 0:
+            return "", 0, 0
+        # word blobs: blank column runs ≥ 5k separate words (a space cell
+        # guarantees ≥ 7k; intra-word blanks reach at most ~5k for the
+        # sparsest glyph pairs)
+        blobs: list[tuple[int, int]] = []
+        bstart = bprev = int(cols_any[0])
+        for c in cols_any[1:]:
+            c = int(c)
+            if c - bprev >= 5 * k:
+                blobs.append((bstart, bprev))
+                bstart = c
+            bprev = c
+        blobs.append((bstart, bprev))
+        words: list[str] = []
+        spans: list[tuple[int, int]] = []  # (cell_start, n_cells) per word
+        t_cells = 0
+        t_sim = 0.0
+        for c0, c1 in blobs:
+            word, s, ncells, cells, sim = self._read_word(
+                ink, rtop, rbot, c0, c1, k, templates
+            )
+            words.append(word)
+            spans.append((s, ncells))
+            t_cells += cells
+            t_sim += sim
+        # reassemble with space counts derived from inter-word cell gaps
+        out = words[0]
+        for i in range(1, len(words)):
+            prev_end = spans[i - 1][0] + spans[i - 1][1] * CELL_W * k
+            gap = spans[i][0] - prev_end
+            out += " " * max(1, int(round(gap / (CELL_W * k)))) + words[i]
+        return out, t_cells, t_sim
+
+    def _read_word(self, ink, rtop, rbot, c0, c1, k, templates):
+        from readur_spark.kernels.font5x7 import CELL_H, CELL_W
+
+        exact, t_chars, t_stack = templates
+        wrows = np.flatnonzero(ink[rtop : rbot + 1, c0 : c1 + 1].any(axis=1))
+        wbot = rtop + int(wrows[-1])  # bottom ink row of THIS word
+        word_ink = int(ink[rtop : rbot + 1, c0 : c1 + 1].sum())
+        best = None
+        # joint grid search: horizontal phase (leading blank columns of the
+        # first glyph, 0..4) × baseline offset (bottom ink row may be any
+        # font row 0..6 — '-' is mid-cell). The score is TOTAL Hamming
+        # distance across cells (0 for an exact render at the true grid);
+        # scoring exact hits alone would let one lucky sliver match (a
+        # misplaced grid cropping the top of a glyph looks like ' or `)
+        # beat a globally-consistent alignment on degraded pages.
+        for m in range(5):
+            s = c0 - m * k
+            ncells = max(1, int(np.ceil((c1 + 1 - s) / (CELL_W * k))))
+            for v in range(CELL_H):
+                base = wbot + 1 + v * k
+                chars: list[str] = []
+                hits = nonblank = 0
+                total_ham = 0
+                covered = 0
+                sim_sum = 0.0
+                for j in range(ncells):
+                    cell_l = s + j * CELL_W * k
+                    area = self._crop(ink, base - CELL_H * k, cell_l, CELL_H * k, 5 * k)
+                    if not area.any():
+                        chars.append(" ")
+                        continue
+                    obs_ink = int(area.sum())
+                    covered += obs_ink
+                    nonblank += 1
+                    key = np.packbits(area).tobytes()
+                    ch = exact.get(key)
+                    if ch is not None:
+                        chars.append(ch)
+                        hits += 1
+                        sim_sum += 1.0
+                    else:
+                        # vectorized nearest-Hamming over all templates
+                        dists = (t_stack != area[None, :, :]).sum(axis=(1, 2))
+                        i = int(dists.argmin())
+                        chars.append(t_chars[i])
+                        d = int(dists[i])
+                        total_ham += d
+                        tmpl_ink = int(t_stack[i].sum())
+                        # Jaccard of ink sets: |A∩B|/|A∪B| — 1.0 exact,
+                        # ~|B|/|A| for a solid-ink garbage cell (low, so
+                        # the 60.0 confidence gate rejects unreadable
+                        # pages instead of waving them through)
+                        union = obs_ink + tmpl_ink + d
+                        sim_sum += max(0.0, (obs_ink + tmpl_ink - d) / max(1, union))
+                # ink the grid fails to cover (wrong baseline crops the
+                # word's rows; wrong phase leaves ink in the gap columns)
+                # is as wrong as mismatched ink — penalize it equally
+                score = -(total_ham + max(0, word_ink - covered))
+                cand = (
+                    (score, hits, -v, -m),
+                    "".join(chars).strip(),
+                    s,
+                    ncells,
+                    nonblank,
+                    sim_sum,
+                )
+                if best is None or cand[0] > best[0]:
+                    best = cand
+                if score == 0 and hits == nonblank:
+                    break
+            if best[0][0] == 0:  # perfect grid found
+                break
+        _, word, s, ncells, nonblank, sim_sum = best
+        return word, s, ncells, nonblank, sim_sum
+
+    @staticmethod
+    def _crop(ink, top, left, h, w):
+        """h×w bool crop padded with False outside the image."""
+        out = np.zeros((h, w), dtype=bool)
+        y0, x0 = max(0, top), max(0, left)
+        y1, x1 = min(ink.shape[0], top + h), min(ink.shape[1], left + w)
+        if y1 > y0 and x1 > x0:
+            out[y0 - top : y1 - top, x0 - left : x1 - left] = ink[y0:y1, x0:x1]
+        return out
+
+
+@dataclass
+class TesseractEngine:
+    """Real tesseract adapter behind the same two-method contract as
+    ``FakeOcrEngine`` — swap it in and nothing else changes.
+
+    Drives the ``tesseract`` CLI (the reference's rusty-tesseract binding is
+    also a process-call wrapper — /root/reference/src/ocr/enhanced.rs:138-208,
+    src/ocr/image_ocr.rs:12-180): the image is piped as PNM on stdin, output
+    requested as TSV so per-word confidences are available, text is
+    reassembled in reading order and confidence is the mean over word rows —
+    matching tesseract's own `mean_conf`. Only config fields are stored, so
+    the engine pickles and ships to executors exactly like the fake.
+
+    The container this repo is developed in has no tesseract binary; use
+    ``TesseractEngine.available()`` to gate (the contract tests mirror the
+    reference's #[ignore]-style real-engine tests,
+    src/tests/ocr_tests.rs:107-136, and skip when absent).
+    """
+
+    binary: str = "tesseract"
+    timeout_s: float = 120.0
+
+    @staticmethod
+    def available(binary: str = "tesseract") -> bool:
+        import shutil
+
+        return shutil.which(binary) is not None
+
+    @staticmethod
+    def _to_pnm(img: np.ndarray) -> bytes:
+        """Loss-free PNM encode (P5 gray / P6 RGB) — stdlib-only, and
+        leptonica reads PNM natively so no codec dependency is added."""
+        a = np.ascontiguousarray(img.astype(np.uint8))
+        if a.ndim == 2:
+            header = b"P5 %d %d 255\n" % (a.shape[1], a.shape[0])
+        elif a.ndim == 3 and a.shape[2] == 3:
+            header = b"P6 %d %d 255\n" % (a.shape[1], a.shape[0])
+        elif a.ndim == 3 and a.shape[2] == 4:
+            a = a[:, :, :3]
+            header = b"P6 %d %d 255\n" % (a.shape[1], a.shape[0])
+        else:
+            raise OcrEngineError(f"unsupported image shape {a.shape}")
+        return header + a.tobytes()
+
+    def recognize(
+        self, img: np.ndarray, lang: str, psm: str = "auto", oem: str = "default"
+    ) -> tuple[str, float]:
+        import subprocess
+
+        cmd = [
+            self.binary,
+            "stdin",
+            "stdout",
+            "-l",
+            lang or "eng",
+            "--psm",
+            str(_PSM_NUMBERS.get(psm, 3)),
+            "--oem",
+            str(_OEM_NUMBERS.get(oem, 3)),
+            "tsv",
+        ]
+        try:
+            proc = subprocess.run(
+                cmd,
+                input=self._to_pnm(img),
+                capture_output=True,
+                timeout=self.timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            raise OcrEngineError(
+                f"OCR timed out after {self.timeout_s} seconds", recoverable=False
+            )
+        except OSError as e:
+            raise OcrEngineError(f"tesseract invocation failed: {e}", recoverable=False)
+        if proc.returncode != 0:
+            raise OcrEngineError(
+                f"tesseract exited {proc.returncode}: "
+                f"{proc.stderr.decode('utf-8', 'replace')[:500]}",
+                recoverable=False,
+            )
+        words: list[str] = []
+        confs: list[float] = []
+        last_line_key = None
+        lines = proc.stdout.decode("utf-8", "replace").splitlines()
+        for row in lines[1:]:  # header: level page_num block_num ... conf text
+            cols = row.split("\t")
+            if len(cols) < 12 or cols[0] != "5":
+                continue
+            word = cols[11].strip()
+            if not word:
+                continue
+            line_key = tuple(cols[1:5])  # page, block, par, line
+            if words and line_key != last_line_key:
+                words.append("\n")
+            elif words:
+                words.append(" ")
+            last_line_key = line_key
+            words.append(word)
+            try:
+                confs.append(float(cols[10]))
+            except ValueError:
+                pass
+        text = "".join(words)
+        confidence = clamp_confidence(sum(confs) / len(confs)) if confs else 0.0
+        return text, confidence
+
+
 # ---------------------------------------------------------------------------
 # The service: validate → preprocess → OCR (+ retry ladder) → gate
 # ---------------------------------------------------------------------------

@@ -11,11 +11,13 @@ Mirrors readur's strategy ladder (/root/reference/src/ocr/enhanced.rs:
    quality gate passes (alnum ratio ≥0.30, word density, :1027-1082) —
    confidence 95.0;
 5. per-page OCR with the literal ``"\\n\\n--- Page Break ---\\n\\n"``
-   assembly (:1441-1508) — **stubbed**: this container has no tesseract, so
-   the deterministic stand-in "OCRs" a page to its own text layer at
-   confidence 85.0. The plumbing (per-page loop, separator, mean
-   confidence) is real; swap ``_ocr_page_stub`` for a tesseract call on a
-   cluster with the binary installed;
+   assembly (:1441-1508). :func:`extract_pdf_with_engine` is the REAL
+   path: pages render through the glyph rasterizer and any pluggable
+   engine reads them, with the ocrmypdf strategy ladder (P8/P9,
+   enhanced.rs:1107-1154) — strategy 1 deskew+clean, strategy 2
+   remove-background — retrying pages the plain pass cannot read.
+   :func:`extract_pdf` keeps a deterministic text-layer stand-in
+   (``_ocr_page_stub``) for engine-less callers;
 6. raw-ASCII salvage (src/ocr/mod.rs:261-298) at confidence 30.0;
 7. nothing readable → error classified ``low_ocr_confidence``.
 """
@@ -46,6 +48,73 @@ def _ocr_page_stub(data: bytes, page_text: str) -> str:
     CLEARLY A STUB — real deployments replace this with pytesseract over
     ``pdftoppm``-rendered page images (P6/P7, enhanced.rs:1402-1508)."""
     return page_text
+
+
+def _isolated_ink_fraction(gray) -> float:
+    """Fraction of ink pixels with no 8-connected ink neighbor — the
+    speckle signature (text strokes are always connected). Drives the
+    clean gate in strategy 1."""
+    import numpy as np
+
+    ink = gray < 128
+    n_ink = int(ink.sum())
+    if n_ink == 0:
+        return 0.0
+    padded = np.pad(ink, 1)
+    neigh = np.zeros_like(ink, dtype=np.int16)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            neigh += padded[1 + dy : 1 + dy + ink.shape[0], 1 + dx : 1 + dx + ink.shape[1]]
+    return float((ink & (neigh == 0)).sum()) / n_ink
+
+
+def ocrmypdf_strategy1_clean(raster):
+    """P8: the observable semantics of ocrmypdf ``--deskew --clean``
+    (enhanced.rs:29-48, 1107-1130) over the real pixel layer: estimate and
+    undo page skew (projection-profile shear), then remove speckle (I12 +
+    I16) when the page actually carries it — unpaper likewise skips its
+    despeckle passes below the noise floor, and median-filtering a clean
+    page only erodes thin glyph strokes."""
+    from readur_spark.kernels.pixels import (
+        adaptive_noise_removal,
+        analyze_quality,
+        deskew_shear,
+        estimate_skew_angle,
+        morphological_open_close,
+        neutral_settings,
+        to_luma,
+    )
+
+    gray = to_luma(raster)
+    angle = estimate_skew_angle(gray)
+    if abs(angle) >= 0.5:
+        gray = deskew_shear(gray, angle)
+    if _isolated_ink_fraction(gray) > 0.05:
+        stats = analyze_quality(gray)
+        gray = adaptive_noise_removal(gray, stats, neutral_settings())
+        if stats.noise_level > 0.005:
+            gray = morphological_open_close(gray)
+    return gray
+
+
+def ocrmypdf_strategy2_background(raster):
+    """P9: the observable semantics of ocrmypdf ``--remove-background``
+    (enhanced.rs:29-48, 1131-1154): adaptive-threshold binarization (I13)
+    lifts text off a non-white background before re-OCR."""
+    from readur_spark.kernels.pixels import (
+        adaptive_threshold,
+        analyze_quality,
+        neutral_settings,
+        select_threshold_window,
+        to_luma,
+    )
+
+    gray = to_luma(raster)
+    h, w = gray.shape
+    window = select_threshold_window(w, h, analyze_quality(gray), neutral_settings())
+    return adaptive_threshold(gray, window // 2)
 
 
 def extract_pdf(data: bytes, ocr_stub: bool = True, max_pdf_size: int = MAX_PDF_SIZE) -> dict:
@@ -161,13 +230,15 @@ def extract_pdf_with_engine(
     result["page_count"] = pdf_page_count(data)
     has_images = pdf_has_images(data)
 
-    def ocr_all_pages() -> dict | None:
+    def ocr_all_pages(transform=None, label=None) -> dict | None:
         rasters = render_pdf_pages(data, dpi=render_dpi)
         all_text = ""
         total_conf = 0.0
         total_words = 0
         ok_pages = 0
         for raster in rasters:
+            if transform is not None:
+                raster = transform(raster)
             page_res = ocr_image_array(raster, engine, settings=settings)
             if page_res["status"] != "completed":
                 continue  # warn-and-skip (enhanced.rs:1480-1483)
@@ -182,12 +253,32 @@ def extract_pdf_with_engine(
         return {
             "text": remove_null_bytes(all_text),
             "confidence": total_conf / ok_pages,
-            "preprocessing": [f"PDF page-to-image OCR ({ok_pages} pages)"],
+            "preprocessing": [label or f"PDF page-to-image OCR ({ok_pages} pages)"],
             "words": total_words,
         }
 
-    if has_images:
+    def ocr_with_strategies() -> dict | None:
+        """The ocrmypdf strategy ladder, order preserved from
+        enhanced.rs:1107-1154: plain per-page OCR first, then strategy 1
+        (--deskew --clean ≙ shear deskew + I12 noise removal + I16
+        morphology over the page rasters), then strategy 2
+        (--remove-background ≙ I13 adaptive threshold binarization)."""
         ocr = ocr_all_pages()
+        if ocr is not None:
+            return ocr
+        ocr = ocr_all_pages(
+            transform=ocrmypdf_strategy1_clean,
+            label="ocrmypdf strategy 1 (deskew+clean) OCR",
+        )
+        if ocr is not None:
+            return ocr
+        return ocr_all_pages(
+            transform=ocrmypdf_strategy2_background,
+            label="ocrmypdf strategy 2 (remove-background) OCR",
+        )
+
+    if has_images:
+        ocr = ocr_with_strategies()
         if ocr is not None:
             result.update({k: ocr[k] for k in ("text", "confidence", "preprocessing")})
             return result
@@ -203,7 +294,7 @@ def extract_pdf_with_engine(
         return result
 
     if not has_images:
-        ocr = ocr_all_pages()
+        ocr = ocr_with_strategies()
         if ocr is not None:
             result.update({k: ocr[k] for k in ("text", "confidence", "preprocessing")})
             return result

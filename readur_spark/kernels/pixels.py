@@ -559,6 +559,60 @@ def morphological_open_close(img: np.ndarray) -> np.ndarray:
 
 
 # --------------------------------------------------------------------------
+# Deskew (the --deskew half of ocrmypdf strategy 1, P8): projection-profile
+# skew estimation with a small-angle vertical shear — the classic document-
+# deskew formulation (Baird 1987): text rows maximize the variance of the
+# horizontal ink profile when the page is level.
+# --------------------------------------------------------------------------
+
+
+def estimate_skew_angle(
+    gray: np.ndarray, max_deg: float = 5.0, step: float = 0.5
+) -> float:
+    """Skew angle in degrees (positive = text rises to the right). Shear
+    candidates over ±max_deg; the profile-variance argmax wins. 0.0 for
+    blank images."""
+    ink = (gray < 128).astype(np.int64)
+    if not ink.any():
+        return 0.0
+    h, w = ink.shape
+    xs = np.arange(w) - w // 2
+    best_var, best_a = -1.0, 0.0
+    for a in np.arange(-max_deg, max_deg + step / 2, step):
+        shift = np.round(np.tan(np.radians(a)) * xs).astype(np.int64)
+        smin, smax = int(shift.min()), int(shift.max())
+        prof = np.zeros(h + smax - smin, dtype=np.int64)
+        for s in np.unique(shift):
+            cols = ink[:, shift == s].sum(axis=1)
+            prof[s - smin : s - smin + h] += cols
+        var = float(prof.var())
+        # prefer the smaller |angle| on ties so a level page stays level
+        if var > best_var + 1e-9 or (
+            abs(var - best_var) <= 1e-9 and abs(a) < abs(best_a)
+        ):
+            best_var, best_a = var, float(a)
+    return best_a
+
+
+def deskew_shear(gray: np.ndarray, angle_deg: float) -> np.ndarray:
+    """Undo the skew measured by :func:`estimate_skew_angle` (its shear
+    convention inverted): column x moves by +round(tan(angle)·(x−w/2))
+    rows; vacated pixels fill white."""
+    h, w = gray.shape
+    xs = np.arange(w) - w // 2
+    shift = -np.round(np.tan(np.radians(angle_deg)) * xs).astype(np.int64)
+    out = np.full_like(gray, 255)
+    for s in np.unique(shift):
+        cols = shift == s
+        s = int(s)
+        if s >= 0:
+            out[: h - s, cols] = gray[s:, cols]
+        else:
+            out[-s:, cols] = gray[: h + s, cols]
+    return out
+
+
+# --------------------------------------------------------------------------
 # I5 apply + I6 + I7 pixels (document_ingestion.rs:356-408, enhanced.rs:424-475)
 # --------------------------------------------------------------------------
 

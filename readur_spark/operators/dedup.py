@@ -587,6 +587,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair list by iterative min-label
     propagation (the standard distributed formulation; converges in
@@ -596,22 +597,37 @@ def connected_components(
     Returns (id, component) where component = min id in the cluster.
     Only ids that appear in ``pairs`` are returned (singletons are their
     own component by definition — callers union them in for free).
+
+    ``checkpoint_dir``: when set, per-round truncation uses RELIABLE
+    ``df.checkpoint()`` into this directory instead of executor-local
+    blocks — required on real clusters with dynamic allocation, where a
+    decommissioned executor would take its localCheckpoint blocks (and the
+    whole computation, since truncation discarded the lineage) with it.
+    Local default stays ``localCheckpoint`` (no HDFS round-trip).
     """
     F_ = F
     fwd = pairs.select(F_.col(id_a).alias("src"), F_.col(id_b).alias("dst"))
-    # localCheckpoint TRUNCATES the logical plan, not just the execution:
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _truncate(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
+    # checkpointing TRUNCATES the logical plan, not just the execution:
     # an iterative join otherwise doubles Catalyst's analysis tree every
     # round (labels appears twice per iteration), and re-analysis cost
     # grows exponentially even with everything cached — the classic
     # iterative-algorithm trap. With truncation every round is O(1) plan.
-    edges = fwd.union(
-        fwd.select(F_.col("dst").alias("src"), F_.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F_.col("src").alias("id"))
-        .distinct()
-        .withColumn("lbl", F_.col("id"))
-        .localCheckpoint(eager=True)
+    edges = _truncate(
+        fwd.union(fwd.select(F_.col("dst").alias("src"), F_.col("src").alias("dst")))
+    )
+    labels = _truncate(
+        edges.select(F_.col("src").alias("id")).distinct().withColumn("lbl", F_.col("id"))
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -619,13 +635,11 @@ def connected_components(
             .groupBy(F_.col("src").alias("nid"))
             .agg(F_.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["nid"], "left")
-            .select(
+        new_labels = _truncate(
+            labels.join(neighbor_min, labels["id"] == neighbor_min["nid"], "left").select(
                 "id",
                 F_.least(F_.col("lbl"), F_.coalesce(F_.col("nlbl"), F_.col("lbl"))).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -643,12 +657,13 @@ def dedup_cluster_keep_first(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster-level near-dup policy: group the pair graph into connected
     components and keep only the smallest id per cluster (the cluster
     generalization of D2 policy=Skip — pairwise keep-first under-deletes
     when A~B and B~C but A!~C). Docs not in any pair survive untouched."""
-    comp = connected_components(pairs, "id_a", "id_b")
+    comp = connected_components(pairs, "id_a", "id_b", checkpoint_dir=checkpoint_dir)
     losers = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias(id_col)
     )

@@ -204,3 +204,24 @@ def test_winnow_fingerprints_density_and_determinism(spark):
         for r in dedup.winnow_fingerprints(docs, k=8, window=4).collect()
     }
     assert dist == set(fps)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches plan truncation to reliable df.checkpoint():
+    same components, and the checkpoint dir actually receives RDD data
+    (survives executor loss on a real cluster, unlike localCheckpoint)."""
+    import os
+
+    ckdir = str(tmp_path / "cc_ck")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a string, id_b string"
+    )
+    comp = {
+        r["id"]: r["component"]
+        for r in dedup.connected_components(pairs, checkpoint_dir=ckdir).collect()
+    }
+    assert comp == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    written = [
+        os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
+    ]
+    assert written  # reliable checkpoint data landed on disk

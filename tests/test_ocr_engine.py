@@ -156,3 +156,99 @@ def test_ocr_punctuation_only_fails_content_ratio():
 
     res = O.ocr_image_bytes(_png(180), JunkEngine(), settings=OcrSettings())
     assert res["status"] == "failed"
+
+
+# --------------------------------------------------------------------------
+# Engine contract, parametrized over both engines (the real one skips when
+# the binary is absent — the #[ignore] mirror of ocr_tests.rs:107-136)
+# --------------------------------------------------------------------------
+
+_ENGINES = [
+    pytest.param(O.FakeOcrEngine(), id="fake"),
+    pytest.param(
+        O.TesseractEngine(),
+        id="tesseract",
+        marks=pytest.mark.skipif(
+            not O.TesseractEngine.available(), reason="no tesseract binary in container"
+        ),
+    ),
+]
+
+
+@pytest.mark.parametrize("engine", _ENGINES)
+def test_engine_contract_recognize_shape(engine):
+    """Every engine returns (str, float-in-[0,100]) from an ndarray + lang,
+    and is deterministic for the same input."""
+    img = RNG.randint(150, 230, size=(120, 200)).astype(np.uint8)
+    text, conf = engine.recognize(img, "eng", psm="auto", oem="default")
+    assert isinstance(text, str)
+    assert 0.0 <= conf <= 100.0
+    text2, conf2 = engine.recognize(img, "eng", psm="auto", oem="default")
+    assert (text, conf) == (text2, conf2)
+
+
+@pytest.mark.parametrize("engine", _ENGINES)
+def test_engine_contract_is_picklable(engine):
+    """Engines ship to executors — they must pickle."""
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(engine))
+    assert type(clone) is type(engine)
+
+
+def test_tesseract_engine_psm_oem_name_mapping():
+    """Name→number mapping drives the CLI flags (no binary needed)."""
+    assert O._PSM_NUMBERS["single_block"] == 6
+    assert O._PSM_NUMBERS["auto"] == 3
+    assert O._OEM_NUMBERS["lstm_only"] == 1
+
+
+def test_tesseract_pnm_encoding():
+    """PNM encode is loss-free for gray and RGB, and RGBA drops alpha."""
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    pnm = O.TesseractEngine._to_pnm(gray)
+    assert pnm.startswith(b"P5 4 3 255\n") and pnm.endswith(gray.tobytes())
+    rgb = np.arange(36, dtype=np.uint8).reshape(3, 4, 3)
+    pnm = O.TesseractEngine._to_pnm(rgb)
+    assert pnm.startswith(b"P6 4 3 255\n") and pnm.endswith(rgb.tobytes())
+    rgba = np.arange(48, dtype=np.uint8).reshape(3, 4, 4)
+    assert O.TesseractEngine._to_pnm(rgba).endswith(rgba[:, :, :3].tobytes())
+
+
+def test_tesseract_missing_binary_raises_engine_error():
+    """A missing binary surfaces as a non-recoverable OcrEngineError (the
+    ladder classifies it), never an uncaught OSError."""
+    eng = O.TesseractEngine(binary="definitely-not-a-real-binary-xyz")
+    img = np.full((40, 60), 200, dtype=np.uint8)
+    with pytest.raises(O.OcrEngineError) as ei:
+        eng.recognize(img, "eng")
+    assert not ei.value.recoverable
+
+
+def test_tesseract_tsv_parsing_via_fake_binary(tmp_path):
+    """End-to-end recognize() against a stub 'tesseract' executable that
+    emits a fixed TSV: exercises arg construction, stdin piping, TSV word
+    assembly (line breaks on line-key change) and mean confidence."""
+    import os
+    import stat
+
+    stub = tmp_path / "tesseract"
+    tsv = (
+        "level\tpage_num\tblock_num\tpar_num\tline_num\tword_num\tleft\ttop\twidth\theight\tconf\ttext\n"
+        "1\t1\t0\t0\t0\t0\t0\t0\t100\t50\t-1\t\n"
+        "5\t1\t1\t1\t1\t1\t0\t0\t30\t10\t91.5\thello\n"
+        "5\t1\t1\t1\t1\t2\t35\t0\t30\t10\t88.5\tworld\n"
+        "5\t1\t1\t1\t2\t1\t0\t12\t30\t10\t96.0\tagain\n"
+    )
+    stub.write_text(
+        "#!/bin/sh\n"
+        "cat > /dev/null\n"  # drain stdin (the piped PNM)
+        f"printf '%s' {repr(tsv)!r} > /dev/null 2>&1\n"
+        f"cat <<'TSVEOF'\n{tsv}TSVEOF\n"
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    eng = O.TesseractEngine(binary=str(stub))
+    img = np.full((40, 60), 200, dtype=np.uint8)
+    text, conf = eng.recognize(img, "eng", psm="single_block")
+    assert text == "hello world\nagain"
+    assert conf == pytest.approx((91.5 + 88.5 + 96.0) / 3)
