@@ -255,13 +255,94 @@ def _walk_mp4_boxes(data: bytes, start: int, end: int):
         pos += size
 
 
+def _parse_sample_tables(data: bytes, trak_s: int, trak_e: int) -> dict:
+    """Per-track sample-table walk (trak → mdia → {mdhd, minf → stbl →
+    {stts, stsz}}): media timescale, sample count, exact media duration
+    (Σ stts count×delta / timescale), total sample bytes, and the derived
+    mean sample rate (≈ fps for video) and bitrate. ISO 14496-12 §8.6.1.2
+    (stts) / §8.7.3.2 (stsz)."""
+    out = {
+        "n_samples": None,
+        "track_duration_s": None,
+        "sample_rate_hz": None,
+        "bitrate": None,
+    }
+    timescale = None
+    total_ticks = None
+    n_samples = None
+    total_bytes = None
+    for k, s, e in _walk_mp4_boxes(data, trak_s, trak_e):
+        if k != b"mdia":
+            continue
+        for k2, s2, e2 in _walk_mp4_boxes(data, s, e):
+            if k2 == b"mdhd" and e2 - s2 >= 20:
+                version = data[s2]
+                off = s2 + (20 if version == 1 else 12)
+                if off + 4 <= e2:
+                    timescale = struct.unpack(">I", data[off : off + 4])[0]
+            elif k2 == b"minf":
+                for k3, s3, e3 in _walk_mp4_boxes(data, s2, e2):
+                    if k3 != b"stbl":
+                        continue
+                    for k4, s4, e4 in _walk_mp4_boxes(data, s3, e3):
+                        if k4 == b"stts" and e4 - s4 >= 8:
+                            (n_entries,) = struct.unpack(">I", data[s4 + 4 : s4 + 8])
+                            ticks = 0
+                            cnt = 0
+                            p = s4 + 8
+                            for _ in range(n_entries):
+                                if p + 8 > e4:
+                                    break
+                                c, delta = struct.unpack(">II", data[p : p + 8])
+                                ticks += c * delta
+                                cnt += c
+                                p += 8
+                            total_ticks = ticks
+                            if n_samples is None:
+                                n_samples = cnt
+                        elif k4 == b"stsz" and e4 - s4 >= 12:
+                            uniform, count = struct.unpack(">II", data[s4 + 4 : s4 + 12])
+                            n_samples = count
+                            if uniform:
+                                total_bytes = uniform * count
+                            else:
+                                p = s4 + 12
+                                tb = 0
+                                for _ in range(count):
+                                    if p + 4 > e4:
+                                        break
+                                    tb += struct.unpack(">I", data[p : p + 4])[0]
+                                    p += 4
+                                total_bytes = tb
+    out["n_samples"] = n_samples
+    if timescale and total_ticks is not None:
+        dur = total_ticks / timescale
+        out["track_duration_s"] = round(dur, 6)
+        if dur > 0:
+            if n_samples:
+                out["sample_rate_hz"] = round(n_samples / dur, 6)
+            if total_bytes:
+                out["bitrate"] = int(round(total_bytes * 8 / dur))
+    return out
+
+
 def parse_video_meta(data: bytes) -> dict | None:
     """MP4/MOV (ISO BMFF) box parse: duration from moov/mvhd
     (timescale-normalized), display dimensions from the first video
-    trak/tkhd (16.16 fixed point). Returns None when not an MP4."""
+    trak/tkhd (16.16 fixed point), and per-track sample-table fidelity
+    (stts/stsz walk): frame count, exact track duration, mean fps,
+    bitrate. Returns None when not an MP4."""
     if len(data) < 12 or data[4:8] != b"ftyp":
         return None
-    out = {"format": "mp4", "duration_s": None, "width": None, "height": None}
+    out = {
+        "format": "mp4",
+        "duration_s": None,
+        "width": None,
+        "height": None,
+        "n_frames": None,
+        "fps": None,
+        "bitrate": None,
+    }
     for kind, s, e in _walk_mp4_boxes(data, 0, len(data)):
         if kind != b"moov":
             continue
@@ -287,6 +368,15 @@ def parse_video_meta(data: bytes) -> dict | None:
                             if w and h:
                                 out["width"] = int(w)
                                 out["height"] = int(h)
+                if out["width"] is not None and out["n_frames"] is None:
+                    st = _parse_sample_tables(data, s2, e2)
+                    out["n_frames"] = st["n_samples"]
+                    out["fps"] = st["sample_rate_hz"]
+                    out["bitrate"] = st["bitrate"]
+                    if st["track_duration_s"] is not None:
+                        # the media track's own clock beats the movie
+                        # header when both exist (edit lists aside)
+                        out["duration_s"] = st["track_duration_s"]
     return out
 
 

@@ -400,6 +400,9 @@ VIDEO_META_SCHEMA = T.StructType(
         T.StructField("duration_s", T.DoubleType(), True),
         T.StructField("width", T.IntegerType(), True),
         T.StructField("height", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("fps", T.DoubleType(), True),
+        T.StructField("bitrate", T.LongType(), True),
         T.StructField("n_bytes", T.LongType(), True),
     ]
 )
@@ -439,7 +442,8 @@ def video_metadata(
     media_df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
 ) -> DataFrame:
     """Typed video metadata from real ISO-BMFF box parsing (mvhd duration,
-    tkhd display dims). Frame decode stays in sample_frames' stub."""
+    tkhd display dims, stts/stsz sample tables → frame count / fps /
+    bitrate). Frame decode stays in sample_frames' stub."""
     from readur_spark.kernels.media_meta import parse_video_meta
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -456,6 +460,9 @@ def video_metadata(
                         "duration_s": meta.get("duration_s"),
                         "width": meta.get("width"),
                         "height": meta.get("height"),
+                        "n_frames": meta.get("n_frames"),
+                        "fps": meta.get("fps"),
+                        "bitrate": meta.get("bitrate"),
                         "n_bytes": len(data),
                     }
                 )

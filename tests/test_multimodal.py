@@ -271,6 +271,45 @@ def _mp4_bytes(duration_s=7.5, timescale=1000, w=640, h=360) -> bytes:
     return ftyp + moov
 
 
+def _mp4_with_sample_tables(
+    media_timescale=12800, frame_ticks=512, n_frames=75, sizes=None, w=640, h=360
+) -> bytes:
+    """MP4 whose video trak carries real mdhd/stts/stsz sample tables:
+    n_frames samples of frame_ticks each (fps = timescale/frame_ticks)."""
+
+    def box(kind, payload):
+        return struct.pack(">I", len(payload) + 8) + kind + payload
+
+    mvhd = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", 1000) + struct.pack(">I", 99000)  # stale movie clock
+        + b"\x00" * 80
+    )
+    tkhd = (
+        b"\x00\x00\x00\x07" + b"\x00" * 76
+        + struct.pack(">I", w << 16) + struct.pack(">I", h << 16)
+    )
+    mdhd = (
+        b"\x00\x00\x00\x00" + b"\x00" * 8
+        + struct.pack(">I", media_timescale)
+        + struct.pack(">I", frame_ticks * n_frames)
+        + b"\x00" * 4
+    )
+    stts = b"\x00\x00\x00\x00" + struct.pack(">I", 1) + struct.pack(">II", n_frames, frame_ticks)
+    if sizes is None:
+        stsz = b"\x00\x00\x00\x00" + struct.pack(">II", 4000, n_frames)  # uniform
+    else:
+        stsz = (
+            b"\x00\x00\x00\x00" + struct.pack(">II", 0, len(sizes))
+            + b"".join(struct.pack(">I", sz) for sz in sizes)
+        )
+    stbl = box(b"stbl", box(b"stts", stts) + box(b"stsz", stsz))
+    mdia = box(b"mdia", box(b"mdhd", mdhd) + box(b"minf", stbl))
+    trak = box(b"trak", box(b"tkhd", tkhd) + mdia)
+    moov = box(b"moov", box(b"mvhd", mvhd) + trak)
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
 def test_parse_wav_metadata():
     from readur_spark.kernels.media_meta import parse_audio_meta
 
@@ -297,7 +336,32 @@ def test_parse_mp4_metadata():
     assert m["format"] == "mp4"
     assert m["duration_s"] == pytest.approx(7.5)
     assert (m["width"], m["height"]) == (640, 360)
+    assert m["n_frames"] is None  # no sample tables in this fixture
     assert parse_video_meta(b"RIFF....WAVE") is None
+
+
+def test_parse_mp4_sample_tables_stts_stsz():
+    """stts/stsz walk: frame count, exact track duration (media clock wins
+    over the movie header), mean fps, and bitrate — uniform and per-sample
+    stsz layouts (ISO 14496-12 §8.6.1.2/§8.7.3.2)."""
+    from readur_spark.kernels.media_meta import parse_video_meta
+
+    # 75 frames × 512 ticks @ 12800 Hz = 3.0 s, 25 fps, uniform 4000 B/frame
+    m = parse_video_meta(_mp4_with_sample_tables())
+    assert m["n_frames"] == 75
+    assert m["duration_s"] == pytest.approx(3.0)
+    assert m["fps"] == pytest.approx(25.0)
+    assert m["bitrate"] == int(round(75 * 4000 * 8 / 3.0))
+
+    # per-sample sizes
+    sizes = [1000, 2000, 3000]
+    m2 = parse_video_meta(
+        _mp4_with_sample_tables(frame_ticks=6400, n_frames=3, sizes=sizes)
+    )
+    assert m2["n_frames"] == 3
+    assert m2["duration_s"] == pytest.approx(1.5)
+    assert m2["fps"] == pytest.approx(2.0)
+    assert m2["bitrate"] == int(round(sum(sizes) * 8 / 1.5))
 
 
 def test_distributed_audio_video_metadata(spark):

@@ -107,5 +107,25 @@ def main(only: list[str]) -> int:
     return 1 if failures else 0
 
 
+def _parse_only(argv: list[str]) -> list[str]:
+    """Accept names as plain args, comma-joined, or after --only; a
+    requested name that doesn't exist is an error (a silent no-match would
+    make the gate vacuously green)."""
+    names: list[str] = []
+    for a in argv:
+        if a == "--only":
+            continue
+        names.extend(n for n in a.split(",") if n)
+    return names
+
+
 if __name__ == "__main__":
-    raise SystemExit(main(sys.argv[1:]))
+    _only = _parse_only(sys.argv[1:])
+    if _only:
+        sys.path.insert(0, "/root/repo")
+        import __spark_entry__ as _e
+
+        _unknown = sorted(set(_only) - set(_e.queries()))
+        if _unknown:
+            raise SystemExit(f"unknown query names: {_unknown}")
+    raise SystemExit(main(_only))
