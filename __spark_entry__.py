@@ -454,6 +454,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_overlap"] = lambda s, sf: dedup.winnow_overlap_pairs(
         _docs(s, sf), min_shared=3, k=25, window=16
     ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
+    q["dup_spans"] = lambda s, sf: dedup.duplicate_spans(
+        _docs(s, sf), min_len=50, k=25, window=16
+    )
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -922,6 +925,11 @@ def oracle_sql() -> dict[str, str]:
             ["id_a", "id_b", "shared_fps"],
             ["BIGINT", "BIGINT", "BIGINT"],
             _exp.winnow_overlap_expected(_osf, min_shared=3, k=25, window=16),
+        )
+        o["dup_spans"] = _exp.values_sql(
+            ["id_a", "id_b", "start_a", "start_b", "length"],
+            ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "INTEGER"],
+            _exp.duplicate_spans_expected(_osf, min_len=50, k=25, window=16),
         )
         o["image_ocr_fake"] = _exp.values_sql(
             ["doc_id", "status", "failure_reason", "word_count", "confidence"],

@@ -225,3 +225,46 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         os.path.join(dp, f) for dp, _, fs in os.walk(ckdir) for f in fs
     ]
     assert written  # reliable checkpoint data landed on disk
+
+
+def test_duplicate_spans_finds_maximal_shared_run(spark):
+    """Lee-et-al-style exact-substring dedup: a long verbatim run shared by
+    two docs is found as ONE maximal span with exact normalized-coordinate
+    offsets; unrelated docs produce nothing."""
+    shared = (
+        "a long common sentence that both documents contain verbatim "
+        "and then some more shared tail content"
+    )
+    ta = f"Unique Prefix One {shared} suffix alpha"
+    tb = f"different beginning two {shared} other ending"
+    docs = spark.createDataFrame(
+        [("1", ta), ("2", tb), ("3", "completely unrelated text here with nothing at all shared")],
+        "doc_id string, text string",
+    )
+    got = [tuple(r) for r in dedup.duplicate_spans(docs, min_len=50, k=25, window=16).collect()]
+    assert len(got) == 1
+    (id_a, id_b, sa, sb, ln) = got[0]
+    assert (id_a, id_b) == ("1", "2")
+    na = dedup._norm_for_spans(ta)
+    nb = dedup._norm_for_spans(tb)
+    # the span is a genuinely equal run, maximal (one char of context
+    # beyond the planted string is the shared leading space)
+    assert na[sa : sa + ln] == nb[sb : sb + ln]
+    assert shared in na[sa : sa + ln]
+    assert ln >= len(shared)
+
+
+def test_duplicate_spans_matches_sequential_replica(spark):
+    """Distributed == sequential on the planted near-dup corpus."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.expected import duplicate_spans_expected
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    got = sorted(
+        tuple(r) for r in dedup.duplicate_spans(docs, min_len=50, k=25, window=16).collect()
+    )
+    exp = duplicate_spans_expected(SF, min_len=50, k=25, window=16)
+    assert got == [tuple(e) for e in exp]
+    assert got  # planted near-dups must yield spans

@@ -334,3 +334,36 @@ def winnow_overlap_expected(sf_dir: str, min_shared: int = 5, k: int = 8, window
     return sorted(
         (a, b, c) for (a, b), c in counts.items() if c >= min_shared
     )
+
+
+def duplicate_spans_expected(
+    sf_dir: str, min_len: int = 50, k: int = 25, window: int = 16
+):
+    """Driver-side replay of operators/dedup.duplicate_spans (same winnow +
+    seed-extension kernels, sequential dict-based inverted index) —
+    verifies the distributed seeded formulation like
+    winnow_overlap_expected does for the fingerprint join."""
+    from collections import defaultdict
+
+    from readur_spark.operators.dedup import _pair_spans, _winnow_py
+
+    docs = _load_documents(sf_dir)
+    fp_index = defaultdict(list)
+    for doc_id, text in docs:
+        for fp, pos in _winnow_py(text or "", k, window):
+            fp_index[fp].append((doc_id, pos))
+    seeds = defaultdict(set)
+    for entries in fp_index.values():
+        if len({d for d, _ in entries}) > 1000:  # df-cap parity
+            continue
+        for i in range(len(entries)):
+            for j in range(len(entries)):
+                (da, pa), (db, pb) = entries[i], entries[j]
+                if da < db:
+                    seeds[(da, db)].add((pa, pb))
+    texts = dict(docs)
+    out = []
+    for (da, db), sd in seeds.items():
+        for sa, sb, ln in _pair_spans(texts[da], texts[db], sorted(sd), k, min_len):
+            out.append((da, db, sa, sb, ln))
+    return sorted(out)
