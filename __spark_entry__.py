@@ -457,6 +457,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dup_spans"] = lambda s, sf: dedup.duplicate_spans(
         _docs(s, sf), min_len=50, k=25, window=16
     )
+
+    def _q_decontaminate(s, sf):
+        docs_df = _docs(s, sf)
+        heldout = docs_df.filter(F.col("doc_id") % 5 == 0)
+        return dedup.decontaminate(
+            docs_df, heldout, min_len=50, k=25, window=16, exclude_same_id=True
+        ).select(
+            "doc_id",
+            "n_eval_docs",
+            F.col("n_spans").cast("long").alias("n_spans"),
+            F.col("contaminated_chars").cast("long").alias("contaminated_chars"),
+        )
+
+    q["decontaminate"] = _q_decontaminate
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -930,6 +944,11 @@ def oracle_sql() -> dict[str, str]:
             ["id_a", "id_b", "start_a", "start_b", "length"],
             ["BIGINT", "BIGINT", "INTEGER", "INTEGER", "INTEGER"],
             _exp.duplicate_spans_expected(_osf, min_len=50, k=25, window=16),
+        )
+        o["decontaminate"] = _exp.values_sql(
+            ["doc_id", "n_eval_docs", "n_spans", "contaminated_chars"],
+            ["BIGINT", "BIGINT", "BIGINT", "BIGINT"],
+            _exp.decontaminate_expected(_osf, min_len=50, k=25, window=16, eval_mod=5),
         )
         o["image_ocr_fake"] = _exp.values_sql(
             ["doc_id", "status", "failure_reason", "word_count", "confidence"],

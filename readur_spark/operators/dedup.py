@@ -969,6 +969,131 @@ def duplicate_spans(
     return _materialize_release(result, fps)
 
 
+def decontaminate(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    min_len: int = 50,
+    k: int = 25,
+    window: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heldout_id_col: str = "doc_id",
+    heldout_text_col: str = "text",
+    exclude_same_id: bool = False,
+    max_fp_df: int | None = 1000,
+) -> DataFrame:
+    """Benchmark decontamination (the GPT-3 appendix-C / Pile procedure):
+    flag corpus documents sharing a verbatim run ≥ ``min_len`` (normalized
+    coordinates) with ANY held-out document. Cross-corpus variant of
+    :func:`duplicate_spans`:
+
+    * both sides fingerprint once (winnowed rolling hashes with positions
+      — the guarantee bounds the miss length at k+window−1);
+    * the held-out side is the small one by construction, so its
+      fingerprint table is BROADCAST to the corpus side (no shuffle of the
+      corpus fingerprints at all);
+    * seed matches extend to maximal runs per (corpus doc, eval doc), and
+      per-corpus-doc contamination is the union length of its spans (merged
+      intervals — overlapping hits from different eval docs don't double
+      count).
+
+    Returns (doc_id, n_eval_docs, n_spans, contaminated_chars) for
+    CONTAMINATED docs only; anti-join the corpus against it to clean
+    (see ``decontaminate_filter``). ``exclude_same_id`` skips identity
+    pairs when both frames share an id space (self-decontamination runs).
+    """
+    import pandas as pd
+
+    fpc = winnow_fingerprints(corpus, k, window, id_col, text_col)
+    fpe = winnow_fingerprints(heldout, k, window, heldout_id_col, heldout_text_col)
+    if max_fp_df is not None:
+        # cap on the EVAL side (the broadcast one): a boilerplate
+        # fingerprint present in >cap eval docs seeds cap× the work for
+        # no extra decision power — one hit already flags the doc
+        w = Window.partitionBy("fp").orderBy("id", "pos")
+        fpe = fpe.withColumn("rn", F.row_number().over(w)).filter(
+            F.col("rn") <= max_fp_df
+        ).drop("rn")
+    seeds = (
+        fpc.alias("c")
+        .join(F.broadcast(fpe.alias("e")), "fp")
+        .select(
+            F.col("c.id").alias("cid"),
+            F.col("e.id").alias("eid"),
+            F.col("c.pos").alias("pos_c"),
+            F.col("e.pos").alias("pos_e"),
+        )
+    )
+    if exclude_same_id:
+        seeds = seeds.where(F.col("cid") != F.col("eid"))
+    grouped = seeds.groupBy("cid", "eid").agg(
+        F.collect_set(F.struct(F.col("pos_c").alias("pos_a"), F.col("pos_e").alias("pos_b"))).alias("seeds")
+    )
+    ctexts = corpus.select(F.col(id_col).alias("cid"), F.col(text_col).alias("text_c"))
+    etexts = heldout.select(
+        F.col(heldout_id_col).alias("eid"), F.col(heldout_text_col).alias("text_e")
+    )
+    joined = grouped.join(ctexts, "cid").join(F.broadcast(etexts), "eid")
+    cid_type = corpus.schema[id_col].dataType.simpleString()
+    eid_type = heldout.schema[heldout_id_col].dataType.simpleString()
+    span_schema = f"cid {cid_type}, eid {eid_type}, start_c int, length int"
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for i in range(len(pdf)):
+                sd = [(int(s["pos_a"]), int(s["pos_b"])) for s in pdf["seeds"].iloc[i]]
+                for sa, _sb, ln in _pair_spans(
+                    pdf["text_c"].iloc[i], pdf["text_e"].iloc[i], sd, k, min_len
+                ):
+                    rows.append(
+                        {
+                            "cid": pdf["cid"].iloc[i],
+                            "eid": pdf["eid"].iloc[i],
+                            "start_c": sa,
+                            "length": ln,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=["cid", "eid", "start_c", "length"])
+
+    spans = joined.mapInPandas(run, span_schema)
+    # per-corpus-doc rollup; contaminated_chars = merged-interval coverage
+    # (pure Catalyst: sorted-array fold over (start, end) structs)
+    merged_chars = F.aggregate(
+        F.sort_array(F.collect_list(F.struct(F.col("start_c"), (F.col("start_c") + F.col("length")).alias("end_c")))),
+        F.struct(F.lit(0).alias("covered"), F.lit(-1).alias("end")),
+        lambda acc, s: F.struct(
+            (
+                acc["covered"]
+                + F.greatest(s["end_c"] - F.greatest(s["start_c"], acc["end"]), F.lit(0))
+            ).alias("covered"),
+            F.greatest(s["end_c"], acc["end"]).alias("end"),
+        ),
+        lambda acc: acc["covered"],
+    )
+    return (
+        spans.groupBy(F.col("cid").alias("doc_id"))
+        .agg(
+            F.countDistinct("eid").alias("n_eval_docs"),
+            F.count("*").alias("n_spans"),
+            merged_chars.alias("contaminated_chars"),
+        )
+    )
+
+
+def decontaminate_filter(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """The clean corpus: drop every contaminated document."""
+    flagged = decontaminate(corpus, heldout, id_col=id_col, **kwargs).select(
+        F.col("doc_id").alias(id_col)
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def winnow_overlap_pairs(
     docs: DataFrame,
     min_shared: int = 3,

@@ -268,3 +268,50 @@ def test_duplicate_spans_matches_sequential_replica(spark):
     exp = duplicate_spans_expected(SF, min_len=50, k=25, window=16)
     assert got == [tuple(e) for e in exp]
     assert got  # planted near-dups must yield spans
+
+
+def test_decontaminate_flags_and_filters(spark):
+    """GPT-3-style benchmark decontamination: training docs leaking an
+    eval question are flagged with merged-interval char counts; the filter
+    keeps only clean docs; the broadcast side is the eval set."""
+    eval_q = (
+        "what is the capital of france and why does it matter to "
+        "geography students everywhere"
+    )
+    corpus = spark.createDataFrame(
+        [
+            ("t1", f"training doc that leaks the question {eval_q} plus more"),
+            ("t2", "a clean training document with entirely original content here"),
+            ("t3", f"another leak {eval_q} and {eval_q} twice even"),
+        ],
+        "doc_id string, text string",
+    )
+    heldout = spark.createDataFrame([("e1", eval_q)], "doc_id string, text string")
+    flags = {
+        r["doc_id"]: (r["n_eval_docs"], r["n_spans"], r["contaminated_chars"])
+        for r in dedup.decontaminate(corpus, heldout, min_len=50).collect()
+    }
+    assert set(flags) == {"t1", "t3"}
+    assert flags["t1"][0] == 1 and flags["t1"][1] == 1
+    assert flags["t1"][2] >= len(eval_q)
+    assert flags["t3"][1] == 2  # two distinct leaked spans
+    assert flags["t3"][2] >= 2 * len(eval_q)
+    clean = dedup.decontaminate_filter(corpus, heldout, min_len=50).collect()
+    assert sorted(r["doc_id"] for r in clean) == ["t2"]
+
+
+def test_decontaminate_merged_intervals_no_double_count(spark):
+    """Two eval docs hitting the SAME corpus span must not double-count
+    contaminated characters (union coverage, not sum)."""
+    run = "this exact duplicated passage appears verbatim in both eval documents today"
+    corpus = spark.createDataFrame(
+        [("t1", f"prefix text {run} suffix text")], "doc_id string, text string"
+    )
+    heldout = spark.createDataFrame(
+        [("e1", f"alpha {run}"), ("e2", f"{run} omega")], "doc_id string, text string"
+    )
+    (row,) = dedup.decontaminate(corpus, heldout, min_len=50).collect()
+    assert row["n_eval_docs"] == 2
+    # coverage is bounded by the single underlying span (+boundary chars),
+    # far below the 2x a naive sum would report
+    assert row["contaminated_chars"] <= len(run) + 2

@@ -367,3 +367,49 @@ def duplicate_spans_expected(
         for sa, sb, ln in _pair_spans(texts[da], texts[db], sorted(sd), k, min_len):
             out.append((da, db, sa, sb, ln))
     return sorted(out)
+
+
+def decontaminate_expected(
+    sf_dir: str,
+    min_len: int = 50,
+    k: int = 25,
+    window: int = 16,
+    eval_mod: int = 20,
+):
+    """Driver-side replay of operators/dedup.decontaminate with
+    heldout = docs where doc_id % eval_mod == 0, exclude_same_id=True.
+    Returns (doc_id, n_eval_docs, n_spans, contaminated_chars)."""
+    from collections import defaultdict
+
+    from readur_spark.operators.dedup import _pair_spans, _winnow_py
+
+    docs = _load_documents(sf_dir)
+    heldout = [(d, t) for d, t in docs if d % eval_mod == 0]
+    eval_fp = defaultdict(list)
+    for eid, text in heldout:
+        for fp, pos in _winnow_py(text or "", k, window):
+            eval_fp[fp].append((eid, pos))
+    texts_e = dict(heldout)
+    per_doc_spans = defaultdict(list)
+    per_doc_evals = defaultdict(set)
+    per_doc_nspans = defaultdict(int)
+    for cid, text in docs:
+        seeds = defaultdict(set)
+        for fp, pos in _winnow_py(text or "", k, window):
+            for eid, epos in eval_fp.get(fp, ()):
+                if eid != cid:
+                    seeds[eid].add((pos, epos))
+        for eid, sd in seeds.items():
+            spans = _pair_spans(text, texts_e[eid], sorted(sd), k, min_len)
+            if spans:
+                per_doc_evals[cid].add(eid)
+                per_doc_nspans[cid] += len(spans)
+                per_doc_spans[cid].extend((sa, sa + ln) for sa, _sb, ln in spans)
+    out = []
+    for cid, intervals in per_doc_spans.items():
+        covered, end = 0, -1
+        for s, e in sorted(intervals):
+            covered += max(0, e - max(s, end))
+            end = max(end, e)
+        out.append((cid, len(per_doc_evals[cid]), per_doc_nspans[cid], covered))
+    return sorted(out)
