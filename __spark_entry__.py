@@ -471,6 +471,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate"] = _q_decontaminate
+
+    def _q_pack_sequences(s, sf):
+        from readur_spark.operators.packing import pack_sequences
+
+        return pack_sequences(_docs(s, sf), seq_len=512)
+
+    q["pack_sequences"] = _q_pack_sequences
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -950,6 +957,7 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "BIGINT", "BIGINT", "BIGINT"],
             _exp.decontaminate_expected(_osf, min_len=50, k=25, window=16, eval_mod=5),
         )
+
         o["image_ocr_fake"] = _exp.values_sql(
             ["doc_id", "status", "failure_reason", "word_count", "confidence"],
             ["BIGINT", "VARCHAR", "VARCHAR", "BIGINT", "DOUBLE"],
@@ -960,6 +968,36 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
             _exp.snippets_full_expected(_osf, "spark merge"),
         )
+
+    # pack_sequences: the distributed prefix scan must equal the
+    # straightforward global-order window + lateral series (fine for the
+    # oracle at sf0.01; the Spark plan avoids exactly that single-partition
+    # window — tests/test_packing.py asserts it)
+    o["pack_sequences"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS gstart
+          FROM t WHERE n > 0
+        )
+        SELECT s.seq AS seq_id,
+               c.doc_id,
+               greatest(c.gstart, s.seq * 512) - c.gstart AS tok_start,
+               least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart AS tok_end,
+               least(c.gstart + c.n, (s.seq + 1) * 512)
+                 - greatest(c.gstart, s.seq * 512) AS n_tokens
+        FROM c, LATERAL (
+          SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
+                                        CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
+        ) s
+    """
 
     # pdf_ocr_glyph: the glyph engine reads rendered pages EXACTLY, so the
     # expected OCR text is the planted body — closed-form in doc_id. Any

@@ -1,0 +1,130 @@
+"""Sequence packing for LLM training pipelines.
+
+The standard GPT-style data layout concatenates the corpus token stream in
+a fixed document order and cuts it every ``seq_len`` tokens; documents
+crossing a boundary are SPLIT across consecutive sequences (no padding, no
+token dropped). The operator computes, for every document, which training
+sequences it lands in and which within-document token range goes to each —
+the manifest a loader needs to materialize packed batches.
+
+Scale design — the global running offset is the crux. A naive
+``sum() OVER (ORDER BY doc_id)`` window has no PARTITION BY, so Spark
+plans an Exchange SinglePartition: the whole corpus through one task. This
+implementation uses the classic two-phase distributed prefix scan instead:
+
+1. bucket documents into contiguous id ranges with a PURE FUNCTION of the
+   id (``(id - min_id) // step`` — deterministic across job re-runs, which
+   ``spark_partition_id()`` over ``repartitionByRange`` is NOT: range
+   boundaries are re-sampled per job) and sum token counts per bucket;
+2. collect the per-bucket sums (ONE ROW per bucket — metadata scale),
+   prefix-sum them on the driver, broadcast the bases back;
+3. each bucket computes exact global offsets as bucket base + local
+   running sum (window PARTITIONED by bucket — parallel, no
+   single-partition exchange, asserted in tests/test_plan_quality.py);
+4. boundary crossings explode into one row per (document, sequence)
+   overlap via ``sequence(first_seq, last_seq)`` — pure Catalyst.
+
+Token counts use the BPE-ish pre-tokenizer regex from
+functions/textstats.token_count_col, so the oracle reproduces them in SQL.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from readur_spark.functions.textstats import token_count_col
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int = 2048,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Packing manifest: (seq_id, doc_id, tok_start, tok_end, n_tokens)
+    with ``tok_start``/``tok_end`` the half-open within-document token
+    range assigned to training sequence ``seq_id``. Deterministic: stream
+    order is ascending ``id_col`` (must be numeric — the id-range bucketing
+    that keeps the prefix scan re-run-safe needs arithmetic on it).
+
+    Buckets are contiguous id ranges, so a skewed id distribution skews
+    bucket sizes; pick ``num_buckets`` ≳ cluster parallelism (default) and
+    the window stays balanced for the dense-id common case."""
+    spark = docs.sparkSession
+    base = docs.select(
+        F.col(id_col).alias("id"), token_count_col(F.col(text_col)).alias("n")
+    ).filter(F.col("n") > 0)
+    if num_buckets is None:
+        num_buckets = spark.sparkContext.defaultParallelism
+    mm = base.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        return spark.createDataFrame(
+            [], f"seq_id long, {id_col} long, tok_start long, tok_end long, n_tokens long"
+        )
+    lo = int(mm["lo"])
+    step = max(1, math.ceil((int(mm["hi"]) - lo + 1) / num_buckets))
+    bucketed = base.withColumn(
+        "pid", ((F.col("id") - F.lit(lo)) / F.lit(step)).cast("int")
+    )
+    # phases 1+2: per-bucket totals → driver prefix sum → broadcast bases.
+    # The collect is one row PER BUCKET, not per document.
+    sums = {
+        r["pid"]: r["s"]
+        for r in bucketed.groupBy("pid").agg(F.sum("n").alias("s")).collect()
+    }
+    bases = []
+    acc = 0
+    for pid in sorted(sums):
+        bases.append((int(pid), int(acc)))
+        acc += int(sums[pid])
+    base_df = F.broadcast(spark.createDataFrame(bases, "pid int, base long"))
+    # phase 3: exact global start = bucket base + local running sum. The
+    # window partitions by pid, so it parallelizes across buckets — no
+    # Exchange SinglePartition anywhere in this plan.
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = (
+        bucketed.join(base_df, "pid")
+        .withColumn("local_end", F.sum("n").over(w))
+        .withColumn("gstart", F.col("base") + F.col("local_end") - F.col("n"))
+    )
+    # phase 4: explode boundary crossings
+    first_seq = F.floor(F.col("gstart") / seq_len)
+    last_seq = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)
+    exploded = offs.select(
+        F.col("id").alias(id_col),
+        "n",
+        "gstart",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("gstart"), F.col("seq_id") * seq_len)
+    seg_end = F.least(F.col("gstart") + F.col("n"), (F.col("seq_id") + 1) * seq_len)
+    return exploded.select(
+        "seq_id",
+        id_col,
+        (seg_start - F.col("gstart")).alias("tok_start"),
+        (seg_end - F.col("gstart")).alias("tok_end"),
+        (seg_end - seg_start).alias("n_tokens"),
+    )
+
+
+def packing_stats(manifest: DataFrame, seq_len: int) -> DataFrame:
+    """Per-sequence fill report: (seq_id, n_docs, n_tokens, fill_ratio).
+    Every sequence except the last must be exactly full — the invariant
+    the packer guarantees (no padding, no dropped tokens)."""
+    return (
+        manifest.groupBy("seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .withColumn("fill_ratio", F.round(F.col("n_tokens") / seq_len, 6))
+    )

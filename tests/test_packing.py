@@ -1,0 +1,84 @@
+"""GPT-style sequence packing: distributed prefix-scan manifest."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.operators.packing import pack_sequences, packing_stats
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_pack_invariants(spark, docs):
+    """No padding, no dropped tokens: every sequence except the last is
+    exactly full, total packed tokens == total corpus tokens, and each
+    document's segments tile [0, n_tokens) contiguously."""
+    from readur_spark.functions.textstats import token_count_col
+
+    L = 512
+    manifest = pack_sequences(docs, seq_len=L).cache()
+    stats = packing_stats(manifest, L).collect()
+    last = max(r["seq_id"] for r in stats)
+    for r in stats:
+        if r["seq_id"] != last:
+            assert r["n_tokens"] == L, r
+        else:
+            assert 0 < r["n_tokens"] <= L
+    total = docs.select(F.sum(token_count_col(F.col("text")))).collect()[0][0]
+    packed = manifest.agg(F.sum("n_tokens")).collect()[0][0]
+    assert packed == total
+    # per-doc tiling
+    segs = manifest.orderBy("doc_id", "tok_start").collect()
+    by_doc = {}
+    for r in segs:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+    for doc_id, spans in by_doc.items():
+        assert spans[0][0] == 0
+        for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+            assert s1 == e0  # contiguous, no gap, no overlap
+    manifest.unpersist()
+
+
+def test_pack_deterministic_across_bucket_counts(spark, docs):
+    """The manifest is a pure function of the corpus — bucket count is an
+    execution detail (the re-run-safety property spark_partition_id over
+    repartitionByRange lacks)."""
+    a = {tuple(r) for r in pack_sequences(docs, seq_len=300, num_buckets=1).collect()}
+    b = {tuple(r) for r in pack_sequences(docs, seq_len=300, num_buckets=8).collect()}
+    c = {tuple(r) for r in pack_sequences(docs, seq_len=300, num_buckets=37).collect()}
+    assert a == b == c
+
+
+def test_pack_splits_long_doc_across_sequences(spark):
+    """A document longer than seq_len must split across consecutive
+    sequences with contiguous ranges."""
+    rows = [(1, "tok " * 100), (2, "word " * 700), (3, "end " * 50)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    m = sorted(
+        tuple(r) for r in pack_sequences(docs, seq_len=256).collect()
+    )
+    # doc 1: tokens 0..100 in seq 0; doc 2: 700 tokens spanning seqs 0-3
+    assert (0, 1, 0, 100, 100) in m
+    d2 = [r for r in m if r[1] == 2]
+    assert [r[0] for r in d2] == [0, 1, 2, 3]
+    assert d2[0][2:] == (0, 156, 156)      # fills seq 0 to the boundary
+    assert d2[1][2:] == (156, 412, 256)    # whole seq 1
+    assert d2[2][2:] == (412, 668, 256)    # whole seq 2
+    assert d2[3][2:] == (668, 700, 32)     # tail into seq 3
+    assert (3, 3, 0, 50, 50) in m          # doc 3 follows in seq 3
+
+
+def test_pack_no_single_partition_exchange(spark, docs):
+    """The scale property: the prefix scan must not plan an Exchange
+    SinglePartition (the naive global-order window would)."""
+    plan = (
+        pack_sequences(docs, seq_len=512)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
