@@ -478,6 +478,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(_docs(s, sf), seq_len=512)
 
     q["pack_sequences"] = _q_pack_sequences
+
+    def _q_repetition(s, sf):
+        from readur_spark.operators.repetition import repetition_metrics
+
+        return repetition_metrics(_docs(s, sf))
+
+    q["repetition_filters"] = _q_repetition
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -998,6 +1005,83 @@ def oracle_sql() -> dict[str, str]:
                                         CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
         ) s
     """
+
+    # repetition_filters: the Gopher repetition family mirrored relationally
+    # (dup lines/paragraphs + top-n-gram coverage, cnt>1 only, clamped ≤1)
+    _rep_gram = lambda n: f"""
+        g{n} AS (
+          SELECT tok.doc_id, tok.total_chars,
+                 array_to_string(tok.ts[i.g : i.g + {n - 1}], ' ') AS gram
+          FROM tok, LATERAL (
+            SELECT unnest(generate_series(1, len(tok.ts) - {n - 1})) AS g) i
+          WHERE len(tok.ts) >= {n}
+        ),
+        t{n} AS (
+          SELECT doc_id,
+                 round(least(max(CASE WHEN cnt > 1 THEN cnt * length(gram)
+                                      ELSE 0 END) * 1.0 / any_value(total_chars),
+                             1.0), 6) AS top{n}_char_frac
+          FROM (SELECT doc_id, total_chars, gram, count(*) AS cnt
+                FROM g{n} GROUP BY 1, 2, 3)
+          GROUP BY doc_id
+        )"""
+    o["repetition_filters"] = (
+        r"""
+        WITH base AS (SELECT doc_id, text, length(text) AS total_chars FROM documents),
+        lines AS (
+          SELECT doc_id, unit FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\n')) AS unit FROM base)
+          WHERE trim(unit) <> ''),
+        lf AS (
+          SELECT doc_id,
+                 round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+                   AS dup_line_frac,
+                 round(sum(CASE WHEN cnt > 1 THEN cnt * length(unit) ELSE 0 END) * 1.0
+                       / sum(cnt * length(unit)), 6) AS dup_line_char_frac
+          FROM (SELECT doc_id, unit, count(*) AS cnt FROM lines GROUP BY 1, 2)
+          GROUP BY doc_id),
+        paras AS (
+          SELECT doc_id, unit FROM (
+            SELECT doc_id, unnest(string_split_regex(text, '\n\s*\n')) AS unit FROM base)
+          WHERE trim(unit) <> ''),
+        pf AS (
+          SELECT doc_id,
+                 round(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) * 1.0 / sum(cnt), 6)
+                   AS dup_para_frac,
+                 round(sum(CASE WHEN cnt > 1 THEN cnt * length(unit) ELSE 0 END) * 1.0
+                       / sum(cnt * length(unit)), 6) AS dup_para_char_frac
+          FROM (SELECT doc_id, unit, count(*) AS cnt FROM paras GROUP BY 1, 2)
+          GROUP BY doc_id),
+        tok AS (
+          SELECT doc_id, total_chars,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x <> '') AS ts
+          FROM base),"""
+        + _rep_gram(2) + "," + _rep_gram(3) + "," + _rep_gram(4)
+        + """
+        SELECT base.doc_id,
+               coalesce(lf.dup_line_frac, 0.0) AS dup_line_frac,
+               coalesce(lf.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+               coalesce(pf.dup_para_frac, 0.0) AS dup_para_frac,
+               coalesce(pf.dup_para_char_frac, 0.0) AS dup_para_char_frac,
+               coalesce(t2.top2_char_frac, 0.0) AS top2_char_frac,
+               coalesce(t3.top3_char_frac, 0.0) AS top3_char_frac,
+               coalesce(t4.top4_char_frac, 0.0) AS top4_char_frac,
+               coalesce(lf.dup_line_frac, 0.0) <= 0.30
+                 AND coalesce(pf.dup_para_frac, 0.0) <= 0.30
+                 AND coalesce(lf.dup_line_char_frac, 0.0) <= 0.20
+                 AND coalesce(pf.dup_para_char_frac, 0.0) <= 0.20
+                 AND coalesce(t2.top2_char_frac, 0.0) <= 0.20
+                 AND coalesce(t3.top3_char_frac, 0.0) <= 0.18
+                 AND coalesce(t4.top4_char_frac, 0.0) <= 0.16 AS rep_pass
+        FROM base
+        LEFT JOIN lf USING (doc_id)
+        LEFT JOIN pf USING (doc_id)
+        LEFT JOIN t2 USING (doc_id)
+        LEFT JOIN t3 USING (doc_id)
+        LEFT JOIN t4 USING (doc_id)
+    """
+    )
 
     # pdf_ocr_glyph: the glyph engine reads rendered pages EXACTLY, so the
     # expected OCR text is the planted body — closed-form in doc_id. Any
