@@ -485,6 +485,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return repetition_metrics(_docs(s, sf))
 
     q["repetition_filters"] = _q_repetition
+
+    def _q_split(s, sf):
+        from readur_spark.operators.sampling import split_assign
+
+        return (
+            split_assign(_docs(s, sf), {"train": 0.9, "val": 0.05, "test": 0.05})
+            .groupBy("split")
+            .agg(F.count("*").alias("n_docs"))
+        )
+
+    q["split_assign"] = _q_split
+
+    def _q_sample(s, sf):
+        from readur_spark.functions.textstats import quality_score_col
+        from readur_spark.operators.sampling import sample_by_weight
+
+        docs_df = _docs(s, sf).withColumn(
+            "weight", quality_score_col(F.col("text"))
+        )
+        return sample_by_weight(docs_df, rate=0.5, weight_col="weight").select(
+            "doc_id", F.round("weight", 6).alias("weight")
+        )
+
+    q["sample_weighted"] = _q_sample
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -975,6 +999,37 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "VARCHAR", "INTEGER", "INTEGER", "INTEGER", "INTEGER"],
             _exp.snippets_full_expected(_osf, "spark merge"),
         )
+
+    # split_assign / sample_weighted: the salted-md5 uniform is engine-
+    # portable by construction (first 32 md5 bits / 2^32)
+    _u = (
+        "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), 1, 8)) "
+        "AS BIGINT) / 4294967296.0"
+    )
+    o["split_assign"] = f"""
+        WITH u AS (SELECT doc_id, {_u.format(salt="split-v1")} AS u FROM documents)
+        SELECT CASE WHEN u < 0.9 THEN 'train'
+                    WHEN u < 0.95 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM u GROUP BY 1
+    """
+    o["sample_weighted"] = f"""
+        WITH w AS (
+          SELECT doc_id,
+                 round((
+                   least(length(text) / 1000.0, 1.0)
+                   + CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) * 1.0 / length(text) END
+                   + least((CASE WHEN trim(text) = '' THEN 0
+                                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) * 6.0
+                           / greatest(length(text), 1), 1.0)
+                 ) / 3.0, 6) AS weight,
+                 {_u.format(salt="sample-v1")} AS u
+          FROM documents)
+        SELECT doc_id, weight FROM w
+        WHERE u < least(greatest(0.5 * weight, 0.0), 1.0)
+    """
 
     # pack_sequences: the distributed prefix scan must equal the
     # straightforward global-order window + lateral series (fine for the

@@ -1,0 +1,70 @@
+"""Deterministic corpus splitting and sampling.
+
+Training pipelines need splits and samples that are (a) reproducible
+across runs and engines, (b) stable under corpus growth (a doc's
+assignment never changes when other docs are added), and (c) free of
+coordination — which rules out ``DataFrame.randomSplit`` (partition-order
+dependent) and ``sample`` (seed + partitioning dependent). Everything here
+derives a uniform number in [0,1) from a salted md5 of the document id —
+one codegen'd expression, no shuffle, no state, and bit-for-bit
+reproducible in any engine with md5 (the DuckDB oracles mirror it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator for the md5-derived uniform: 8 hex chars = 32 bits
+_DENOM = float(1 << 32)
+
+
+def hash_uniform_col(id_col: Column, salt: str) -> Column:
+    """Deterministic uniform in [0,1): first 32 bits of
+    md5(id || ':' || salt) / 2^32. Change the salt to draw an independent
+    uniform for a different decision (split vs sample vs shard)."""
+    h = F.md5(F.concat(id_col.cast("string"), F.lit(":" + salt)))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(_DENOM)
+
+
+def split_assign(
+    docs: DataFrame,
+    fractions: dict[str, float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each doc to a named split with the
+    given fractions (must sum to 1). Assignment is a pure function of
+    (id, salt): stable under corpus growth and engine-portable."""
+    fractions = fractions or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    u = hash_uniform_col(F.col(id_col), salt)
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = u < F.lit(acc)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return docs.withColumn("split", expr)
+
+
+def sample_by_weight(
+    docs: DataFrame,
+    rate: float,
+    weight_col: str | None = None,
+    id_col: str = "doc_id",
+    salt: str = "sample-v1",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a doc iff its salted uniform is
+    below ``rate × weight`` (weight defaults to 1; the product is clamped
+    to [0,1], so a weight ≥ 1/rate keeps the doc always). The standard
+    quality-weighted downsampling shape — higher-quality docs survive at a
+    higher rate, and the decision is per-doc with no shuffle."""
+    u = hash_uniform_col(F.col(id_col), salt)
+    p = F.lit(rate) * (F.col(weight_col) if weight_col else F.lit(1.0))
+    return docs.filter(u < F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)))

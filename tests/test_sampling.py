@@ -1,0 +1,69 @@
+"""Deterministic split / weighted-sampling operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.operators.sampling import (
+    hash_uniform_col,
+    sample_by_weight,
+    split_assign,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_split_fractions_and_stability(spark, docs):
+    out = split_assign(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.7 < counts["train"] / n < 0.9  # 500 docs: loose binomial bounds
+    # stability under corpus growth: a doc's split never changes when the
+    # corpus is subset or extended
+    sub = split_assign(docs.limit(100), {"train": 0.8, "val": 0.1, "test": 0.1})
+    full_map = {r["doc_id"]: r["split"] for r in out.collect()}
+    for r in sub.collect():
+        assert full_map[r["doc_id"]] == r["split"]
+
+
+def test_split_fractions_must_sum_to_one(spark, docs):
+    with pytest.raises(ValueError):
+        split_assign(docs, {"a": 0.5, "b": 0.4})
+
+
+def test_splits_are_disjoint_and_exhaustive(spark, docs):
+    out = split_assign(docs)
+    assert out.count() == docs.count()
+    assert out.filter(F.col("split").isNull()).count() == 0
+
+
+def test_sample_rate_and_determinism(spark, docs):
+    s1 = {r["doc_id"] for r in sample_by_weight(docs, rate=0.5).collect()}
+    s2 = {r["doc_id"] for r in sample_by_weight(docs, rate=0.5).collect()}
+    assert s1 == s2  # deterministic, unlike DataFrame.sample
+    n = docs.count()
+    assert 0.4 < len(s1) / n < 0.6
+    # a different salt draws an independent sample
+    s3 = {r["doc_id"] for r in sample_by_weight(docs, rate=0.5, salt="other").collect()}
+    assert s3 != s1
+
+
+def test_sample_weight_scales_acceptance(spark):
+    rows = [(i, "x", 1.0 if i % 2 == 0 else 0.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, weight double")
+    kept = sample_by_weight(df, rate=0.5, weight_col="weight").collect()
+    assert all(r["weight"] == 1.0 for r in kept)  # zero-weight never kept
+    assert 150 < len(kept) < 350  # ≈ 500 × 0.5
+
+
+def test_uniform_is_uniform(spark, docs):
+    stats = docs.select(hash_uniform_col(F.col("doc_id"), "u-test").alias("u")).agg(
+        F.min("u"), F.max("u"), F.avg("u")
+    ).collect()[0]
+    assert 0.0 <= stats[0] and stats[1] < 1.0
+    assert 0.4 < stats[2] < 0.6
