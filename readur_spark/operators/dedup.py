@@ -60,26 +60,16 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # --------------------------------------------------------------------------
 
 
-def _shingle_array(text_col: str, n: int):
-    """Column expression: the distinct word n-gram shingle ARRAY of a text
-    column — the zero-shuffle building block (_shingles explodes it; the
-    array-form MinHash aggregates it in place).
-
-    Tokenization = lowercase + split on non-alnum runs (engine-portable so
-    the DuckDB oracle can reproduce it exactly)."""
+def _token_rows(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, tk): one row per token in document order. Tokenization =
+    lowercase + split on non-alnum runs (engine-portable so the DuckDB
+    oracle can reproduce it exactly)."""
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
-    if n == 1:
-        sh = tokens
-    else:
-        # sliding window of n tokens, joined by single spaces
-        idxs = F.sequence(F.lit(0), F.size(tokens) - n)
-        sh = F.transform(
-            idxs,
-            lambda i: F.array_join(F.slice(tokens, i + 1, n), " "),
-        )
-    return F.filter(F.array_distinct(sh), lambda s: s != "")
+    return _ensure_parallelism(docs).select(
+        F.col(id_col).alias("id"), F.posexplode(tokens).alias("pos", "tk")
+    )
 
 
 def _ensure_parallelism(df: DataFrame) -> DataFrame:
@@ -98,15 +88,42 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
-def _shingles(docs: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle)."""
-    # array_distinct already de-dups within the doc, so (id, shingle) rows
-    # are unique by construction — no cross-row distinct() (that would be a
-    # full extra shuffle for nothing)
-    return _ensure_parallelism(docs).select(
-        F.col(id_col).alias("id"),
-        F.explode(_shingle_array(text_col, n)).alias("shingle"),
-    )
+def _shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, shingle), distinct per doc
+    by default (Jaccard is over shingle SETS).
+
+    Built relationally — posexplode the tokens once, then ``lead()`` over a
+    per-doc window. The former array formulation (transform over indices
+    with slice()/element_at into the tokens expression) re-evaluated the
+    whole tokenization per element — higher-order-function lambdas are
+    interpreted with NO common-subexpression elimination, so a 200k-token
+    mega document went quadratic and hung for hours. The window form is
+    linear, codegen'd, and shuffles once on the doc id (skew = one task
+    per mega doc, which is exactly the scan parallelism anyway).
+
+    ``distinct=False`` skips the de-dup shuffle for consumers that are
+    multiset-safe (MinHash: min over a multiset equals min over the set)."""
+    rows = _token_rows(docs, id_col, text_col)
+    if n == 1:
+        sh = rows.select("id", F.col("tk").alias("shingle"))
+    else:
+        w = Window.partitionBy("id").orderBy("pos")
+        parts = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, n)]
+        # concat_ws SKIPS nulls — the tail rows with missing leads would
+        # silently emit (n-1)-grams, so gate on the last lead instead
+        sh = (
+            rows.select(
+                "id",
+                F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias(
+                    "shingle"
+                ),
+            )
+            .where(F.col("shingle").isNotNull())
+        )
+    sh = sh.where(F.col("shingle") != "")
+    return sh.distinct() if distinct else sh
 
 
 def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
@@ -286,7 +303,13 @@ def minhash_signatures(
     whole-stage codegen) and projection collapse re-tokenizes the text once
     per hash — the shuffled hash-agg over codegen'd xxhash64 wins. (Beware
     also: F.transform treats a two-arg lambda as (element, index).)"""
-    sh = shingles if shingles is not None else _shingles(docs, id_col, text_col, n)
+    # multiset-safe: min over repeated shingles equals min over the set,
+    # so skip the distinct shuffle entirely
+    sh = (
+        shingles
+        if shingles is not None
+        else _shingles(docs, id_col, text_col, n, distinct=False)
+    )
     based = sh.select("id", F.xxhash64("shingle").alias("bh"))
     aggs = [
         F.min(F.xxhash64(F.col("bh"), F.lit(i))).alias(f"h{i}")

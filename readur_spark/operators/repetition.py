@@ -66,37 +66,49 @@ def _dup_unit_fracs(docs, id_col, unit_col_expr, prefix):
 def _top_ngram_frac(docs, id_col, text_col, n):
     """(id, top{n}_char_frac): chars covered by the most frequent word
     n-gram / total doc chars. Tokenization matches the shingle family
-    (lowercase, non-alnum splits) so oracles reproduce it."""
+    (lowercase, non-alnum splits) so oracles reproduce it.
+
+    Built with posexplode + window lead like the shingle family — an
+    array/HOF gram build re-evaluates the tokenization per element
+    (interpreted lambdas have no common-subexpression elimination) and
+    goes quadratic on mega documents."""
+    from pyspark.sql.window import Window
+
     tokens = F.filter(
         F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
     )
-    idxs = F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1)))
-    grams = F.when(
-        F.size(tokens) >= n,
-        F.transform(idxs, lambda i: F.array_join(F.slice(tokens, i + 1, n), " ")),
-    ).otherwise(F.array())
-    exploded = docs.select(
+    # NOTE: no computed text-level column (e.g. length(text)) may ride
+    # through the posexplode — Catalyst can evaluate such a projection
+    # AFTER the Generate, i.e. once per exploded row, which on a mega doc
+    # means 200k × O(1.3M) numChars scans (observed as a multi-hour hang).
+    # Per-doc totals join back in AFTER the aggregation instead.
+    rows = docs.select(
         F.col(id_col).alias("id"),
-        F.length(text_col).alias("total_chars"),
-        F.explode(grams).alias("gram"),
+        F.posexplode(tokens).alias("pos", "tk"),
     )
-    counts = exploded.groupBy("id", "total_chars", "gram").agg(
-        F.count("*").alias("cnt")
-    )
+    w = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("tk")] + [F.lead("tk", j).over(w) for j in range(1, n)]
+    exploded = rows.select(
+        "id",
+        F.when(parts[-1].isNotNull(), F.concat_ws(" ", *parts)).alias("gram"),
+    ).where(F.col("gram").isNotNull())
+    counts = exploded.groupBy("id", "gram").agg(F.count("*").alias("cnt"))
     # a gram occurring once is not repetition (short docs would otherwise
     # trip the rule on any long-ish phrase); overlapping occurrences can
     # nominally cover > 100% of the doc — clamp to 1
-    return counts.groupBy("id").agg(
+    best = counts.groupBy("id").agg(
+        F.max(
+            F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
+        ).alias("best_chars")
+    )
+    totals = docs.select(
+        F.col(id_col).alias("id"), F.length(text_col).alias("total_chars")
+    )
+    return best.join(totals, "id").select(
+        "id",
         F.round(
-            F.least(
-                F.max(
-                    F.when(F.col("cnt") > 1, F.col("cnt") * F.length("gram")).otherwise(0)
-                )
-                / F.first("total_chars"),
-                F.lit(1.0),
-            ),
-            6,
-        ).alias(f"top{n}_char_frac")
+            F.least(F.col("best_chars") / F.col("total_chars"), F.lit(1.0)), 6
+        ).alias(f"top{n}_char_frac"),
     )
 
 

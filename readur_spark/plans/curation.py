@@ -58,10 +58,14 @@ def curate(
     min_quality: float = 0.0,
     require_gopher: bool = True,
     gopher_stopwords: tuple[str, ...] | None = None,
+    require_rep_pass: bool = False,
+    heldout_df: DataFrame | None = None,
+    decontam_min_len: int = 50,
     near_dup_threshold: float = 0.5,
     shingle_n: int = 3,
     chunk_words: int = 128,
     overlap_words: int = 32,
+    split_fractions: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (chunks DataFrame, funnel metrics).
 
@@ -69,10 +73,26 @@ def curate(
     ``count()`` actions on persisted intermediates, the standard curation
     report. Callers that only need the output frame can ignore it; the
     counts are what you put on the run dashboard.
+
+    Optional stages (all off by default, preserving the round-2 funnel):
+    ``require_rep_pass`` adds the Gopher repetition filters;
+    ``heldout_df`` decontaminates against an eval set before dedup;
+    ``split_fractions`` appends a deterministic ``split`` column.
     """
     metrics: dict[str, int] = {}
     text_df = _to_text(docs_df).persist()
     metrics["input_docs"] = text_df.count()
+
+    if heldout_df is not None:
+        text_df_clean = dedup.decontaminate_filter(
+            text_df,
+            _to_text(heldout_df),
+            min_len=decontam_min_len,
+            exclude_same_id=True,
+        ).persist()
+        metrics["after_decontamination"] = text_df_clean.count()
+        text_df.unpersist()
+        text_df = text_df_clean
 
     gopher_cols = (
         gopher_flags_cols(F.col("text"), stopwords=gopher_stopwords)
@@ -89,6 +109,11 @@ def curate(
     filtered = analyzed.filter(F.col("quality") >= min_quality)
     if require_gopher:
         filtered = filtered.filter(F.col("gopher_pass"))
+    if require_rep_pass:
+        from readur_spark.operators.repetition import repetition_metrics
+
+        rep_ok = repetition_metrics(text_df).filter(F.col("rep_pass")).select("doc_id")
+        filtered = filtered.join(rep_ok, "doc_id", "left_semi")
     filtered = filtered.select("doc_id", "text", "lang", "quality").persist()
     metrics["after_quality_filter"] = filtered.count()
 
@@ -104,6 +129,10 @@ def curate(
     chunks = chunk_texts(
         curated, chunk_words=chunk_words, overlap_words=overlap_words
     ).join(curated.select("doc_id", "lang", "quality"), "doc_id")
+    if split_fractions is not None:
+        from readur_spark.operators.sampling import split_assign
+
+        chunks = split_assign(chunks, split_fractions)
     metrics["chunks"] = chunks.count()
 
     # full lifecycle: every persisted intermediate is released once the

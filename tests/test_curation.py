@@ -60,3 +60,41 @@ def test_curate_to_parquet_partitioned_by_lang(spark, docs, tmp_path):
         .toString()
     )
     assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_curate_optional_stages(spark):
+    """Round-3 funnel extensions: decontamination (eval leak dropped),
+    repetition filter (boilerplate doc dropped), split column appended —
+    all off by default (the base funnel is unchanged)."""
+    from readur_spark.plans.curation import curate
+
+    eval_q = (
+        "what is the capital of france and why does it matter to "
+        "geography students everywhere in the world today"
+    )
+    def body(seed):
+        # genuinely varied prose: no repeated n-grams, no repeated lines
+        return " ".join(f"w{seed}x{j} t{seed + j}" for j in range(40))
+
+    rows = [
+        (1, f"leaky doc {eval_q} more text {body(1)}"),
+        (2, f"{body(2)} entirely clean content one"),
+        (3, f"{body(3)} entirely clean content two"),
+        (4, "same line\n" * 30 + body(4)),  # repetition offender
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    heldout = spark.createDataFrame([(100, eval_q)], "doc_id long, text string")
+    chunks, metrics = curate(
+        docs,
+        require_gopher=False,
+        require_rep_pass=True,
+        heldout_df=heldout,
+        split_fractions={"train": 0.8, "val": 0.2},
+        near_dup_threshold=0.9,
+    )
+    assert metrics["input_docs"] == 4
+    assert metrics["after_decontamination"] == 3  # doc 1 dropped
+    assert metrics["after_quality_filter"] == 2  # doc 4 dropped (rep)
+    got = chunks.collect()
+    assert got and all(r["split"] in ("train", "val") for r in got)
+    assert {r["doc_id"] for r in got} <= {2, 3}

@@ -157,3 +157,37 @@ def test_ts_rank_stays_jvm_side(spark, docs):
     plan = plan_of(search_ranked_ts(docs, "spark merge"))
     assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, docs):
+    """The held-out set is small by construction: its fingerprints AND its
+    texts must arrive as broadcasts — the corpus side never shuffles for
+    the join."""
+    from readur_spark.operators.dedup import decontaminate
+
+    heldout = docs.filter(F.col("doc_id") % 5 == 0)
+    plan = plan_of(
+        decontaminate(docs, heldout, min_len=50, exclude_same_id=True)
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_repetition_metrics_no_single_partition(spark, docs):
+    from readur_spark.operators.repetition import repetition_metrics
+
+    plan = plan_of(repetition_metrics(docs))
+    assert "Exchange SinglePartition" not in plan, plan
+    # every groupBy family partial-aggregates before its shuffle
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_sampling_ops_no_shuffle(spark, docs):
+    """split/sample are pure row-local expressions: no Exchange at all."""
+    from readur_spark.operators.sampling import sample_by_weight, split_assign
+
+    for df in (split_assign(docs), sample_by_weight(docs, rate=0.5)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        # "*(1)" is the whole-stage-codegen marker in executedPlan strings
+        assert plan.lstrip().startswith("*("), plan
