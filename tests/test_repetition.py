@@ -64,3 +64,32 @@ def test_empty_doc_passes_with_zeros(metrics):
             "top4_char_frac",
         )
     )
+
+
+def test_mega_document_linear(spark):
+    """Regression: the n-gram builders must stay LINEAR on mega documents.
+    The former array-HOF formulation re-evaluated the tokenization per
+    gram (no CSE in interpreted lambdas) and a ~100k-token doc effectively
+    hung. Budget: well under a minute for 100k tokens, here asserted
+    loosely to stay host-noise-proof."""
+    import time
+
+    from readur_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    mega = " ".join(f"tok{i % 9973} w{i % 331}" for i in range(50_000))  # 100k tokens
+    docs = spark.createDataFrame(
+        [(1, mega), (2, "small doc body"), (3, mega[: len(mega) // 2])],
+        "doc_id long, text string",
+    )
+    t0 = time.time()
+    n = repetition_metrics(docs).count()
+    rep_s = time.time() - t0
+    t0 = time.time()
+    m = minhash_signatures(docs, num_hashes=16, n=3).count()
+    mh_s = time.time() - t0
+    t0 = time.time()
+    p = ngram_jaccard_pairs(docs, threshold=0.3, n=3).count()
+    ng_s = time.time() - t0
+    assert n == 3 and m == 3
+    assert p >= 1  # doc 3 is a prefix of doc 1
+    assert rep_s < 60 and mh_s < 60 and ng_s < 90, (rep_s, mh_s, ng_s)
