@@ -350,27 +350,45 @@ def chunk_texts(
     overlap_words: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    array_path_max_words: int | None = 10_000,
 ) -> DataFrame:
     """Training-data chunking: split each document into word-bounded
     chunks of ``chunk_words`` with ``overlap_words`` overlap (stride =
     chunk_words − overlap_words), emitting (id, chunk_no, chunk_text,
-    n_words). Pure Catalyst — split + sequence + slice + explode compile
-    to a codegen'd projection, so chunking 100 TB is a scan-speed map with
-    no shuffle at all; the explode multiplies rows ~len/stride×, which
-    AQE-coalesced downstream stages absorb.
+    n_words).
 
-    Boundary semantics (mirrored exactly in the DuckDB oracle):
+    Size-dispatched for the mega-doc tail: docs up to
+    ``array_path_max_words`` take the zero-shuffle array path (split +
+    sequence + slice + explode — a scan-speed codegen'd projection). The
+    array path is NOT safe unbounded: the transform lambda re-evaluates
+    the embedded split() per chunk (interpreted HOFs have no CSE), which
+    is quadratic-by-chunks — a 200k-word doc effectively hangs. Docs above
+    the bound route through the relational path instead: posexplode words
+    once, assign each word to its covering chunk indices, groupBy
+    (doc, chunk) and reassemble in position order — linear, one shuffle,
+    and only the ~1% mega tail pays it.
+
+    Boundary semantics (identical on both paths, mirrored exactly in the
+    DuckDB oracle):
     * empty/whitespace docs produce no chunks;
     * the last chunk is the final ≤chunk_words window — a doc shorter than
       chunk_words yields exactly one chunk;
     * trailing windows fully contained in the previous chunk are not
       emitted (stride walks past the end at most once).
+
+    ``array_path_max_words=None`` disables the dispatch and keeps the
+    whole plan a zero-shuffle projection — ONLY safe when the caller
+    guarantees no mega documents.
     """
     assert 0 <= overlap_words < chunk_words
     stride = chunk_words - overlap_words
     words = F.filter(F.split(F.trim(F.col(text_col)), r"\s+"), lambda w: w != "")
     n = F.size(words)
-    # number of chunks: 1 + ceil(max(n - chunk_words, 0) / stride)
+    array_only = array_path_max_words is None
+    if array_only:
+        array_path_max_words = 2**31 - 1
+
+    # ---- array path (zero shuffle), docs with n ≤ bound -----------------
     extra = F.greatest(n - F.lit(chunk_words), F.lit(0))
     n_chunks = F.when(n == 0, F.lit(0)).otherwise(
         F.lit(1) + F.ceil(extra / F.lit(stride)).cast("int")
@@ -387,8 +405,8 @@ def chunk_texts(
             ),
         )
     ).alias("c")
-    return (
-        docs_df.filter(n > 0)
+    small = (
+        docs_df.filter((n > 0) & (n <= array_path_max_words))
         .select(F.col(id_col), chunk)
         .select(
             id_col,
@@ -397,3 +415,47 @@ def chunk_texts(
             F.col("c.n_words").alias("n_words"),
         )
     )
+    if array_only:
+        return small
+
+    # ---- relational path (linear), the mega tail -------------------------
+    big_rows = docs_df.filter(n > array_path_max_words).select(
+        F.col(id_col).alias("_id"), F.posexplode(words).alias("pos", "w")
+    )
+    counts = big_rows.groupBy("_id").agg(F.count("*").alias("_n"))
+    nn = F.col("_n")
+    n_chunks_big = F.lit(1) + F.ceil(
+        F.greatest(nn - F.lit(chunk_words), F.lit(0)) / F.lit(stride)
+    ).cast("int")
+    # word at pos p belongs to chunk i iff i*stride ≤ p < i*stride+chunk_words
+    i_lo = F.greatest(
+        F.ceil((F.col("pos") - F.lit(chunk_words) + 1) / F.lit(stride)).cast("int"),
+        F.lit(0),
+    )
+    i_hi = F.least(
+        F.floor(F.col("pos") / F.lit(stride)).cast("int"), n_chunks_big - 1
+    )
+    assigned = (
+        big_rows.join(counts, "_id")
+        .select(
+            "_id",
+            "pos",
+            "w",
+            F.explode(F.sequence(i_lo, i_hi)).alias("chunk_no"),
+        )
+    )
+    big = assigned.groupBy("_id", "chunk_no").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda x: x["w"]
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count("*").cast("int").alias("n_words"),
+    ).select(
+        F.col("_id").alias(id_col),
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        "chunk_text",
+        "n_words",
+    )
+    return small.unionByName(big)

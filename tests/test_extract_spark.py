@@ -117,9 +117,19 @@ class TestChunking:
         from readur_spark.operators.extract import chunk_texts
 
         docs = spark.createDataFrame([("d", "a b c")], "doc_id string, text string")
-        plan = chunk_texts(docs)._jdf.queryExecution().executedPlan().toString()
+        # array-only mode: the zero-shuffle scan-speed map (callers that
+        # guarantee no mega docs); the default hybrid adds a shuffled
+        # branch for the mega tail but still uses no Python anywhere
+        plan = (
+            chunk_texts(docs, array_path_max_words=None)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
         assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan, plan
         assert "Exchange" not in plan, plan  # no shuffle: scan-speed map
+        hybrid = chunk_texts(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "PythonUDF" not in hybrid and "ArrowEvalPython" not in hybrid, hybrid
 
 
 def test_chunk_property_full_coverage_and_order(spark):
@@ -153,3 +163,34 @@ def test_chunk_property_full_coverage_and_order(spark):
         assert rebuilt[: n_words] == words or set(w for _, t, _ in rows for w in t) == set(words)
 
     check()
+
+
+def test_chunk_texts_paths_equal_and_mega_linear(spark):
+    """The size-dispatched chunker: the relational mega path must produce
+    byte-identical chunks to the zero-shuffle array path, and a 200k-word
+    doc must chunk in seconds (the array path alone re-evaluates split()
+    per chunk and effectively hangs there)."""
+    import time
+
+    from readur_spark.operators.extract import chunk_texts
+
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(500))),
+            (2, "short doc only"),
+            (3, " ".join(f"t{i % 7}" for i in range(129))),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(tuple(r) for r in chunk_texts(docs, 128, 32).collect())
+    b = sorted(
+        tuple(r) for r in chunk_texts(docs, 128, 32, array_path_max_words=0).collect()
+    )
+    assert a == b and len(a) == 8
+    mega = " ".join(f"tok{i % 9973} w{i % 331}" for i in range(100_000))
+    mdocs = spark.createDataFrame([(1, mega)], "doc_id long, text string")
+    t0 = time.time()
+    n = chunk_texts(mdocs, chunk_words=128, overlap_words=32).count()
+    took = time.time() - t0
+    assert n == 2083
+    assert took < 60, took
