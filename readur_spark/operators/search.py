@@ -60,16 +60,29 @@ def _trigrams(s: str) -> list[str]:
     return sorted({s[i : i + 3] for i in range(len(s) - 2)}) if len(s) >= 3 else [s.lower()]
 
 
-def fuzzy_search(docs: DataFrame, query: str, threshold: float = 0.3) -> DataFrame:
+def fuzzy_search(
+    docs: DataFrame,
+    query: str,
+    threshold: float = 0.3,
+    array_path_max_chars: int | None = 10_000,
+) -> DataFrame:
     """F4: trigram-set Jaccard similarity > threshold (the pg_trgm
     ``similarity(text, q) > 0.3`` shape, search.rs:124-128).
 
-    Pure Catalyst: document trigrams via ``transform(sequence(...))`` +
-    ``array_distinct``; the query's trigram set is a literal array, so the
-    whole predicate is codegen'd — no Python in the plan."""
+    Size-dispatched like the chunker: docs up to ``array_path_max_chars``
+    take the zero-shuffle codegen path (trigrams via
+    ``transform(sequence(...)) + substr``). That path is quadratic in the
+    text length — ``substr(i, 3)`` must scan to char i, and the lambda
+    re-lowercases the text per trigram — so mega documents route through a
+    relational path: split to characters, posexplode once, trigram via
+    window ``lead``, and aggregate the set intersection per doc. Identical
+    similarity on both paths (tested). ``None`` disables the dispatch."""
     q = _trigrams(query)
     q_arr = F.array(*[F.lit(t) for t in q])
     lowered = F.lower(F.col("text"))
+    array_only = array_path_max_chars is None
+    if array_only:
+        array_path_max_chars = 2**31 - 1
     tri = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.greatest(F.length(lowered) - 2, F.lit(1))),
@@ -79,11 +92,50 @@ def fuzzy_search(docs: DataFrame, query: str, threshold: float = 0.3) -> DataFra
     inter = F.size(F.array_intersect(tri, q_arr))
     union = F.size(tri) + F.lit(len(q)) - inter
     sim = F.round(inter / union, 6)
-    return (
-        docs.withColumn("similarity", sim)
+    # the when() guard is load-bearing: Catalyst may REORDER the length
+    # filter after the similarity filter, and the quadratic trigram
+    # expression must never evaluate on a mega row — when() short-circuits
+    # per row regardless of predicate order
+    sim_guarded = F.when(F.length("text") <= array_path_max_chars, sim)
+    small = (
+        docs.filter(F.length("text") <= array_path_max_chars)
+        .withColumn("similarity", sim_guarded)
         .filter(F.col("similarity") > threshold)
         .select("doc_id", "similarity", "n_chars")
     )
+    if array_only:
+        return small
+
+    from pyspark.sql.window import Window
+
+    big = docs.filter(F.length("text") > array_path_max_chars)
+    chars = big.select(
+        "doc_id", F.posexplode(F.split(lowered, "")).alias("pos", "ch")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri_rows = chars.select(
+        "doc_id",
+        F.when(
+            F.lead("ch", 2).over(w).isNotNull(),
+            F.concat("ch", F.lead("ch", 1).over(w), F.lead("ch", 2).over(w)),
+        ).alias("tri"),
+    ).where(F.col("tri").isNotNull())
+    per_doc = tri_rows.groupBy("doc_id").agg(
+        F.countDistinct("tri").alias("n_tri"),
+        F.countDistinct(F.when(F.col("tri").isin(q), F.col("tri"))).alias("inter"),
+    )
+    big_sim = (
+        per_doc.join(big.select("doc_id", "n_chars"), "doc_id")
+        .withColumn(
+            "similarity",
+            F.round(
+                F.col("inter") / (F.col("n_tri") + F.lit(len(q)) - F.col("inter")), 6
+            ),
+        )
+        .filter(F.col("similarity") > threshold)
+        .select("doc_id", "similarity", "n_chars")
+    )
+    return small.unionByName(big_sim)
 
 
 def search_ranked(docs: DataFrame, term: str, limit: int = 25) -> DataFrame:

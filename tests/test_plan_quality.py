@@ -191,3 +191,33 @@ def test_sampling_ops_no_shuffle(spark, docs):
         assert "Exchange" not in plan, plan
         # "*(1)" is the whole-stage-codegen marker in executedPlan strings
         assert plan.lstrip().startswith("*("), plan
+
+
+def test_fuzzy_search_mega_doc_linear(spark, docs):
+    """fuzzy_search's array path is quadratic in text length (substr char
+    indexing); the size dispatch + when() guard (Catalyst may reorder the
+    length predicate after the similarity predicate!) must keep a 1.5M-char
+    doc in the seconds range with identical similarity on both paths."""
+    import time
+
+    from readur_spark.operators.search import fuzzy_search
+
+    a = sorted(
+        tuple(r) for r in fuzzy_search(docs, "spark merge", threshold=0.05).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in fuzzy_search(
+            docs, "spark merge", threshold=0.05, array_path_max_chars=0
+        ).collect()
+    )
+    assert a == b and a
+    mega = "spark merge window batch " * 60_000
+    mdocs = spark.createDataFrame(
+        [(1, mega, len(mega))], "doc_id long, text string, n_chars long"
+    )
+    t0 = time.time()
+    got = fuzzy_search(mdocs, "spark merge", threshold=0.05).collect()
+    took = time.time() - t0
+    assert len(got) == 1 and got[0]["similarity"] > 0.05
+    assert took < 90, took
