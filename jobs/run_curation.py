@@ -3,10 +3,12 @@
     spark-submit --master <cluster> --py-files dist/readur_spark.zip \
         jobs/run_curation.py --input <interleaved or documents parquet> \
         --output <chunks parquet> [--min-quality 0.3] [--no-gopher] \
+        [--rep-filter] [--heldout <eval parquet>] [--splits train=0.98,val=0.01,test=0.01] \
         [--chunk-words 128] [--overlap 32]
 
-Prints one JSON line with the funnel metrics (input → quality filter →
-exact dedup → near-dup cluster dedup → chunks).
+Prints one JSON line with the funnel metrics (input → [decontamination]
+→ quality/[repetition] filter → exact dedup → near-dup cluster dedup →
+chunks [with split column]).
 """
 
 from __future__ import annotations
@@ -24,6 +26,12 @@ def main() -> None:
     ap.add_argument("--gopher-stopwords", default=None,
                     help="comma-separated corpus-appropriate stopword list")
     ap.add_argument("--near-dup-threshold", type=float, default=0.5)
+    ap.add_argument("--rep-filter", action="store_true",
+                    help="apply the Gopher repetition filters")
+    ap.add_argument("--heldout", default=None,
+                    help="eval-set parquet to decontaminate against")
+    ap.add_argument("--splits", default=None,
+                    help="name=frac[,name=frac...] deterministic split column")
     ap.add_argument("--chunk-words", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=32)
     args = ap.parse_args()
@@ -34,6 +42,12 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("readur_spark_curation").getOrCreate()
     docs = spark.read.parquet(args.input)
+    splits = None
+    if args.splits:
+        splits = {
+            name: float(frac)
+            for name, frac in (kv.split("=") for kv in args.splits.split(","))
+        }
     metrics = curate_to_parquet(
         spark,
         docs,
@@ -43,9 +57,12 @@ def main() -> None:
         gopher_stopwords=(
             tuple(args.gopher_stopwords.split(",")) if args.gopher_stopwords else None
         ),
+        require_rep_pass=args.rep_filter,
+        heldout_df=spark.read.parquet(args.heldout) if args.heldout else None,
         near_dup_threshold=args.near_dup_threshold,
         chunk_words=args.chunk_words,
         overlap_words=args.overlap,
+        split_fractions=splits,
     )
     print(json.dumps(metrics))
     spark.stop()
