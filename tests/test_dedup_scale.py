@@ -130,10 +130,11 @@ def test_ngram_df_cap_never_inflates_jaccard(spark):
         assert pair in exact and j <= exact[pair] + 1e-9
 
 
-def test_minhash_reuses_single_shingle_scan(spark, docs):
-    """Recall is preserved after the shingle-reuse refactor: LSH output at
-    threshold 0.5 equals the exact Jaccard pairs (planted pairs separate
-    cleanly at 0.5, and 8 bands × 4 rows gives ~1.0 recall there)."""
+def test_minhash_recall_equals_exact_on_planted_pairs(spark, docs):
+    """Recall survives every minhash refactor (base-hash seeding, window
+    shingles, candidate-only verification): LSH output at threshold 0.5
+    equals the exact Jaccard pairs (planted pairs separate cleanly at 0.5,
+    and 8 bands × 4 rows gives ~1.0 recall there)."""
     exact = {
         (r.id_a, r.id_b, r.jaccard)
         for r in dedup.ngram_jaccard_pairs(
