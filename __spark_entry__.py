@@ -509,6 +509,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["sample_weighted"] = _q_sample
+
+    def _q_mix(s, sf):
+        from readur_spark.operators.sampling import mix_sources
+
+        return mix_sources(
+            _docs(s, sf), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+        ).select("doc_id", "source")
+
+    q["mix_sources"] = _q_mix
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -1029,6 +1038,24 @@ def oracle_sql() -> dict[str, str]:
           FROM documents)
         SELECT doc_id, weight FROM w
         WHERE u < least(greatest(0.5 * weight, 0.0), 1.0)
+    """
+
+    # mix_sources: downsample-only domain reweighting — rates derived from
+    # per-source counts, the same salted-md5 uniform as split/sample
+    o["mix_sources"] = f"""
+        WITH t(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        c AS (
+          SELECT d.source, t.t, count(*) AS n
+          FROM documents d JOIN t ON d.source = t.source
+          GROUP BY d.source, t.t
+        ),
+        r AS (
+          SELECT source, least(1.0, (SELECT min(n / t) FROM c) * t / n) AS rate
+          FROM c
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN r ON d.source = r.source
+        WHERE {_u.format(salt="mix-v1")} < r.rate
     """
 
     # pack_sequences: the distributed prefix scan must equal the

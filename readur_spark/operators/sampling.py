@@ -53,6 +53,50 @@ def split_assign(
     return docs.withColumn("split", expr)
 
 
+def mix_sources(
+    docs: DataFrame,
+    target_fractions: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Domain mixing by downsample-only reweighting (the static corpus-
+    mixing shape of The Pile / DoReMi deployment): resample so the kept
+    corpus approximates ``target_fractions`` over ``source_col``.
+
+    The output size is the maximum feasible without upsampling:
+    M = min_s N_s / T_s, and each source keeps rate_s = M·T_s / N_s of its
+    docs via the salted-uniform Bernoulli — deterministic, stable under
+    reruns, one tiny counts aggregate plus a broadcast of |sources| rates
+    (no shuffle of the corpus). Sources not in ``target_fractions`` are
+    dropped (target share 0)."""
+    total_t = sum(target_fractions.values())
+    if total_t <= 0:
+        raise ValueError("target fractions must sum to a positive value")
+    targets = {s: f / total_t for s, f in target_fractions.items()}
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    missing = [s for s in targets if counts.get(s, 0) == 0]
+    if missing:
+        raise ValueError(f"target sources absent from the corpus: {missing}")
+    m = min(counts[s] / t for s, t in targets.items() if t > 0)
+    rates = [(s, min(1.0, m * t / counts[s])) for s, t in targets.items()]
+    spark = docs.sparkSession
+    rate_df = F.broadcast(
+        spark.createDataFrame(rates, f"{source_col} string, _keep_rate double")
+    )
+    u = hash_uniform_col(F.col(id_col), salt)
+    return (
+        docs.join(rate_df, source_col)
+        .filter(u < F.col("_keep_rate"))
+        .drop("_keep_rate")
+    )
+
+
 def sample_by_weight(
     docs: DataFrame,
     rate: float,

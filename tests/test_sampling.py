@@ -67,3 +67,31 @@ def test_uniform_is_uniform(spark, docs):
     ).collect()[0]
     assert 0.0 <= stats[0] and stats[1] < 1.0
     assert 0.4 < stats[2] < 0.6
+
+
+def test_mix_sources_reweights_and_is_deterministic(spark):
+    from readur_spark.operators.sampling import mix_sources
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(30_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = mix_sources(df, {"a": 0.6, "b": 0.3, "c": 0.1})
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    n = sum(got.values())
+    # M = 10000/0.6 ≈ 16667; shares within binomial tolerance
+    assert abs(n - 16667) < 400
+    assert abs(got["a"] / n - 0.6) < 0.02
+    assert abs(got["b"] / n - 0.3) < 0.02
+    assert abs(got["c"] / n - 0.1) < 0.02
+    # deterministic across calls; sources outside the target are dropped
+    again = {tuple(r) for r in mix_sources(df, {"a": 0.6, "b": 0.3, "c": 0.1}).collect()}
+    assert {tuple(r) for r in out.collect()} == again
+    only_ab = mix_sources(df, {"a": 0.5, "b": 0.5})
+    assert only_ab.filter("source = 'c'").count() == 0
+
+
+def test_mix_sources_rejects_missing_source(spark):
+    from readur_spark.operators.sampling import mix_sources
+
+    df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
+    with pytest.raises(ValueError):
+        mix_sources(df, {"a": 0.5, "zzz": 0.5})
