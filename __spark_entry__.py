@@ -595,7 +595,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_end",
     )
 
-    return q
+    # The driver samples a bounded prefix of the registry (50 rows per
+    # round, insertion order).  Front-load the entries with the fewest /
+    # stalest driver checks so nothing is perpetually sampled out:
+    # event_windowed_metrics has never had a driver row (r1–r3), and the
+    # relational/similarity block was last checked in r02.
+    priority = [
+        "event_windowed_metrics",
+        "ann_topk_cosine",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        "embedding_quantize",
+        "q1_pricing_summary",
+        "top_customers",
+        "customers_without_orders",
+        "customers_high_value",
+        "revenue_by_nation",
+        "event_type_stats",
+        "user_event_windows",
+        "sessionize",
+        "pack_sequences",  # r03's one red row — re-check the fixed oracle
+    ]
+    assert all(k in q for k in priority), sorted(set(priority) - set(q))
+    return {k: q[k] for k in priority} | {
+        k: v for k, v in q.items() if k not in priority
+    }
 
 
 # --------------------------------------------------------------------------
@@ -1078,10 +1102,12 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT s.seq AS seq_id,
                c.doc_id,
-               greatest(c.gstart, s.seq * 512) - c.gstart AS tok_start,
-               least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart AS tok_end,
-               least(c.gstart + c.n, (s.seq + 1) * 512)
-                 - greatest(c.gstart, s.seq * 512) AS n_tokens
+               CAST(greatest(c.gstart, s.seq * 512) - c.gstart
+                    AS BIGINT) AS tok_start,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart
+                    AS BIGINT) AS tok_end,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512)
+                    - greatest(c.gstart, s.seq * 512) AS BIGINT) AS n_tokens
         FROM c, LATERAL (
           SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
                                         CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq

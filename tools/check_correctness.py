@@ -83,7 +83,13 @@ def main(only: list[str]) -> int:
         try:
             od = con.execute(oracles[name])
             ocols = [d[0] for d in od.description]
-            orows = od.fetchall()
+            # Fetch through pandas (fetchdf), not fetchall: the driver's
+            # compare goes through pandas, where DuckDB HUGEINT (e.g. the
+            # result of a window sum) arrives as float64 and hashes as
+            # "32.0" != "32".  fetchall silently converts HUGEINT->int and
+            # would mask exactly that class of oracle typing bug.
+            odf = od.fetchdf()
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"FAIL  {name:24s} oracle error: {e}")
             failures += 1
