@@ -454,8 +454,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["winnow_overlap"] = lambda s, sf: dedup.winnow_overlap_pairs(
         _docs(s, sf), min_shared=3, k=25, window=16
     ).select("id_a", "id_b", F.col("shared_fps").cast("long").alias("shared_fps"))
+    # oracled view: the confirmed spans (the operator additionally emits a
+    # seeds_truncated flag + marker rows for capped pairs, not SQL-expressible)
     q["dup_spans"] = lambda s, sf: dedup.duplicate_spans(
         _docs(s, sf), min_len=50, k=25, window=16
+    ).filter(F.col("length") > 0).select(
+        "id_a", "id_b", "start_a", "start_b", "length"
     )
 
     def _q_decontaminate(s, sf):
@@ -463,7 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         heldout = docs_df.filter(F.col("doc_id") % 5 == 0)
         return dedup.decontaminate(
             docs_df, heldout, min_len=50, k=25, window=16, exclude_same_id=True
-        ).select(
+        ).filter(F.col("n_spans") > 0).select(
             "doc_id",
             "n_eval_docs",
             F.col("n_spans").cast("long").alias("n_spans"),

@@ -25,16 +25,21 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=256)
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-hyphen-repair", action="store_true")
+    ap.add_argument(
+        "--format",
+        choices=["parquet", "iceberg"],
+        default="parquet",
+        help="table format for input/output/checkpoint; iceberg needs the "
+        "catalog config in sources/table_format.py:ICEBERG_SUBMIT_SNIPPET",
+    )
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("readur_spark_extraction").getOrCreate()
 
     from readur_spark.plans.pipeline import run_extraction
+    from readur_spark.sources.table_format import read_table
 
-    try:
-        docs = spark.read.format("iceberg").load(args.input)
-    except Exception:
-        docs = spark.read.parquet(args.input)
+    docs = read_table(spark, args.input, args.format)
 
     summary = run_extraction(
         spark,
@@ -44,6 +49,7 @@ def main() -> None:
         num_partitions=args.partitions,
         run_id=args.run_id,
         repair_hyphens=not args.no_hyphen_repair,
+        table_format=args.format,
     )
     print(json.dumps(summary))
     spark.stop()

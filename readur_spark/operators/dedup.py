@@ -499,6 +499,7 @@ def embedding_dup_pairs(
     num_planes: int = 8,
     num_tables: int = 16,
     seed: int = 42,
+    force_path: str | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ threshold) with a size-dispatched
     physical strategy:
@@ -520,8 +521,19 @@ def embedding_dup_pairs(
       1−(1−p^planes)^tables with p = 1−acos(s)/π — at the near-dup regime
       (s ≥ 0.9, defaults 8 planes × 16 tables) that is ≥ 99.5%; candidates
       are scored exactly so precision is always 1.
+
+    ``force_path="broadcast"|"lsh"`` pins the strategy and SKIPS the
+    dispatch ``count()`` — at 10^12 rows the caller knows the answer and
+    shouldn't pay one extra job per call for it; ``None`` keeps the
+    count-based auto-dispatch.
     """
-    if embeddings.count() > broadcast_max_rows:
+    if force_path not in (None, "broadcast", "lsh"):
+        raise ValueError(
+            f"force_path must be None, 'broadcast' or 'lsh', got {force_path!r}"
+        )
+    if force_path == "lsh" or (
+        force_path is None and embeddings.count() > broadcast_max_rows
+    ):
         return _embedding_dup_pairs_bucketed(
             embeddings, threshold, id_col, vec_col, num_planes, num_tables, seed
         )
@@ -878,12 +890,19 @@ def _pair_spans(
 ):
     """All maximal duplicated spans ≥ min_len between two documents, seeded
     by winnowed fingerprint position matches. Seeds on the same diagonal
-    (pa−pb) extend to the same maximal run, so results dedupe naturally."""
+    (pa−pb) extend to the same maximal run, so results dedupe naturally.
+
+    Returns ``(spans, truncated)``: per-pair extension work is bounded at
+    ``max_seeds`` seeds, and ``truncated`` is True when seeds were dropped
+    — a pair with pervasive duplication can then be missing spans, and the
+    caller must surface that (no-silent-caps rule) rather than swallow it.
+    """
     import numpy as np
 
     a = np.frombuffer(_norm_for_spans(text_a).encode("utf-32-le"), dtype=np.uint32)
     b = np.frombuffer(_norm_for_spans(text_b).encode("utf-32-le"), dtype=np.uint32)
     out = set()
+    truncated = len(seeds) > max_seeds
     done_diag_ranges: dict[int, list[tuple[int, int]]] = {}
     for pa, pb in sorted(seeds)[:max_seeds]:
         diag = pa - pb
@@ -897,7 +916,7 @@ def _pair_spans(
         done_diag_ranges.setdefault(diag, []).append((sa, sa + length))
         if length >= min_len:
             out.add((sa, sb, length))
-    return sorted(out)
+    return sorted(out), truncated
 
 
 def duplicate_spans(
@@ -908,6 +927,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_fp_df: int | None = 1000,
+    max_seeds: int = 500,
 ) -> DataFrame:
     """Cross-document duplicated character spans ≥ ``min_len`` — the
     exact-substring-dedup shape from "Deduplicating Training Data Makes
@@ -925,9 +945,16 @@ def duplicate_spans(
 
     Spans are reported in NORMALIZED text coordinates (lowercased,
     whitespace collapsed — the winnowing kernel's view). Returns
-    (id_a, id_b, start_a, start_b, length). Scale: the shuffle is the
-    fingerprint join (uniform hash keys) plus one broadcast-free join per
-    side to attach texts; per-pair work is bounded by ``max_seeds``."""
+    (id_a, id_b, start_a, start_b, length, seeds_truncated). Scale: the
+    shuffle is the fingerprint join (uniform hash keys) plus one
+    broadcast-free join per side to attach texts; per-pair work is bounded
+    by ``max_seeds`` seed extensions. When a pair has more seeds than that
+    (pervasive duplication — the prime Lee-2021 target), recall on that
+    pair is a LOWER BOUND and every emitted row carries
+    ``seeds_truncated=true``; a truncated pair that yields no span ≥
+    ``min_len`` still emits one marker row (start_a=start_b=-1, length=0)
+    so the cap is never silent. Raise ``max_seeds`` to trade compute for
+    recall on such pairs."""
     import pandas as pd
 
     fps = winnow_fingerprints(docs, k, window, id_col, text_col).persist()
@@ -964,7 +991,8 @@ def duplicate_spans(
     )
     id_type = docs.schema[id_col].dataType.simpleString()
     schema = (
-        f"id_a {id_type}, id_b {id_type}, start_a int, start_b int, length int"
+        f"id_a {id_type}, id_b {id_type}, start_a int, start_b int, "
+        f"length int, seeds_truncated boolean"
     )
 
     def run(batches):
@@ -972,9 +1000,13 @@ def duplicate_spans(
             rows = []
             for i in range(len(pdf)):
                 sd = [(int(s["pos_a"]), int(s["pos_b"])) for s in pdf["seeds"].iloc[i]]
-                for sa, sb, ln in _pair_spans(
-                    pdf["text_a"].iloc[i], pdf["text_b"].iloc[i], sd, k, min_len
-                ):
+                spans, truncated = _pair_spans(
+                    pdf["text_a"].iloc[i], pdf["text_b"].iloc[i], sd, k,
+                    min_len, max_seeds=max_seeds,
+                )
+                if truncated and not spans:
+                    spans = [(-1, -1, 0)]  # marker: seeds dropped, no span
+                for sa, sb, ln in spans:
                     rows.append(
                         {
                             "id_a": pdf["id_a"].iloc[i],
@@ -982,10 +1014,15 @@ def duplicate_spans(
                             "start_a": sa,
                             "start_b": sb,
                             "length": ln,
+                            "seeds_truncated": truncated,
                         }
                     )
             yield pd.DataFrame(
-                rows, columns=["id_a", "id_b", "start_a", "start_b", "length"]
+                rows,
+                columns=[
+                    "id_a", "id_b", "start_a", "start_b", "length",
+                    "seeds_truncated",
+                ],
             )
 
     result = joined.mapInPandas(run, schema)
@@ -1020,8 +1057,12 @@ def decontaminate(
       intervals — overlapping hits from different eval docs don't double
       count).
 
-    Returns (doc_id, n_eval_docs, n_spans, contaminated_chars) for
-    CONTAMINATED docs only; anti-join the corpus against it to clean
+    Returns (doc_id, n_eval_docs, n_spans, contaminated_chars,
+    seeds_truncated) for CONTAMINATED docs only — ``seeds_truncated=true``
+    means at least one (doc, eval) pair hit the per-pair seed-extension cap
+    and the counts are a lower bound (a truncated pair with no confirmed
+    span still surfaces as a row with n_spans=0 rather than vanishing);
+    anti-join the corpus against it to clean
     (see ``decontaminate_filter``). ``exclude_same_id`` skips identity
     pairs when both frames share an id space (self-decontamination runs).
     """
@@ -1059,25 +1100,35 @@ def decontaminate(
     joined = grouped.join(ctexts, "cid").join(F.broadcast(etexts), "eid")
     cid_type = corpus.schema[id_col].dataType.simpleString()
     eid_type = heldout.schema[heldout_id_col].dataType.simpleString()
-    span_schema = f"cid {cid_type}, eid {eid_type}, start_c int, length int"
+    span_schema = (
+        f"cid {cid_type}, eid {eid_type}, start_c int, length int, "
+        f"seeds_truncated boolean"
+    )
 
     def run(batches):
         for pdf in batches:
             rows = []
             for i in range(len(pdf)):
                 sd = [(int(s["pos_a"]), int(s["pos_b"])) for s in pdf["seeds"].iloc[i]]
-                for sa, _sb, ln in _pair_spans(
+                spans, truncated = _pair_spans(
                     pdf["text_c"].iloc[i], pdf["text_e"].iloc[i], sd, k, min_len
-                ):
+                )
+                if truncated and not spans:
+                    spans = [(-1, -1, 0)]  # marker: seeds dropped, no span
+                for sa, _sb, ln in spans:
                     rows.append(
                         {
                             "cid": pdf["cid"].iloc[i],
                             "eid": pdf["eid"].iloc[i],
                             "start_c": sa,
                             "length": ln,
+                            "seeds_truncated": truncated,
                         }
                     )
-            yield pd.DataFrame(rows, columns=["cid", "eid", "start_c", "length"])
+            yield pd.DataFrame(
+                rows,
+                columns=["cid", "eid", "start_c", "length", "seeds_truncated"],
+            )
 
     spans = joined.mapInPandas(run, span_schema)
     # per-corpus-doc rollup; contaminated_chars = merged-interval coverage
@@ -1094,12 +1145,17 @@ def decontaminate(
         ),
         lambda acc: acc["covered"],
     )
+    # marker rows (length=0) flag seed truncation without contributing a
+    # span: they carry the seeds_truncated signal but are excluded from the
+    # counts (and contribute 0 to the interval coverage by construction)
+    real = F.col("length") > 0
     return (
         spans.groupBy(F.col("cid").alias("doc_id"))
         .agg(
-            F.countDistinct("eid").alias("n_eval_docs"),
-            F.count("*").alias("n_spans"),
+            F.countDistinct(F.when(real, F.col("eid"))).alias("n_eval_docs"),
+            F.sum(real.cast("long")).alias("n_spans"),
             merged_chars.alias("contaminated_chars"),
+            F.max("seeds_truncated").alias("seeds_truncated"),
         )
     )
 

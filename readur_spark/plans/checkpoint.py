@@ -53,9 +53,19 @@ CHECKPOINT_SCHEMA = T.StructType(
 
 
 class CheckpointTable:
-    def __init__(self, spark: SparkSession, path: str):
+    """``table_format="parquet"`` (default): ``path`` is a directory and
+    commits are the rename-based protocol below — the tested fallback in
+    this container. ``table_format="iceberg"``: ``path`` is a catalog
+    table identifier; appends are snapshot commits, cleanup is a
+    metadata-only DELETE, and the rename recovery machinery is inert
+    (Iceberg's own commit protocol owns atomicity)."""
+
+    def __init__(self, spark: SparkSession, path: str, table_format: str = "parquet"):
+        from readur_spark.sources.table_format import resolve_format
+
         self.spark = spark
         self.path = path
+        self.table_format = resolve_format(spark, table_format)
 
     def _recover(self) -> None:
         """Crash recovery for the two-rename compaction commit in
@@ -82,6 +92,8 @@ class CheckpointTable:
                 shutil.rmtree(full, ignore_errors=True)
 
     def exists(self) -> bool:
+        if self.table_format == "iceberg":
+            return self.spark.catalog.tableExists(self.path)
         self._recover()
         return os.path.isdir(self.path) and any(
             f.endswith(".parquet") for f in os.listdir(self.path)
@@ -90,10 +102,13 @@ class CheckpointTable:
     def read(self) -> DataFrame:
         if not self.exists():
             return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        if self.table_format == "iceberg":
+            return self.spark.read.table(self.path)
         return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
 
     def append(self, rows: list[dict]) -> None:
-        self._recover()
+        if self.table_format != "iceberg":
+            self._recover()
         df = self.spark.createDataFrame(
             [
                 {
@@ -113,7 +128,13 @@ class CheckpointTable:
             ],
             CHECKPOINT_SCHEMA,
         )
-        df.write.mode("append").parquet(self.path)
+        if self.table_format == "iceberg":
+            if self.exists():
+                df.writeTo(self.path).append()
+            else:
+                df.writeTo(self.path).create()
+        else:
+            df.write.mode("append").parquet(self.path)
 
     def completed_partitions(self) -> set[int]:
         """Partitions with a completed row in ANY run — first-writer-wins,
@@ -167,6 +188,15 @@ class CheckpointTable:
             return 0
         now = now or datetime.datetime.now()
         cutoff = now - datetime.timedelta(days=days_to_keep)
+        if self.table_format == "iceberg":
+            # metadata-only delete, one snapshot commit — no rewrite/rename
+            before = self.read().count()
+            self.spark.sql(
+                f"DELETE FROM {self.path} WHERE status = 'completed' "
+                f"AND completed_at IS NOT NULL "
+                f"AND completed_at < TIMESTAMP '{cutoff.isoformat(sep=' ')}'"
+            )
+            return int(before - self.read().count())
         df = self.read()
         keep = df.filter(
             ~(

@@ -48,14 +48,29 @@ def run_extraction(
     num_partitions: int = 64,
     run_id: str | None = None,
     repair_hyphens: bool = True,
+    table_format: str = "parquet",
 ) -> dict:
     """Run (or resume) a checkpointed extraction over ``docs_df``.
+
+    ``table_format="iceberg"`` makes ``output_path``/``checkpoint_path``
+    catalog table identifiers: the result commit becomes an Iceberg
+    ``overwritePartitions`` snapshot (atomic replace of exactly the
+    re-run partitions) and the checkpoint an Iceberg table — same
+    first-writer-wins resume semantics as the tested parquet fallback
+    (see sources/table_format.py for the spark-submit recipe).
 
     Returns a summary dict: run_id, partitions planned/skipped/processed,
     docs processed/failed.
     """
+    from readur_spark.sources.table_format import (
+        overwrite_partitions,
+        read_table,
+        resolve_format,
+    )
+
+    table_format = resolve_format(spark, table_format)
     run_id = run_id or new_run_id()
-    ckpt = CheckpointTable(spark, checkpoint_path)
+    ckpt = CheckpointTable(spark, checkpoint_path, table_format=table_format)
     done = ckpt.completed_partitions()
     prev_attempts = ckpt.attempts_so_far()
 
@@ -97,14 +112,15 @@ def run_extraction(
     extracted = extract_spans(
         todo, repair_hyphens=repair_hyphens, passthrough_cols=["partition_id"]
     )
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    extracted.write.mode("overwrite").partitionBy("partition_id").parquet(output_path)
+    overwrite_partitions(
+        extracted, output_path, ["partition_id"], fmt=table_format
+    )
     wall_ms = int((datetime.datetime.now() - t0).total_seconds() * 1000)
     completed = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
     # lineage metrics from the committed output (not from in-flight state)
     metrics = (
-        spark.read.parquet(output_path)
+        read_table(spark, output_path, table_format)
         .filter(F.col("partition_id").isin(todo_pids))
         .groupBy("partition_id")
         .agg(

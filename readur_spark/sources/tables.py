@@ -27,8 +27,19 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, table_format: str = "parquet"
+) -> DataFrame:
+    """Scan one corpus table. ``table_format="parquet"``: ``sf_dir`` is a
+    directory of ``<name>.parquet`` files (the tested path in this
+    container). ``table_format="iceberg"``: ``sf_dir`` is a catalog
+    namespace (``catalog.db``) and the scan goes through the catalog —
+    see sources/table_format.py for the cluster recipe."""
+    from readur_spark.sources.table_format import read_table
+
+    if table_format == "iceberg":
+        return read_table(spark, f"{sf_dir}.{name}", "iceberg")
+    return read_table(spark, f"{sf_dir}/{name}.parquet", table_format)
 
 
 def interleaved_docs(spark: SparkSession, sf_dir: str, with_html: bool = True) -> DataFrame:

@@ -48,6 +48,40 @@ def test_embedding_bucketed_never_collects(spark, emb):
     assert "Exchange SinglePartition" not in plan, plan
 
 
+def test_embedding_force_path_skips_dispatch_count(spark, emb, monkeypatch):
+    """force_path pins the strategy WITHOUT the dispatch count() — at
+    10^12 rows that count is one full extra job per call. Both forced
+    paths must build and agree with the auto-dispatched result while
+    DataFrame.count is booby-trapped."""
+    from pyspark.sql import DataFrame as SparkDF
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dup_pairs(emb, threshold=0.4).collect()
+    }
+
+    def _no_count(self):
+        raise AssertionError("dispatch count() ran despite force_path")
+
+    monkeypatch.setattr(SparkDF, "count", _no_count)
+    forced_b = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.4, force_path="broadcast"
+        ).collect()
+    }
+    forced_l = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in dedup.embedding_dup_pairs(
+            emb, threshold=0.4, force_path="lsh", num_planes=2, num_tables=16
+        ).collect()
+    }
+    assert forced_b == exact
+    assert forced_l == exact
+    with pytest.raises(ValueError):
+        dedup.embedding_dup_pairs(emb, force_path="bogus")
+
+
 def test_ngram_df_cap_noop_on_small_corpus(spark, docs):
     """The capped scale path (opt-in) equals the uncapped exact default
     whenever no shingle exceeds the cap — i.e. always on test corpora."""
@@ -244,7 +278,8 @@ def test_duplicate_spans_finds_maximal_shared_run(spark):
     )
     got = [tuple(r) for r in dedup.duplicate_spans(docs, min_len=50, k=25, window=16).collect()]
     assert len(got) == 1
-    (id_a, id_b, sa, sb, ln) = got[0]
+    (id_a, id_b, sa, sb, ln, truncated) = got[0]
+    assert truncated is False
     assert (id_a, id_b) == ("1", "2")
     na = dedup._norm_for_spans(ta)
     nb = dedup._norm_for_spans(tb)
@@ -264,11 +299,64 @@ def test_duplicate_spans_matches_sequential_replica(spark):
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     got = sorted(
-        tuple(r) for r in dedup.duplicate_spans(docs, min_len=50, k=25, window=16).collect()
+        tuple(r)
+        for r in dedup.duplicate_spans(docs, min_len=50, k=25, window=16)
+        .select("id_a", "id_b", "start_a", "start_b", "length")
+        .collect()
     )
     exp = duplicate_spans_expected(SF, min_len=50, k=25, window=16)
     assert got == [tuple(e) for e in exp]
     assert got  # planted near-dups must yield spans
+
+
+def _long_varied_text(n_words: int, tag: str) -> str:
+    """Deterministic non-repetitive text long enough to winnow >500
+    shared fingerprints (k=25, window=16 selects ~2/(w+1) of positions)."""
+    import hashlib
+
+    return " ".join(
+        hashlib.md5(f"{tag}-{i}".encode()).hexdigest()[:8]
+        for i in range(n_words)
+    )
+
+
+def test_duplicate_spans_flags_seed_truncation(spark):
+    """No-silent-caps: a pair with more seeds than max_seeds must say so.
+    Two docs sharing a ~9000-char verbatim run produce far more than 500
+    winnowed seed matches; every emitted span row carries
+    seeds_truncated=true and the shared run is still found (the dropped
+    seeds sit on the same diagonal as kept ones here)."""
+    shared = _long_varied_text(1000, "shared")
+    docs = spark.createDataFrame(
+        [("1", f"prefix one {shared} tail a"), ("2", f"other start {shared} end b")],
+        "doc_id string, text string",
+    )
+    rows = dedup.duplicate_spans(docs, min_len=50, k=25, window=16).collect()
+    assert rows and all(r["seeds_truncated"] for r in rows)
+    assert max(r["length"] for r in rows) >= len(shared)
+    # raising the cap clears the flag on the same input
+    rows2 = dedup.duplicate_spans(
+        docs, min_len=50, k=25, window=16, max_seeds=10_000
+    ).collect()
+    assert rows2 and not any(r["seeds_truncated"] for r in rows2)
+
+
+def test_duplicate_spans_truncated_pair_emits_marker_row(spark):
+    """A truncated pair whose processed seeds confirm no span >= min_len
+    must still emit one marker row (length=0, seeds_truncated=true) —
+    the cap can never silently erase a pair from the output."""
+    shared = _long_varied_text(1000, "marker")
+    docs = spark.createDataFrame(
+        [("1", f"aa {shared}"), ("2", f"bb {shared}")],
+        "doc_id string, text string",
+    )
+    rows = dedup.duplicate_spans(
+        docs, min_len=10**6, k=25, window=16
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["start_a"], r["start_b"], r["length"]) == (-1, -1, 0)
+    assert r["seeds_truncated"] is True
 
 
 def test_decontaminate_flags_and_filters(spark):

@@ -252,3 +252,36 @@ def test_tesseract_tsv_parsing_via_fake_binary(tmp_path):
     text, conf = eng.recognize(img, "eng", psm="single_block")
     assert text == "hello world\nagain"
     assert conf == pytest.approx((91.5 + 88.5 + 96.0) / 3)
+
+
+def test_tesseract_adapter_encodes_real_glyph_page(tmp_path):
+    """Bridge test: a page RENDERED by the glyph raster path (the same
+    pixels the GlyphOcrEngine reads back) goes through the tesseract
+    adapter's _to_pnm + stdin pipe to a stub binary that verifies it
+    received a well-formed P5 of the page's exact dimensions — so the
+    adapter's image-encoding leg is exercised on real rendered pages,
+    not just synthetic arrays, even without a tesseract binary."""
+    import stat
+
+    from readur_spark.kernels.minipdf import build_pdf, render_pdf_pages
+
+    (img,) = render_pdf_pages(
+        build_pdf([[(72.0, 720.0, "verify glyph page")]]), dpi=72
+    )
+    assert img.ndim == 2 and img.size > 0 and img.min() < 128  # real ink
+    stub = tmp_path / "tesseract"
+    stub.write_text(
+        "#!/bin/sh\n"
+        # verify the piped PNM header, then emit one TSV word row
+        'read -r magic w h maxv\n'
+        f'[ "$magic" = "P5" ] || exit 9\n'
+        f'[ "$w" = "{img.shape[1]}" ] || exit 9\n'
+        f'[ "$h" = "{img.shape[0]}" ] || exit 9\n'
+        "cat > /dev/null\n"
+        'printf "level\\tp\\tb\\tpa\\tl\\tw\\tle\\tt\\twi\\th\\tconf\\ttext\\n"\n'
+        'printf "5\\t1\\t1\\t1\\t1\\t1\\t0\\t0\\t9\\t9\\t90.0\\tok\\n"\n'
+    )
+    stub.chmod(stub.stat().st_mode | stat.S_IEXEC)
+    eng = O.TesseractEngine(binary=str(stub))
+    text, conf = eng.recognize(img, "eng")
+    assert text == "ok" and conf == pytest.approx(90.0)

@@ -364,7 +364,10 @@ def duplicate_spans_expected(
     texts = dict(docs)
     out = []
     for (da, db), sd in seeds.items():
-        for sa, sb, ln in _pair_spans(texts[da], texts[db], sorted(sd), k, min_len):
+        spans, _truncated = _pair_spans(
+            texts[da], texts[db], sorted(sd), k, min_len
+        )
+        for sa, sb, ln in spans:
             out.append((da, db, sa, sb, ln))
     return sorted(out)
 
@@ -400,7 +403,9 @@ def decontaminate_expected(
                 if eid != cid:
                     seeds[eid].add((pos, epos))
         for eid, sd in seeds.items():
-            spans = _pair_spans(text, texts_e[eid], sorted(sd), k, min_len)
+            spans, _truncated = _pair_spans(
+                text, texts_e[eid], sorted(sd), k, min_len
+            )
             if spans:
                 per_doc_evals[cid].add(eid)
                 per_doc_nspans[cid] += len(spans)
