@@ -444,6 +444,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_ngram_jaccard"] = lambda s, sf: dedup.ngram_jaccard_pairs(
         _docs(s, sf), threshold=0.5, n=3
     )
+    def _q_ngram_capped(s, sf):
+        # the SCALE configuration of the exact operator (df-cap + mass-
+        # duplicate recovery) — the one a 100 TB run uses. A 31-doc
+        # boilerplate family (> cap) is planted deterministically so the
+        # recovery path is exercised, not just the cap.
+        docs_df = _docs(s, sf).select("doc_id", "text")
+        planted = s.range(31).select(
+            (F.col("id") + 9_000_000).alias("doc_id"),
+            F.lit(_BOILER_TEXT).alias("text"),
+        )
+        return dedup.ngram_jaccard_pairs(
+            docs_df.unionByName(planted), threshold=0.5, n=3, max_shingle_df=25
+        )
+
+    q["dedup_ngram_capped"] = _q_ngram_capped
     q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
         _docs(s, sf), threshold=0.5, num_hashes=32, bands=8, n=3
     )
@@ -619,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_windows",
         "sessionize",
         "pack_sequences",  # r03's one red row — re-check the fixed oracle
+        "dedup_ngram_capped",  # new this round: the capped scale config
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -629,6 +645,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+#: planted boilerplate family for dedup_ngram_capped — tokens chosen so no
+#: 3-gram collides with the synthetic corpus vocabulary
+_BOILER_TEXT = (
+    "zqvw boilerplate disclaimer verbatim fenwick clause repeated "
+    "identically across the entire planted family corpus xkcdq"
+)
 
 _SHINGLE3 = (
     "WITH toks AS (SELECT doc_id AS id, "
@@ -968,6 +991,60 @@ def oracle_sql() -> dict[str, str]:
     # planted-pair separation of the test corpora recall is 1.0, so the
     # correct output EQUALS the exact all-pairs oracle.
     o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
+    # dedup_ngram_capped: the df-capped scale configuration. Semantics
+    # mirrored exactly: set sizes from the UN-pruned shingle table, the
+    # inverted index only over shingles with df <= cap, and orphaned docs
+    # (entire shingle set above the cap) recovered by identical-set
+    # pairing at jaccard 1.0 — the oracle groups on the full sorted
+    # shingle-set string where the operator hashes it (equal sets are
+    # equal either way; the hash never reaches the output).
+    o["dedup_ngram_capped"] = f"""
+        WITH corpus AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT 9000000 + i AS doc_id, '{_BOILER_TEXT}' AS text
+          FROM range(31) t(i)
+        ),
+        toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM corpus
+        ),
+        sh AS (
+          SELECT id, unnest(list_distinct(
+            [array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle
+          FROM toks WHERE len(t) >= 3
+        ),
+        sz AS (SELECT id, count(*) sz FROM sh GROUP BY id),
+        df AS (SELECT shingle, count(*) c FROM sh GROUP BY shingle),
+        kept AS (
+          SELECT sh.id, sh.shingle FROM sh JOIN df USING (shingle)
+          WHERE df.c <= 25
+        ),
+        inter AS (
+          SELECT a.id ia, b.id ib, count(*) i FROM kept a
+          JOIN kept b ON a.shingle = b.shingle AND a.id < b.id GROUP BY 1, 2
+        ),
+        pairs AS (
+          SELECT ia AS id_a, ib AS id_b,
+                 round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+          FROM inter JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id
+          WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+        ),
+        orphans AS (
+          SELECT id, string_agg(shingle, chr(31) ORDER BY shingle) AS set_key
+          FROM sh WHERE id NOT IN (SELECT DISTINCT id FROM kept)
+          GROUP BY id
+        ),
+        mass AS (
+          SELECT o1.id AS id_a, o2.id AS id_b, CAST(1.0 AS DOUBLE) AS jaccard
+          FROM orphans o1 JOIN orphans o2
+            ON o1.set_key = o2.set_key AND o1.id < o2.id
+        )
+        SELECT * FROM pairs UNION ALL SELECT * FROM mass
+    """
 
     # dedup_simhash / ann_topk_lsh / ann_topk_ivf / snippets_full depend on
     # seeded hashes (blake2b bit folds, SRP hyperplanes, k-means init) or an

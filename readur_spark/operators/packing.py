@@ -48,29 +48,53 @@ def pack_sequences(
 ) -> DataFrame:
     """Packing manifest: (seq_id, doc_id, tok_start, tok_end, n_tokens)
     with ``tok_start``/``tok_end`` the half-open within-document token
-    range assigned to training sequence ``seq_id``. Deterministic: stream
-    order is ascending ``id_col`` (must be numeric — the id-range bucketing
-    that keeps the prefix scan re-run-safe needs arithmetic on it).
+    range assigned to training sequence ``seq_id``. Deterministic:
 
-    Buckets are contiguous id ranges, so a skewed id distribution skews
-    bucket sizes; pick ``num_buckets`` ≳ cluster parallelism (default) and
-    the window stays balanced for the dense-id common case."""
+    * **numeric ids** — stream order is ascending ``id_col``, and the
+      bucketing is contiguous id ranges (pure arithmetic on the id, so
+      re-runs bucket identically). A skewed id distribution skews bucket
+      sizes; pick ``num_buckets`` ≳ cluster parallelism (default) and the
+      window stays balanced for the dense-id common case.
+    * **string (or other non-numeric) ids** — the prefix scan needs
+      arithmetic range bucketing, so the stream order becomes ascending
+      ``(xxhash64(id), id)``: still a deterministic, re-run-stable total
+      order (any fixed order is a valid packing order), and hash keys are
+      uniform so the buckets are balanced by construction. The hash→bucket
+      map is monotone in the hash, so cross-bucket prefix sums stay exact.
+    """
+    import pyspark.sql.types as T
+
     spark = docs.sparkSession
+    numeric_id = isinstance(docs.schema[id_col].dataType, T.NumericType)
+    id_type = docs.schema[id_col].dataType.simpleString()
+    key = F.col(id_col) if numeric_id else F.xxhash64(id_col)
     base = docs.select(
-        F.col(id_col).alias("id"), token_count_col(F.col(text_col)).alias("n")
+        F.col(id_col).alias("id"),
+        key.alias("key"),
+        token_count_col(F.col(text_col)).alias("n"),
     ).filter(F.col("n") > 0)
     if num_buckets is None:
         num_buckets = spark.sparkContext.defaultParallelism
-    mm = base.agg(F.min("id").alias("lo"), F.max("id").alias("hi")).collect()[0]
+    mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
     if mm["lo"] is None:
         return spark.createDataFrame(
-            [], f"seq_id long, {id_col} long, tok_start long, tok_end long, n_tokens long"
+            [],
+            f"seq_id long, {id_col} {id_type}, tok_start long, tok_end long, "
+            "n_tokens long",
         )
-    lo = int(mm["lo"])
-    step = max(1, math.ceil((int(mm["hi"]) - lo + 1) / num_buckets))
-    bucketed = base.withColumn(
-        "pid", ((F.col("id") - F.lit(lo)) / F.lit(step)).cast("int")
-    )
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    step = max(1, math.ceil((hi - lo + 1) / num_buckets))
+    if hi - lo < 2**53:
+        # exact integer bucketing (dense numeric ids — the common case)
+        pid = ((F.col("key") - F.lit(lo)) / F.lit(step)).cast("int")
+    else:
+        # xxhash64 keys span ~2^64: subtract in double to avoid int64
+        # overflow. floor((key-lo)/step) stays MONOTONE in key under
+        # rounding, which is all cross-bucket prefix correctness needs.
+        pid = F.floor(
+            (F.col("key").cast("double") - F.lit(float(lo))) / F.lit(float(step))
+        ).cast("int")
+    bucketed = base.withColumn("pid", pid)
     # phases 1+2: per-bucket totals → driver prefix sum → broadcast bases.
     # The collect is one row PER BUCKET, not per document.
     sums = {
@@ -88,7 +112,7 @@ def pack_sequences(
     # Exchange SinglePartition anywhere in this plan.
     w = (
         Window.partitionBy("pid")
-        .orderBy("id")
+        .orderBy("key", "id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offs = (

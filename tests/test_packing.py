@@ -82,3 +82,36 @@ def test_pack_no_single_partition_exchange(spark, docs):
         .toString()
     )
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_pack_string_ids_hash_order(spark, docs):
+    """Non-numeric ids pack deterministically in (xxhash64(id), id) order:
+    same invariants (full sequences, token conservation, per-doc tiling),
+    identical across bucket counts, and the bucketing never dies in
+    arithmetic on the string column (the round-3 failure mode)."""
+    from readur_spark.functions.textstats import token_count_col
+
+    sdocs = docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "text",
+    )
+    L = 512
+    manifest = pack_sequences(sdocs, seq_len=L).cache()
+    stats = packing_stats(manifest, L).collect()
+    last = max(r["seq_id"] for r in stats)
+    assert all(r["n_tokens"] == L for r in stats if r["seq_id"] != last)
+    total = sdocs.select(F.sum(token_count_col(F.col("text")))).collect()[0][0]
+    assert manifest.agg(F.sum("n_tokens")).collect()[0][0] == total
+    assert dict(manifest.dtypes)["doc_id"] == "string"
+    # bucket count stays an execution detail for the hash order too
+    a = {tuple(r) for r in manifest.collect()}
+    b = {tuple(r) for r in pack_sequences(sdocs, seq_len=L, num_buckets=7).collect()}
+    assert a == b
+    manifest.unpersist()
+
+
+def test_pack_empty_string_corpus_schema(spark):
+    empty = spark.createDataFrame([], "doc_id string, text string")
+    out = pack_sequences(empty, seq_len=128)
+    assert out.count() == 0
+    assert dict(out.dtypes)["doc_id"] == "string"
