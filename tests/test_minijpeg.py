@@ -46,10 +46,10 @@ def test_quality_ladder_monotone():
     assert p[0] < p[1] < p[2]
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_garbage_and_scanless_streams():
     with pytest.raises(JpegError):
         jpeg_decode(b"\x89PNG not jpeg")
-    # craft a SOF2 (progressive) header
+    # a bare SOF2 header with no scan data is an error, not a hang
     data = (
         b"\xff\xd8"
         + b"\xff\xc2"
@@ -60,6 +60,63 @@ def test_rejects_progressive_and_garbage():
     )
     with pytest.raises(JpegError):
         jpeg_decode(data)
+    # arithmetic-coded (SOF9) still rejected
+    with pytest.raises(JpegError):
+        jpeg_decode(data.replace(b"\xff\xc2", b"\xff\xc9"))
+
+
+def _det_image(h, w, channels=0, seed=5):
+    """Deterministic mixed-content image: smooth gradient + hard edges +
+    hash-noise — exercises long zero runs, EOB runs, ZRL, and large
+    coefficients at once."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (xx * 255 // max(1, w - 1) + yy * 31) % 256
+    base[h // 3 : h // 3 + 4, :] = 255
+    base[:, w // 2 : w // 2 + 3] = 0
+    rng_vals = ((xx * 31 + yy * 77 + seed) * 2654435761) % 47
+    img = np.clip(base + (rng_vals - 23) * (yy % 7 == 0), 0, 255).astype(np.uint8)
+    if channels:
+        return np.stack(
+            [np.roll(img, s, axis=1) for s in range(channels)], axis=2
+        ).astype(np.uint8)
+    return img
+
+
+def test_progressive_gray_equals_baseline_exactly():
+    """The progressive stream carries the SAME quantized coefficients as
+    the baseline stream, so both decoders must produce bit-identical
+    pixels — the strongest possible cross-check of every progressive scan
+    mode (DC first/refine, spectrally split AC first/refine, EOB runs)."""
+    from readur_spark.kernels.minijpeg import jpeg_encode_progressive
+
+    for h, w in [(40, 56), (17, 23), (8, 8)]:  # incl. non-multiple-of-8
+        img = _det_image(h, w)
+        base = jpeg_decode(jpeg_encode(img, quality=85))
+        prog_bytes = jpeg_encode_progressive(img, quality=85)
+        assert b"\xff\xc2" in prog_bytes[:200]  # really SOF2
+        prog = jpeg_decode(prog_bytes)
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base), (h, w, int(np.abs(prog.astype(int) - base.astype(int)).max()))
+
+
+def test_progressive_rgb_equals_baseline_exactly():
+    from readur_spark.kernels.minijpeg import jpeg_encode_progressive
+
+    img = _det_image(33, 41, channels=3)
+    base = jpeg_decode(jpeg_encode(img, quality=90))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=90))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_low_quality_many_eob_runs():
+    """Low quality zeroes most AC coefficients → long cross-block EOB runs
+    in both first and refinement scans."""
+    from readur_spark.kernels.minijpeg import jpeg_encode_progressive
+
+    img = _det_image(64, 64)
+    base = jpeg_decode(jpeg_encode(img, quality=12))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=12))
+    assert np.array_equal(prog, base)
 
 
 def test_decode_image_applies_exif_rotation():
@@ -122,3 +179,16 @@ def test_jpeg_420_subsampled_roundtrip():
     assert _psnr(rgb, out) > 28
     # 4:2:0 stream really is smaller than 4:4:4 for the same content
     assert len(jpeg_encode(rgb, 90, subsample=True)) < len(jpeg_encode(rgb, 90))
+
+
+def test_progressive_through_decode_image_and_mime():
+    """A progressive JPEG flows through the real multimodal entry points:
+    magic-byte MIME detection and kernels/pixels.decode_image."""
+    from readur_spark.kernels.minijpeg import jpeg_encode_progressive
+    from readur_spark.kernels.mime import detect_mime
+    from readur_spark.kernels.pixels import decode_image
+
+    data = jpeg_encode_progressive(_det_image(24, 32), quality=80)
+    assert detect_mime(data, "x.jpg") == "image/jpeg"
+    img = decode_image(data)
+    assert img.shape[:2] == (24, 32)
