@@ -459,6 +459,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_ngram_capped"] = _q_ngram_capped
+
+    def _q_lm_perplexity(s, sf):
+        # CCNet shape: train the bigram LM on half the corpus, score ALL
+        # docs — held-out docs exercise the unseen-pair/context smoothing
+        from readur_spark.operators.lm import perplexity_score, train_bigram_lm
+
+        docs_df = _docs(s, sf)
+        lm = train_bigram_lm(docs_df.filter(F.col("doc_id") % 2 == 0))
+        return perplexity_score(docs_df, lm, broadcast_model=True).select(
+            "doc_id",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.round("avg_nll", 6).alias("avg_nll"),
+        )
+
+    q["lm_perplexity"] = _q_lm_perplexity
     q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
         _docs(s, sf), threshold=0.5, num_hashes=32, bands=8, n=3
     )
@@ -635,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize",
         "pack_sequences",  # r03's one red row — re-check the fixed oracle
         "dedup_ngram_capped",  # new this round: the capped scale config
+        "lm_perplexity",  # new this round: CCNet-style LM filtering
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -991,6 +1007,42 @@ def oracle_sql() -> dict[str, str]:
     # planted-pair separation of the test corpora recall is 1.0, so the
     # correct output EQUALS the exact all-pairs oracle.
     o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
+    # lm_perplexity: add-k bigram LM trained on even doc_ids, scoring all
+    # docs; V = distinct training unigrams. avg_nll rounded (exp is
+    # monotone, so the ranking check is complete without it).
+    o["lm_perplexity"] = """
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM documents
+        ),
+        big AS (
+          SELECT doc_id, t[i.i] AS prev, t[i.i + 1] AS word
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+          WHERE len(t) >= 2
+        ),
+        train AS (SELECT * FROM big WHERE doc_id % 2 = 0),
+        pc AS (SELECT prev, word, count(*) c FROM train GROUP BY 1, 2),
+        ctx AS (SELECT prev, sum(c) cc FROM pc GROUP BY 1),
+        v AS (
+          SELECT count(DISTINCT w) v
+          FROM (SELECT unnest(t) w FROM toks WHERE doc_id % 2 = 0)
+        ),
+        sc AS (
+          SELECT b.doc_id,
+                 ln((coalesce(pc.c, 0) + 0.5)
+                    / (coalesce(ctx.cc, 0) + 0.5 * (SELECT v FROM v))) lp
+          FROM big b
+          LEFT JOIN pc USING (prev, word)
+          LEFT JOIN ctx USING (prev)
+        )
+        SELECT doc_id, count(*) AS n_bigrams,
+               round(-avg(lp), 6) AS avg_nll
+        FROM sc GROUP BY doc_id
+    """
 
     # dedup_ngram_capped: the df-capped scale configuration. Semantics
     # mirrored exactly: set sizes from the UN-pruned shingle table, the

@@ -1,0 +1,154 @@
+"""N-gram language-model quality filtering (CCNet-style).
+
+The standard web-corpus curation step the reference's search/quality
+surface stops short of: train a cheap n-gram LM on a reference corpus,
+score every candidate document's perplexity under it, and filter/bucket by
+the score (CCNet trains KenLM on Wikipedia and keeps the low-perplexity
+head; Gopher/C4 use the same shape). Reference analog: readur's
+quality/confidence gating of extracted text (src/ocr/quality.rs) — this is
+the corpus-level generalization used by LLM data pipelines.
+
+Spark-first design — everything is counts and joins, no UDFs:
+
+* **training** is two map-side-combining aggregations over exploded
+  bigrams (pair counts, context counts) plus one distinct-count for the
+  vocabulary size. The model IS a pair of DataFrames — at 100 TB the
+  pair table shards across the cluster like any fact table; nothing is
+  collected to the driver except the single vocab-size scalar.
+* **scoring** explodes each candidate document's bigrams (a zip of two
+  array slices — linear in doc length, mega-doc safe) and LEFT-joins the
+  count tables on uniform token keys; add-k smoothing turns misses into
+  the unseen-mass estimate. One groupBy(doc) rolls up mean negative log
+  probability and perplexity.
+* when the reference corpus is small relative to the candidates (the
+  CCNet setup: Wikipedia vs Common Crawl), pass ``broadcast_model=True``
+  and both joins broadcast — the corpus-side shuffle disappears.
+
+Smoothing: add-k over the TRAINING vocabulary, P(w|p) = (c(p,w) + k) /
+(c(p) + k·V); a fully unseen context degrades to 1/V. Out-of-vocabulary
+words share the unseen mass (no separate <unk> estimate) — standard for
+a filtering LM, where only the ranking matters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def words_col(c: Column) -> Column:
+    """Lowercase alphanumeric tokens — the same tokenization as the
+    shingle/dedup family so models and dedup agree on what a word is."""
+    return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, word) — one row per adjacent token pair. Linear per doc
+    (two array slices zipped, one explode); documents with fewer than two
+    tokens produce no rows."""
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    pairs = F.arrays_zip(
+        F.slice(w, 1, n - 1).alias("prev"), F.slice(w, 2, n - 1).alias("word")
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), pairs.alias("pairs"))
+        .where(n >= 2)
+        .select("id", F.explode("pairs").alias("p"))
+        .select("id", F.col("p.prev").alias("prev"), F.col("p.word").alias("word"))
+    )
+
+
+@dataclass
+class BigramLM:
+    """A trained bigram model: distributed count tables + scalars. The
+    DataFrames stay cluster-side; persist them when scoring repeatedly."""
+
+    pair_counts: DataFrame  # (prev, word, c)
+    ctx_counts: DataFrame  # (prev, cc)
+    vocab_size: int
+    add_k: float
+
+
+def train_bigram_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    add_k: float = 0.5,
+    min_count: int = 1,
+) -> BigramLM:
+    """Count-based bigram LM over the reference corpus. ``min_count`` > 1
+    prunes rare pairs from the table (they then score through the smoothed
+    unseen path — a documented approximation that bounds the model size on
+    web-scale reference corpora; context counts stay exact so smoothing
+    denominators are unaffected)."""
+    big = _bigrams(docs, id_col, text_col)
+    all_pairs = big.groupBy("prev", "word").agg(F.count("*").alias("c"))
+    # context totals derive from the (pre-pruning) pair table — one shuffle
+    # on (prev, word) then a cheap rollup, instead of re-tokenizing the corpus
+    ctx_counts = all_pairs.groupBy("prev").agg(F.sum("c").alias("cc"))
+    pair_counts = (
+        all_pairs.filter(F.col("c") >= min_count) if min_count > 1 else all_pairs
+    )
+    vocab_size = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    return BigramLM(pair_counts, ctx_counts, int(vocab_size), add_k)
+
+
+def perplexity_score(
+    docs: DataFrame,
+    lm: BigramLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll, perplexity) per candidate document
+    with at least one bigram. ``avg_nll`` is the mean negative natural log
+    probability; ``perplexity = exp(avg_nll)``. Low perplexity = looks
+    like the reference corpus (CCNet keeps the head of this ranking).
+
+    ``broadcast_model=True`` broadcasts both count tables (the
+    trained-on-Wikipedia case) so the candidate corpus never shuffles."""
+    pc = lm.pair_counts
+    cc = lm.ctx_counts
+    if broadcast_model:
+        pc, cc = F.broadcast(pc), F.broadcast(cc)
+    k, v = float(lm.add_k), float(lm.vocab_size)
+    big = _bigrams(docs, id_col, text_col)
+    scored = (
+        big.join(pc, ["prev", "word"], "left")
+        .join(cc, ["prev"], "left")
+        .select(
+            "id",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(k))
+                / (F.coalesce(F.col("cc"), F.lit(0)) + F.lit(k * v))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_bigrams"),
+        (-F.avg("lp")).alias("avg_nll"),
+        F.exp(-F.avg("lp")).alias("perplexity"),
+    )
+
+
+def perplexity_filter(
+    docs: DataFrame,
+    lm: BigramLM,
+    max_perplexity: float,
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Keep documents scoring at or below the perplexity ceiling (plus
+    documents too short to score — <2 tokens carry no LM evidence; gate
+    those on length filters, not this one)."""
+    scores = perplexity_score(docs, lm, id_col=id_col, **kwargs)
+    keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
+    short = docs.join(scores.select(id_col), id_col, "left_anti").select(id_col)
+    return docs.join(keep.unionByName(short), id_col, "left_semi")
