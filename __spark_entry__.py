@@ -474,6 +474,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["lm_perplexity"] = _q_lm_perplexity
+
+    def _q_dedup_lines(s, sf):
+        # plant a corpus-wide boilerplate footer + a unique per-doc tail:
+        # the footer (df=5000 > 10) must vanish from every doc, the tails
+        # and original lines must survive in order
+        from readur_spark.operators.dedup import dedup_lines
+
+        d = _docs(s, sf).select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit("\nShared Copyright Footer Line For All Documents\nUnique tail "),
+                F.col("doc_id").cast("string"),
+            ).alias("text"),
+        )
+        return dedup_lines(d, max_line_df=10).select(
+            "doc_id",
+            "text",
+            F.col("n_lines").cast("long").alias("n_lines"),
+            F.col("n_lines_removed").cast("long").alias("n_lines_removed"),
+        )
+
+    q["dedup_lines"] = _q_dedup_lines
+
+    def _q_scrub_pii(s, sf):
+        from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
+
+        planted = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 phone +1 555 867-5309 done"),
+        )
+        d = _docs(s, sf).select("doc_id", planted.alias("text"))
+        return d.select(
+            "doc_id",
+            scrub_pii_col(F.col("text")).alias("scrubbed"),
+            *pii_counts_cols(F.col("text")),
+        )
+
+    q["scrub_pii"] = _q_scrub_pii
     q["dedup_minhash_lsh"] = lambda s, sf: dedup.minhash_lsh_pairs(
         _docs(s, sf), threshold=0.5, num_hashes=32, bands=8, n=3
     )
@@ -651,6 +694,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences",  # r03's one red row — re-check the fixed oracle
         "dedup_ngram_capped",  # new this round: the capped scale config
         "lm_perplexity",  # new this round: CCNet-style LM filtering
+        "dedup_lines",  # new this round: C4-style boilerplate-line removal
+        "scrub_pii",  # new this round: PII redaction pass
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1007,6 +1052,65 @@ def oracle_sql() -> dict[str, str]:
     # planted-pair separation of the test corpora recall is 1.0, so the
     # correct output EQUALS the exact all-pairs oracle.
     o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
+    # dedup_lines: corpus-wide boilerplate-line removal with the planted
+    # footer (df = corpus size > 10) and per-doc unique tails; the oracle
+    # matches lines by string where the operator joins on xxhash64(line)
+    o["dedup_lines"] = """
+        WITH docs2 AS (
+          SELECT doc_id,
+                 text || chr(10) ||
+                 'Shared Copyright Footer Line For All Documents' ||
+                 chr(10) || 'Unique tail ' || doc_id AS text
+          FROM documents
+        ),
+        split AS (SELECT doc_id, string_split(text, chr(10)) t FROM docs2),
+        lines AS (
+          SELECT doc_id, i.i AS pos, t[i.i] AS line,
+                 trim(t[i.i]) AS nrm
+          FROM split, LATERAL (
+            SELECT unnest(generate_series(1, len(t))) AS i) i
+        ),
+        drop AS (
+          SELECT nrm FROM (
+            SELECT nrm, count(DISTINCT doc_id) c FROM lines
+            WHERE length(nrm) >= 10 GROUP BY nrm)
+          WHERE c > 10
+        ),
+        kept AS (
+          SELECT * FROM lines
+          WHERE NOT (length(nrm) >= 10 AND nrm IN (SELECT nrm FROM drop))
+        ),
+        totals AS (SELECT doc_id, count(*) n_lines FROM lines GROUP BY doc_id),
+        reb AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                 count(*) n_kept
+          FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, coalesce(reb.text, '') AS text, t.n_lines,
+               t.n_lines - coalesce(reb.n_kept, 0) AS n_lines_removed
+        FROM totals t LEFT JOIN reb USING (doc_id)
+    """
+
+    # scrub_pii: identical planted PII + the SAME regex patterns (kept
+    # engine-portable: no lookaround, valid Java regex AND RE2)
+    from readur_spark.functions.textstats import PII_PATTERNS as _PII
+
+    _planted = (
+        "text || ' contact user' || doc_id || '@example.com or 10.0.' || "
+        "(doc_id % 256) || '.7 phone +1 555 867-5309 done'"
+    )
+    _scrub = _planted
+    for _pat, _tok in _PII:
+        _scrub = f"regexp_replace({_scrub}, '{_pat}', '{_tok}', 'g')"
+    o["scrub_pii"] = f"""
+        SELECT doc_id,
+               {_scrub} AS scrubbed,
+               len(regexp_extract_all({_planted}, '{_PII[0][0]}')) AS n_emails,
+               len(regexp_extract_all({_planted}, '{_PII[1][0]}')) AS n_ips,
+               len(regexp_extract_all({_planted}, '{_PII[2][0]}')) AS n_phones
+        FROM documents
+    """
 
     # lm_perplexity: add-k bigram LM trained on even doc_ids, scoring all
     # docs; V = distinct training unigrams. avg_nll rounded (exp is

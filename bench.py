@@ -82,7 +82,10 @@ def main() -> None:
         "image_quality_stats",
         "dedup_exact",
         "dedup_ngram_jaccard",
+        "dedup_ngram_capped",
         "dedup_minhash_lsh",
+        "pack_sequences",
+        "lm_perplexity",
         "dedup_simhash",
         "dedup_embedding",
         "ann_topk_cosine",

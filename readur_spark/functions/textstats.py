@@ -240,3 +240,39 @@ def gopher_flags_cols(c: Column, stopwords: tuple[str, ...] = GOPHER_STOPWORDS) 
         ok_stops.alias("ok_stopwords"),
         passes.alias("gopher_pass"),
     ]
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data hygiene: redact contact identifiers before
+# the corpus ships — the standard email/IP/phone pass, pure Catalyst)
+# --------------------------------------------------------------------------
+
+# Engine-portable patterns (no lookaround, valid in both Java regex and
+# RE2, so the DuckDB oracle applies the identical expressions). Order
+# matters: emails first (they contain dots and digits), then IPv4, then
+# phone shapes — each later pass sees the earlier tokens, never raw PII.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # +country / (area) / separator-tolerant 7+ digit phone shapes,
+    # anchored on word boundaries so ids and timestamps survive
+    (r"\b\+?\d{1,3}[-. ]\(?\d{2,4}\)?[-. ]\d{3,4}[-. ]?\d{0,4}\b", "<PHONE>"),
+)
+
+
+def scrub_pii_col(c: Column) -> Column:
+    """Redact emails, IPv4 addresses, and phone-shaped digit runs with
+    typed placeholder tokens. Whole-stage-codegen regexp chain — zero
+    Python in the hot path; at 100 TB this is a projection."""
+    for pattern, token in PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def pii_counts_cols(c: Column) -> list[Column]:
+    """Per-kind match counts (audit surface for the scrub pass)."""
+    return [
+        F.regexp_count(c, F.lit(PII_PATTERNS[0][0])).alias("n_emails"),
+        F.regexp_count(c, F.lit(PII_PATTERNS[1][0])).alias("n_ips"),
+        F.regexp_count(c, F.lit(PII_PATTERNS[2][0])).alias("n_phones"),
+    ]

@@ -1205,3 +1205,79 @@ def winnow_overlap_pairs(
         .filter(F.col("shared_fps") >= min_shared)
     )
     return _materialize_release(result, fps)
+
+
+def dedup_lines(
+    docs: DataFrame,
+    max_line_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 10,
+) -> DataFrame:
+    """Corpus-wide boilerplate-line removal (the C4 / RefinedWeb curation
+    step): any line whose trimmed form appears in MORE than ``max_line_df``
+    distinct documents is dropped from every document; surviving lines are
+    reassembled in their original order. Catches nav bars, cookie banners,
+    copyright footers — the cross-document repeated lines a per-document
+    dedup can never see.
+
+    Lines shorter than ``min_line_chars`` after trimming (including empty
+    lines) are exempt: one-word lines ("Home", "Menu") are too ambiguous
+    to kill corpus-wide, and empty lines are structure, not content.
+
+    Scale shape — three shuffles, all on uniform keys: (1) line-hash
+    groupBy with map-side combine for document frequencies (the join key
+    is ``xxhash64(line)`` so the wide line string is never shuffled twice;
+    a 2^-64 collision could at worst drop one extra line), (2) left-anti
+    join of exploded lines against the over-threshold hash set, (3) one
+    groupBy(doc) reassembly via sort_array over (pos, line) structs.
+    No driver-side state at any size.
+
+    Returns (id_col, text, n_lines, n_lines_removed) — ``text`` rewritten,
+    with every input document present (a fully-boilerplate doc comes back
+    with empty text and its removal count, so callers can gate on it)."""
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "pos", "line"
+        ),
+    ).withColumn("norm", F.trim(F.col("line")))
+    eligible = F.length(F.col("norm")) >= min_line_chars
+    drop = (
+        lines.filter(eligible)
+        .select("id", F.xxhash64("norm").alias("lh"))
+        .distinct()
+        .groupBy("lh")
+        .count()
+        .filter(F.col("count") > max_line_df)
+        .select("lh")
+    )
+    kept = (
+        lines.withColumn(
+            "lh", F.when(eligible, F.xxhash64("norm")).otherwise(F.lit(None))
+        )
+        .join(drop.withColumnRenamed("lh", "lh_drop"),
+              F.col("lh") == F.col("lh_drop"), "left_anti")
+    )
+    totals = lines.groupBy("id").agg(F.count("*").alias("n_lines"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias(text_col),
+        F.count("*").alias("n_kept"),
+    )
+    return (
+        totals.join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+            F.col("n_lines"),
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+                "n_lines_removed"
+            ),
+        )
+    )

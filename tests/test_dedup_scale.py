@@ -404,3 +404,39 @@ def test_decontaminate_merged_intervals_no_double_count(spark):
     # coverage is bounded by the single underlying span (+boundary chars),
     # far below the 2x a naive sum would report
     assert row["contaminated_chars"] <= len(run) + 2
+
+
+def test_dedup_lines_removes_boilerplate_preserves_order(spark):
+    """C4/RefinedWeb line dedup: a footer shared by >max_line_df docs
+    vanishes from every doc; unique lines keep their original order;
+    short lines are exempt even when repeated; a fully-boilerplate doc
+    comes back empty but present."""
+    footer = "cookie consent banner text repeated on every page"
+    docs = spark.createDataFrame(
+        [
+            ("1", f"alpha unique line one\n{footer}\nbeta unique line two\nok"),
+            ("2", f"{footer}\ngamma unique line three\nok"),
+            ("3", f"delta unique line four\n{footer}\nok"),
+            ("4", footer),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup.dedup_lines(docs, max_line_df=2).collect()}
+    assert out["1"]["text"] == "alpha unique line one\nbeta unique line two\nok"
+    assert out["2"]["text"] == "gamma unique line three\nok"
+    assert out["3"]["text"] == "delta unique line four\nok"
+    assert out["4"]["text"] == "" and out["4"]["n_lines_removed"] == 1
+    # "ok" (short line, repeated in 3 docs) is exempt from the df rule
+    assert all(out[d]["n_lines_removed"] == 1 for d in ("1", "2", "3"))
+
+
+def test_dedup_lines_threshold_boundary(spark):
+    """A line in exactly max_line_df docs survives; one more doc kills it."""
+    line = "borderline boilerplate line here"
+    mk = lambda n: [(str(i), f"{line}\nunique {i} padding line") for i in range(n)]
+    at = spark.createDataFrame(mk(2), "doc_id string, text string")
+    over = spark.createDataFrame(mk(3), "doc_id string, text string")
+    kept_at = dedup.dedup_lines(at, max_line_df=2).collect()
+    assert all(line in r["text"] for r in kept_at)
+    kept_over = dedup.dedup_lines(over, max_line_df=2).collect()
+    assert all(line not in r["text"] for r in kept_over)

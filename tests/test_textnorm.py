@@ -93,3 +93,24 @@ class TestPlainTextRead:
         big = "y" * (50 * 1024 * 1024 + 1)
         _, err = plain_text_read(big)
         assert err is not None and "too large" in err
+
+
+def test_scrub_pii_redacts_each_kind(spark):
+    from pyspark.sql import functions as F
+
+    from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
+
+    text = (
+        "write to jane.doe+spam@mail.example.co.uk from 192.168.1.200 "
+        "or call +1 (555) 867-5309; order #123456 ships 2024-01-02"
+    )
+    df = spark.createDataFrame([(text,)], "text string")
+    row = df.select(
+        scrub_pii_col(F.col("text")).alias("s"), *pii_counts_cols(F.col("text"))
+    ).collect()[0]
+    assert "<EMAIL>" in row["s"] and "jane.doe" not in row["s"]
+    assert "<IP>" in row["s"] and "192.168.1.200" not in row["s"]
+    assert "<PHONE>" in row["s"] and "867-5309" not in row["s"]
+    assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (1, 1, 1)
+    # non-PII digits survive: order id and ISO date untouched
+    assert "#123456" in row["s"] and "2024-01-02" in row["s"]
