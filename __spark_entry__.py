@@ -498,6 +498,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_lines"] = _q_dedup_lines
 
+    def _q_decontaminate_ngrams(s, sf):
+        # GPT-3-style exact 13-gram collision check, self-decontamination
+        # form: eval = doc_id % 7 == 0, identity pairs excluded
+        docs_df = _docs(s, sf)
+        heldout = docs_df.filter(F.col("doc_id") % 7 == 0)
+        return dedup.decontaminate_ngrams(
+            docs_df, heldout, n=13, exclude_same_id=True
+        ).select(
+            "doc_id",
+            F.col("n_collisions").cast("long").alias("n_collisions"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            "collision_frac",
+        )
+
+    q["decontaminate_ngrams"] = _q_decontaminate_ngrams
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -696,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity",  # new this round: CCNet-style LM filtering
         "dedup_lines",  # new this round: C4-style boilerplate-line removal
         "scrub_pii",  # new this round: PII redaction pass
+        "decontaminate_ngrams",  # new this round: 13-gram decon
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1110,6 +1127,36 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all({_planted}, '{_PII[1][0]}')) AS n_ips,
                len(regexp_extract_all({_planted}, '{_PII[2][0]}')) AS n_phones
         FROM documents
+    """
+
+    # decontaminate_ngrams: exact 13-gram collisions vs eval = doc_id%7==0,
+    # identity pairs excluded; the oracle matches grams by string where the
+    # operator joins on xxhash64(gram)
+    o["decontaminate_ngrams"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM documents
+        ),
+        sh AS (
+          SELECT id, unnest(list_distinct(
+            [array_to_string(t[i:i+12], ' ') for i in range(1, len(t) - 11)]
+          )) AS g
+          FROM toks WHERE len(t) >= 13
+        ),
+        ev AS (SELECT id AS eid, g FROM sh WHERE id % 7 = 0),
+        hits AS (
+          SELECT DISTINCT c.id, c.g
+          FROM sh c JOIN ev ON c.g = ev.g AND c.id != ev.eid
+        ),
+        tot AS (SELECT id, count(*) n_grams FROM sh GROUP BY id)
+        SELECT h.id AS doc_id,
+               count(*) AS n_collisions,
+               any_value(t.n_grams) AS n_grams,
+               round(count(*) * 1.0 / any_value(t.n_grams), 6) AS collision_frac
+        FROM hits h JOIN tot t ON h.id = t.id
+        GROUP BY h.id
     """
 
     # lm_perplexity: add-k bigram LM trained on even doc_ids, scoring all

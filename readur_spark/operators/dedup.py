@@ -1281,3 +1281,64 @@ def dedup_lines(
             ),
         )
     )
+
+
+def decontaminate_ngrams(
+    corpus: DataFrame,
+    heldout: DataFrame,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    heldout_id_col: str = "doc_id",
+    heldout_text_col: str = "text",
+    exclude_same_id: bool = False,
+) -> DataFrame:
+    """Exact n-gram collision decontamination (the GPT-3/GPT-4 appendix
+    recipe: flag any training document sharing a verbatim 13-gram with an
+    eval set) — the blunter, cheaper sibling of the span-based
+    :func:`decontaminate`. One pass, no extension step:
+
+    * both sides n-gram once (posexplode+lead — linear on mega docs);
+    * the eval side reduces to DISTINCT xxhash64(gram) and BROADCASTS
+      (eval suites are tiny next to a training corpus — the corpus never
+      shuffles);
+    * per-doc rollup counts colliding grams.
+
+    Returns (doc_id, n_collisions, n_grams, collision_frac) for documents
+    with ≥1 collision; anti-join against it to clean."""
+    cg = _shingles(corpus, id_col, text_col, n, distinct=False).select(
+        "id", F.xxhash64("shingle").alias("gh")
+    )
+    if exclude_same_id:
+        eg = _shingles(heldout, heldout_id_col, heldout_text_col, n).select(
+            F.col("id").alias("eid"), F.xxhash64("shingle").alias("gh")
+        )
+        hits = (
+            cg.join(F.broadcast(eg), "gh")
+            .where(F.col("id") != F.col("eid"))
+            .select("id", "gh")
+            .distinct()
+        )
+    else:
+        eg = (
+            _shingles(heldout, heldout_id_col, heldout_text_col, n)
+            .select(F.xxhash64("shingle").alias("gh"))
+            .distinct()
+        )
+        hits = cg.join(F.broadcast(eg), "gh").select("id", "gh").distinct()
+    totals = cg.select("id", "gh").distinct().groupBy("id").agg(
+        F.count("*").alias("n_grams")
+    )
+    return (
+        hits.groupBy("id")
+        .agg(F.count("*").alias("n_collisions"))
+        .join(totals, "id")
+        .select(
+            F.col("id").alias(id_col),
+            "n_collisions",
+            "n_grams",
+            F.round(F.col("n_collisions") / F.col("n_grams"), 6).alias(
+                "collision_frac"
+            ),
+        )
+    )

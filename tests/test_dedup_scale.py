@@ -440,3 +440,35 @@ def test_dedup_lines_threshold_boundary(spark):
     assert all(line in r["text"] for r in kept_at)
     kept_over = dedup.dedup_lines(over, max_line_df=2).collect()
     assert all(line not in r["text"] for r in kept_over)
+
+
+def test_decontaminate_ngrams_flags_exact_13gram_leaks(spark):
+    """GPT-3-style 13-gram decontamination: a training doc embedding a
+    verbatim 13-word eval run is flagged with the right collision count;
+    12-word overlaps stay clean; the eval side broadcasts."""
+    eval_q = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu"
+    assert len(eval_q.split()) == 13
+    corpus = spark.createDataFrame(
+        [
+            ("t1", f"leading words then {eval_q} trailing words here"),
+            ("t2", " ".join(eval_q.split()[:12]) + " different ending now"),
+            ("t3", "entirely unrelated content with its own words"),
+        ],
+        "doc_id string, text string",
+    )
+    heldout = spark.createDataFrame([("e1", eval_q)], "doc_id string, text string")
+    df = dedup.decontaminate_ngrams(corpus, heldout, n=13)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert set(rows) == {"t1"}
+    assert rows["t1"]["n_collisions"] == 1
+    # self-decontamination: identity pairs excluded, shared gram still hits
+    both = corpus.unionByName(heldout)
+    self_rows = {
+        r["doc_id"]
+        for r in dedup.decontaminate_ngrams(
+            both, both, n=13, exclude_same_id=True
+        ).collect()
+    }
+    assert self_rows == {"t1", "e1"}  # t1<->e1 collide; identity rows don't

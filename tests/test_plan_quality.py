@@ -221,3 +221,25 @@ def test_fuzzy_search_mega_doc_linear(spark, docs):
     took = time.time() - t0
     assert len(got) == 1 and got[0]["similarity"] > 0.05
     assert took < 90, took
+
+
+def test_dedup_lines_plan_shape(spark, docs):
+    """dedup_lines: uniform-key shuffles only — no single-partition funnel,
+    no cartesian, no Python stage (pure Catalyst rebuild)."""
+    from readur_spark.operators.dedup import dedup_lines
+
+    plan = plan_of(dedup_lines(docs, max_line_df=10))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    for py_stage in ("BatchEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
+        assert py_stage not in plan, plan
+
+
+def test_lm_scoring_plan_no_python_no_cartesian(spark, docs):
+    from readur_spark.operators.lm import perplexity_score, train_bigram_lm
+
+    lm = train_bigram_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    plan = plan_of(perplexity_score(docs, lm))
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Cartesian" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
