@@ -513,6 +513,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["decontaminate_ngrams"] = _q_decontaminate_ngrams
+    q["tfidf_top_terms"] = lambda s, sf: search.tfidf_top_terms(
+        _docs(s, sf), k=5
+    )
 
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
@@ -713,6 +716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lines",  # new this round: C4-style boilerplate-line removal
         "scrub_pii",  # new this round: PII redaction pass
         "decontaminate_ngrams",  # new this round: 13-gram decon
+        "tfidf_top_terms",  # new this round: corpus-wide tf-idf keywords
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1127,6 +1131,34 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all({_planted}, '{_PII[1][0]}')) AS n_ips,
                len(regexp_extract_all({_planted}, '{_PII[2][0]}')) AS n_phones
         FROM documents
+    """
+
+    # tfidf_top_terms: smoothed sklearn-convention tf-idf, deterministic
+    # tie-break on the term, top-5 per doc, min_df=2
+    o["tfidf_top_terms"] = """
+        WITH toks AS (
+          SELECT doc_id AS id, unnest(
+            list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                        x -> x != '')) AS tk
+          FROM documents
+        ),
+        n AS (SELECT count(*) n FROM documents),
+        tf AS (SELECT id, tk, count(*) tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tk, count(*) df FROM tf GROUP BY 1 HAVING count(*) >= 2),
+        sc AS (
+          SELECT tf.id, tf.tk,
+                 round(tf.tf * (ln(((SELECT n FROM n) + 1.0) / (df.df + 1.0))
+                                + 1.0), 6) AS tfidf
+          FROM tf JOIN df USING (tk)
+        ),
+        rk AS (
+          SELECT id, tk, tfidf,
+                 row_number() OVER (PARTITION BY id
+                                    ORDER BY tfidf DESC, tk ASC) AS rnk
+          FROM sc
+        )
+        SELECT id AS doc_id, tk AS term, tfidf, CAST(rnk AS INTEGER) AS rnk
+        FROM rk WHERE rnk <= 5
     """
 
     # decontaminate_ngrams: exact 13-gram collisions vs eval = doc_id%7==0,

@@ -338,3 +338,51 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Corpus-wide TF-IDF keyword extraction: the top-``k`` most
+    distinctive terms per document — the relevance statistic F5's per-query
+    tf ranking lacks (idf needs the WHOLE corpus; Postgres ts_rank proxies
+    it with static weights, src/db/documents/search.rs:69-94).
+
+    tf = term count in doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn's convention); terms in fewer than ``min_df`` docs are dropped
+    (hapaxes are typos/ids more often than keywords). Ties break on the
+    term string so the top-k set is deterministic.
+
+    Scale: one token explode → two map-side-combining aggregations (per-doc
+    tf, corpus df) → join on the uniform term key → per-doc window top-k.
+    The N scalar comes from a count of the docs frame (one cheap job);
+    no driver-side state otherwise."""
+    from pyspark.sql.window import Window
+
+    from readur_spark.operators.dedup import _token_rows
+
+    n_docs = docs.count()
+    toks = _token_rows(docs, id_col, text_col)
+    tf = toks.groupBy("id", "tk").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tk").agg(F.count("*").alias("df")).filter(
+        F.col("df") >= min_df
+    )
+    idf = F.log((F.lit(float(n_docs) + 1.0)) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(df, "tk").select(
+        "id", "tk", F.round(F.col("tf") * idf, 6).alias("tfidf")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("tk"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("tk").alias("term"),
+            "tfidf",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
