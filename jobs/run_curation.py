@@ -34,6 +34,15 @@ def main() -> None:
                     help="name=frac[,name=frac...] deterministic split column")
     ap.add_argument("--chunk-words", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=32)
+    ap.add_argument("--line-dedup-max-df", type=int, default=None,
+                    help="strip lines appearing in more than this many docs "
+                         "(C4/RefinedWeb boilerplate removal)")
+    ap.add_argument("--lm-ref", default=None,
+                    help="reference parquet to train the CCNet bigram LM on")
+    ap.add_argument("--max-perplexity", type=float, default=None,
+                    help="LM perplexity ceiling (requires --lm-ref)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/IPs/phones before chunking")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -60,6 +69,10 @@ def main() -> None:
         require_rep_pass=args.rep_filter,
         heldout_df=spark.read.parquet(args.heldout) if args.heldout else None,
         near_dup_threshold=args.near_dup_threshold,
+        line_dedup_max_df=args.line_dedup_max_df,
+        lm_ref_df=spark.read.parquet(args.lm_ref) if args.lm_ref else None,
+        max_perplexity=args.max_perplexity,
+        scrub_pii=args.scrub_pii,
         chunk_words=args.chunk_words,
         overlap_words=args.overlap,
         split_fractions=splits,

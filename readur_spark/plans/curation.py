@@ -59,6 +59,10 @@ def curate(
     require_gopher: bool = True,
     gopher_stopwords: tuple[str, ...] | None = None,
     require_rep_pass: bool = False,
+    line_dedup_max_df: int | None = None,
+    lm_ref_df: DataFrame | None = None,
+    max_perplexity: float | None = None,
+    scrub_pii: bool = False,
     heldout_df: DataFrame | None = None,
     decontam_min_len: int = 50,
     near_dup_threshold: float = 0.5,
@@ -76,12 +80,28 @@ def curate(
 
     Optional stages (all off by default, preserving the round-2 funnel):
     ``require_rep_pass`` adds the Gopher repetition filters;
+    ``line_dedup_max_df`` first strips corpus-wide boilerplate lines
+    (C4/RefinedWeb) so every later stage sees clean text;
+    ``lm_ref_df`` + ``max_perplexity`` add the CCNet LM filter (train a
+    bigram LM on the reference frame, keep docs at/below the ceiling);
+    ``scrub_pii`` redacts contact identifiers just before chunking (late,
+    so dedup hashes are computed on the original bytes);
     ``heldout_df`` decontaminates against an eval set before dedup;
     ``split_fractions`` appends a deterministic ``split`` column.
     """
     metrics: dict[str, int] = {}
+    extra_persists = []
     text_df = _to_text(docs_df).persist()
     metrics["input_docs"] = text_df.count()
+
+    if line_dedup_max_df is not None:
+        lined = dedup.dedup_lines(text_df, max_line_df=line_dedup_max_df).persist()
+        extra_persists.append(lined)
+        metrics["boilerplate_lines_removed_docs"] = lined.filter(
+            F.col("n_lines_removed") > 0
+        ).count()
+        text_df.unpersist()
+        text_df = lined.select("doc_id", "text")
 
     if heldout_df is not None:
         text_df_clean = dedup.decontaminate_filter(
@@ -117,6 +137,17 @@ def curate(
     filtered = filtered.select("doc_id", "text", "lang", "quality").persist()
     metrics["after_quality_filter"] = filtered.count()
 
+    if lm_ref_df is not None and max_perplexity is not None:
+        from readur_spark.operators.lm import perplexity_filter, train_bigram_lm
+
+        lm = train_bigram_lm(_to_text(lm_ref_df))
+        lm_kept = perplexity_filter(
+            filtered, lm, max_perplexity, broadcast_model=True
+        ).persist()
+        metrics["after_lm_filter"] = lm_kept.count()
+        filtered.unpersist()
+        filtered = lm_kept
+
     exact = dedup.dedup_keep_first(filtered).persist()
     metrics["after_exact_dedup"] = exact.count()
 
@@ -126,6 +157,10 @@ def curate(
     curated = dedup.dedup_cluster_keep_first(exact, pairs).persist()
     metrics["after_near_dedup"] = curated.count()
 
+    if scrub_pii:
+        from readur_spark.functions.textstats import scrub_pii_col
+
+        curated = curated.withColumn("text", scrub_pii_col(F.col("text")))
     chunks = chunk_texts(
         curated, chunk_words=chunk_words, overlap_words=overlap_words
     ).join(curated.select("doc_id", "lang", "quality"), "doc_id")
@@ -144,6 +179,8 @@ def curate(
     filtered.unpersist()
     exact.unpersist()
     curated.unpersist()
+    for df in extra_persists:
+        df.unpersist()
     return chunks, metrics
 
 

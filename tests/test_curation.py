@@ -98,3 +98,43 @@ def test_curate_optional_stages(spark):
     got = chunks.collect()
     assert got and all(r["split"] in ("train", "val") for r in got)
     assert {r["doc_id"] for r in got} <= {2, 3}
+
+
+def test_curate_round4_stages(spark):
+    """Line dedup, LM filter, and PII scrub compose into the funnel: the
+    boilerplate footer vanishes before analysis, the LM drops the
+    out-of-domain doc, and chunks carry scrubbed text."""
+    from readur_spark.plans.curation import curate
+
+    footer = "subscribe to our newsletter footer boilerplate"
+    fluent = (
+        "the quick brown fox jumps over the lazy dog and runs onward "
+        "through the quiet field toward the distant river bank again"
+    )
+    rows = [
+        (1, f"{fluent} write to alice@example.com today\n{footer}"),
+        (2, f"{fluent} and the fox rests near the river\n{footer}"),
+        (3, f"{fluent} while the dog watches the field\n{footer}"),
+        (4, "zq xv qk jw zz entropy gibberish vx qj zk wq vv kq\n" + footer),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(100 + i, fluent) for i in range(5)], "doc_id long, text string"
+    )
+    chunks, metrics = curate(
+        docs,
+        require_gopher=False,
+        line_dedup_max_df=2,
+        lm_ref_df=ref,
+        max_perplexity=12.0,
+        scrub_pii=True,
+        near_dup_threshold=0.95,
+        chunk_words=50,
+        overlap_words=0,
+    )
+    assert metrics["boilerplate_lines_removed_docs"] == 4
+    assert metrics["after_lm_filter"] < metrics["after_quality_filter"]
+    texts = " ".join(r["chunk_text"] for r in chunks.collect())
+    assert footer not in texts
+    assert "alice@example.com" not in texts and "<EMAIL>" in texts
+    assert 4 not in {r["doc_id"] for r in chunks.collect()}
