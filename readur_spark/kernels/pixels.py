@@ -22,9 +22,9 @@ Rust ``image``/``imageproc`` crates; this is the same math on numpy):
 * preprocessing pipeline order: enhanced.rs:210-290
 
 The PNG codec handles what this pipeline produces and consumes: 8-bit
-grayscale / RGB / RGBA, all five filter types, non-interlaced. Interlaced
-or 16-bit PNGs raise ``PngError`` (callers degrade to the metadata-only
-path, like the reference degrades on undecodable input).
+grayscale / RGB / RGBA, all five filter types, non-interlaced AND Adam7
+interlaced. 16-bit PNGs raise ``PngError`` (callers degrade to the
+metadata-only path, like the reference degrades on undecodable input).
 """
 
 from __future__ import annotations
@@ -40,6 +40,12 @@ import numpy as np
 # --------------------------------------------------------------------------
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: Adam7 pass geometry (x0, y0, dx, dy) in pass order — PNG spec 8.2
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
 
 class PngError(ValueError):
@@ -141,16 +147,36 @@ def png_decode(data: bytes) -> np.ndarray:
     w, h, bit_depth, color_type, _comp, _filt, interlace = ihdr
     if bit_depth != 8:
         raise PngError(f"unsupported bit depth {bit_depth}")
-    if interlace:
-        raise PngError("interlaced PNG unsupported")
+    if interlace not in (0, 1):
+        raise PngError(f"unknown interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
     if channels is None:
         raise PngError(f"unsupported color type {color_type}")
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    expected = h * (1 + w * channels)
-    if len(raw) != expected:
-        raise PngError(f"bad IDAT length {len(raw)} != {expected}")
-    out = _unfilter(raw, h, w, channels)
+    if interlace:
+        # Adam7: seven sub-images, each filtered independently, scattered
+        # onto the strided output grid (PNG spec §8.2)
+        out = np.zeros((h, w * channels), dtype=np.uint8)
+        grid = out.reshape(h, w, channels)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            take = ph * (1 + pw * channels)
+            if off + take > len(raw):
+                raise PngError("truncated interlaced IDAT")
+            sub = _unfilter(raw[off : off + take], ph, pw, channels)
+            off += take
+            grid[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if off != len(raw):
+            raise PngError(f"bad interlaced IDAT length {len(raw)} != {off}")
+    else:
+        expected = h * (1 + w * channels)
+        if len(raw) != expected:
+            raise PngError(f"bad IDAT length {len(raw)} != {expected}")
+        out = _unfilter(raw, h, w, channels)
     if color_type == 3:
         if palette is None:
             raise PngError("paletted PNG without PLTE")
