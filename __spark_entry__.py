@@ -517,6 +517,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(s, sf), k=5
     )
 
+    def _q_warc_roundtrip(s, sf):
+        # Common Crawl ingestion check: documents synthesized into
+        # per-record-gzip .warc.gz shards (memoized fixture, one file per
+        # 500 docs — the fixture build collects bounded sf0.01 rows; the
+        # OPERATOR under test is the distributed read_warc), read back and
+        # compared value-for-value against the source table.
+        import hashlib
+        import os
+
+        from readur_spark.sources.warc import build_warc, read_warc
+
+        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        out_dir = f"/tmp/readur_spark_warc_{tag}"
+        marker = os.path.join(out_dir, "_DONE")
+        if not os.path.exists(marker):
+            os.makedirs(out_dir, exist_ok=True)
+            rows = sorted(
+                (r["doc_id"], r["text"])
+                for r in _docs(s, sf).select("doc_id", "text").collect()
+            )
+            for fi in range(0, len(rows), 500):
+                shard = [
+                    {
+                        "warc_type": "resource",
+                        "target_uri": f"https://corpus.example/doc/{did}",
+                        "payload": (text or "").encode("utf-8"),
+                    }
+                    for did, text in rows[fi : fi + 500]
+                ]
+                with open(
+                    os.path.join(out_dir, f"part-{fi // 500:05d}.warc.gz"), "wb"
+                ) as f:
+                    f.write(build_warc(shard))
+            open(marker, "w").close()
+        recs = read_warc(s, out_dir + "/*.warc.gz", warc_types=("resource",))
+        return recs.select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.decode(F.col("payload"), "UTF-8").alias("text"),
+        )
+
+    q["warc_roundtrip"] = _q_warc_roundtrip
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -717,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_pii",  # new this round: PII redaction pass
         "decontaminate_ngrams",  # new this round: 13-gram decon
         "tfidf_top_terms",  # new this round: corpus-wide tf-idf keywords
+        "warc_roundtrip",  # new this round: Common Crawl WARC ingestion
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1132,6 +1177,11 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all({_planted}, '{_PII[2][0]}')) AS n_phones
         FROM documents
     """
+
+    # warc_roundtrip: the WARC shards are synthesized FROM documents, so
+    # the oracle is the source table itself — framing + per-record gzip +
+    # distributed parse must reproduce it exactly
+    o["warc_roundtrip"] = "SELECT doc_id, text FROM documents"
 
     # tfidf_top_terms: smoothed sklearn-convention tf-idf, deterministic
     # tie-break on the term, top-5 per doc, min_df=2

@@ -1,0 +1,175 @@
+"""WARC (Web ARChive) ingestion — the Common Crawl input format.
+
+The north rule's corpus is web documents at 10^12 scale; the format those
+arrive in is WARC (ISO 28500): a sequence of records, each a
+``WARC/1.x`` header block + Content-Length-framed payload, usually with
+one gzip member PER RECORD so readers can resume mid-file. Reference
+analog: readur's batch directory ingestion + per-file type dispatch
+(/root/reference/src/ingestion/document_ingestion.rs,
+src/services/batch_ingest*) — WARC is the web-corpus shape of the same
+"bytes in, typed documents out" step.
+
+Spark-first shape: WARC gzip members are not block-splittable, so the
+parallelism unit is the FILE — exactly how Common Crawl is consumed (a
+crawl ships ~64k ~1 GB files; a 1000-executor cluster maps files to
+tasks). ``read_warc`` scans with the binaryFile source and parses each
+file inside one Arrow-batched ``mapInPandas`` pass; no driver-side
+parsing, no shuffle at all until the caller aggregates.
+
+Parsing is stdlib-only: zlib with ``wbits=31`` consumed member-by-member
+(``Decompress.unused_data`` carries the tail), WARC headers split on the
+CRLF blank line, HTTP response payloads split once more for the body.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+WARC_SCHEMA = (
+    "path string, record_id string, warc_type string, target_uri string, "
+    "warc_date string, http_content_type string, payload binary"
+)
+
+
+def _gzip_members(data: bytes) -> Iterator[bytes]:
+    """Decompress a concatenation of gzip members (the per-record layout
+    of .warc.gz) — or yield the input unchanged when it isn't gzip."""
+    if not data.startswith(b"\x1f\x8b"):
+        yield data
+        return
+    rest = data
+    while rest.startswith(b"\x1f\x8b"):
+        d = zlib.decompressobj(wbits=31)
+        yield d.decompress(rest)
+        rest = d.unused_data
+
+
+def parse_warc(data: bytes) -> Iterator[dict]:
+    """Iterate records of one WARC file (plain or per-record gzip).
+    Yields dicts: record_id, warc_type, target_uri, warc_date,
+    http_content_type, payload (the HTTP BODY for response records,
+    the raw block otherwise). Malformed tails stop iteration rather
+    than raise — a truncated fetch loses its last record, not the file."""
+    for member in _gzip_members(data):
+        pos = 0
+        n = len(member)
+        while pos < n:
+            # skip inter-record CRLFs
+            while pos < n and member[pos : pos + 2] == b"\r\n":
+                pos += 2
+            if pos >= n:
+                break
+            head_end = member.find(b"\r\n\r\n", pos)
+            if head_end < 0:
+                break
+            head = member[pos : head_end].decode("utf-8", "replace")
+            lines = head.split("\r\n")
+            if not lines[0].startswith("WARC/"):
+                break
+            hdrs = {}
+            for ln in lines[1:]:
+                k, sep, v = ln.partition(":")
+                if sep:
+                    hdrs[k.strip().lower()] = v.strip()
+            try:
+                length = int(hdrs.get("content-length", ""))
+            except ValueError:
+                break
+            body_start = head_end + 4
+            block = member[body_start : body_start + length]
+            pos = body_start + length
+            payload = block
+            http_ct = None
+            if hdrs.get("warc-type") == "response" and block.startswith(b"HTTP/"):
+                split = block.find(b"\r\n\r\n")
+                if split >= 0:
+                    http_head = block[:split].decode("utf-8", "replace")
+                    payload = block[split + 4 :]
+                    for ln in http_head.split("\r\n")[1:]:
+                        k, sep, v = ln.partition(":")
+                        if sep and k.strip().lower() == "content-type":
+                            http_ct = v.strip()
+            yield {
+                "record_id": hdrs.get("warc-record-id", ""),
+                "warc_type": hdrs.get("warc-type", ""),
+                "target_uri": hdrs.get("warc-target-uri", ""),
+                "warc_date": hdrs.get("warc-date", ""),
+                "http_content_type": http_ct,
+                "payload": payload,
+            }
+
+
+def read_warc(
+    spark: SparkSession,
+    path_glob: str,
+    warc_types: tuple[str, ...] = ("response", "resource"),
+) -> DataFrame:
+    """DataFrame of WARC records under ``path_glob`` (local, HDFS, or
+    s3a:// — anything the binaryFile source reaches). One task per file:
+    the Common Crawl parallelism model, where the 64k files of a crawl
+    ARE the partitioning. ``warc_types`` filters record kinds before they
+    ever leave the parser (request/metadata records are bulk you usually
+    never want shuffled)."""
+    import pandas as pd
+
+    types = set(warc_types)
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                for rec in parse_warc(bytes(content)):
+                    if types and rec["warc_type"] not in types:
+                        continue
+                    rows.append({"path": path, **rec})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "record_id", "warc_type", "target_uri",
+                    "warc_date", "http_content_type", "payload",
+                ],
+            )
+
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+    return files.mapInPandas(run, schema=WARC_SCHEMA)
+
+
+def build_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
+    """Deterministic WARC writer for fixtures and tests: each record dict
+    needs warc_type, target_uri, payload (bytes), and optionally
+    record_id / warc_date / http_content_type (response records get an
+    HTTP/1.1 200 wrapper). Per-record gzip members by default — the
+    Common Crawl layout."""
+    out = bytearray()
+    for i, rec in enumerate(records):
+        payload = rec["payload"]
+        if rec.get("warc_type") == "response":
+            ct = rec.get("http_content_type", "text/html")
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: "
+                + ct.encode()
+                + b"\r\nContent-Length: "
+                + str(len(payload)).encode()
+                + b"\r\n\r\n"
+                + payload
+            )
+        head = (
+            "WARC/1.0\r\n"
+            f"WARC-Type: {rec.get('warc_type', 'resource')}\r\n"
+            f"WARC-Record-ID: {rec.get('record_id', f'<urn:uuid:rec-{i}>')}\r\n"
+            f"WARC-Date: {rec.get('warc_date', '2024-01-01T00:00:00Z')}\r\n"
+            f"WARC-Target-URI: {rec.get('target_uri', '')}\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        record = head + payload + b"\r\n\r\n"
+        if gzip_per_record:
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            out += co.compress(record) + co.flush()
+        else:
+            out += record
+    return bytes(out)

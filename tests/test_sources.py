@@ -61,3 +61,99 @@ def test_binary_dir_into_extraction(spark, file_tree):
     out = {r["filename"]: r for r in extract_files(files).collect()}
     assert out["a.txt"]["status"] == "completed"
     assert out["a.txt"]["spans"][0]["text"] == "hello text file"
+
+
+# ---------------------------------------------------------------------------
+# WARC (Common Crawl) ingestion
+# ---------------------------------------------------------------------------
+
+
+def _warc_records():
+    return [
+        {
+            "warc_type": "response",
+            "target_uri": "https://example.com/a",
+            "payload": b"<html><body><p>hello page</p></body></html>",
+            "http_content_type": "text/html; charset=utf-8",
+        },
+        {
+            "warc_type": "resource",
+            "target_uri": "https://example.com/b",
+            "payload": b"plain resource bytes",
+        },
+        {
+            "warc_type": "request",
+            "target_uri": "https://example.com/a",
+            "payload": b"GET /a HTTP/1.1\r\nHost: example.com\r\n\r\n",
+        },
+    ]
+
+
+def test_warc_parse_plain_and_gzip_roundtrip():
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    for gz in (False, True):
+        data = build_warc(_warc_records(), gzip_per_record=gz)
+        recs = list(parse_warc(data))
+        assert [r["warc_type"] for r in recs] == ["response", "resource", "request"]
+        # response: HTTP wrapper stripped, content-type captured
+        assert recs[0]["payload"] == b"<html><body><p>hello page</p></body></html>"
+        assert recs[0]["http_content_type"] == "text/html; charset=utf-8"
+        assert recs[1]["payload"] == b"plain resource bytes"
+        assert recs[1]["http_content_type"] is None
+        assert all(r["target_uri"].startswith("https://example.com/") for r in recs)
+
+
+def test_warc_truncated_tail_drops_last_record_only():
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    data = build_warc(_warc_records(), gzip_per_record=False)
+    cut = data[: len(data) - 40]  # damage the final record
+    recs = list(parse_warc(cut))
+    assert 2 <= len(recs) <= 3
+    assert recs[0]["payload"] == b"<html><body><p>hello page</p></body></html>"
+
+
+def test_warc_distributed_read_filters_types(spark, tmp_path):
+    from readur_spark.sources.warc import build_warc, read_warc
+
+    for i in range(3):
+        (tmp_path / f"shard-{i}.warc.gz").write_bytes(
+            build_warc(_warc_records(), gzip_per_record=True)
+        )
+    df = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    rows = df.collect()
+    # request records filtered by default; 2 kept per shard x 3 shards
+    assert len(rows) == 6
+    assert {r["warc_type"] for r in rows} == {"response", "resource"}
+    assert len({r["path"] for r in rows}) == 3
+    allr = read_warc(spark, str(tmp_path) + "/*.warc.gz", warc_types=()).collect()
+    assert len(allr) == 9
+
+
+def test_warc_html_payload_flows_into_main_content_extraction(spark, tmp_path):
+    """End-to-end web-corpus shape: WARC response -> html payload ->
+    main-content extraction strips the boilerplate."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.kernels.htmlmain import extract_main_content
+    from readur_spark.sources.warc import build_warc, read_warc
+
+    html = (
+        b"<html><body><nav><a href='/x'>nav link</a></nav><article><p>"
+        b"the real article body with enough words to pass the block "
+        b"classifier threshold easily</p></article>"
+        b"<footer><a href='/about'>about</a></footer></body></html>"
+    )
+    (tmp_path / "one.warc.gz").write_bytes(
+        build_warc(
+            [{"warc_type": "response", "target_uri": "https://e.com/p",
+              "payload": html}]
+        )
+    )
+    df = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+    text = df.select(F.decode("payload", "UTF-8").alias("h")).collect()[0]["h"]
+    spans = extract_main_content(text)
+    joined = " ".join(sp["text"] for sp in spans)
+    assert "real article body" in joined
+    assert "nav link" not in joined and "about" not in joined
