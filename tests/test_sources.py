@@ -157,3 +157,29 @@ def test_warc_html_payload_flows_into_main_content_extraction(spark, tmp_path):
     joined = " ".join(sp["text"] for sp in spans)
     assert "real article body" in joined
     assert "nav link" not in joined and "about" not in joined
+
+
+def test_filter_urls_blocks_domains_schemes_patterns(spark):
+    from readur_spark.sources.warc import filter_urls
+
+    rows = [
+        ("https://good.example.com/page", "keep"),
+        ("https://spam.bad.com/x", "blocked domain subdomain"),
+        ("https://bad.com/y", "blocked domain exact"),
+        ("https://notbad.com/z", "NOT blocked (suffix is not subdomain)"),
+        ("ftp://good.example.com/f", "blocked scheme"),
+        ("https://ok.com/casino/jackpot", "blocked pattern"),
+        ("https://ok.com/article", "keep"),
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, note string")
+    kept = {
+        r["target_uri"]
+        for r in filter_urls(
+            df, blocked_domains=["bad.com"], blocked_patterns=[r"/casino/"]
+        ).collect()
+    }
+    assert kept == {
+        "https://good.example.com/page",
+        "https://notbad.com/z",
+        "https://ok.com/article",
+    }
