@@ -561,6 +561,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["warc_roundtrip"] = _q_warc_roundtrip
 
+    def _q_dedup_incremental(s, sf):
+        # ingest-time dedup: history = docs with doc_id%3==0 already
+        # committed; the incoming batch is the whole table — survivors are
+        # docs whose content is NOT in history, keep-first within batch
+        docs_df = _docs(s, sf)
+        history = docs_df.filter(F.col("doc_id") % 3 == 0).select(
+            dedup.fingerprint_col(F.col("text")).alias("fingerprint")
+        )
+        return dedup.dedup_against_history(docs_df, history).select(
+            "doc_id", "lang", "source", "n_chars"
+        )
+
+    q["dedup_incremental"] = _q_dedup_incremental
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -762,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngrams",  # new this round: 13-gram decon
         "tfidf_top_terms",  # new this round: corpus-wide tf-idf keywords
         "warc_roundtrip",  # new this round: Common Crawl WARC ingestion
+        "dedup_incremental",  # new this round: ingest-time history dedup
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1097,6 +1112,13 @@ def oracle_sql() -> dict[str, str]:
     )
     o["dedup_keep_first"] = f"""
         SELECT doc_id, lang, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1
+    """
+    # dedup_incremental: history = fingerprints of doc_id%3==0; keep docs
+    # whose content hash is unseen, first-in-batch per fingerprint
+    o["dedup_incremental"] = f"""
+        SELECT doc_id, lang, source, n_chars FROM documents
+        WHERE {fp} NOT IN (SELECT {fp} FROM documents WHERE doc_id % 3 = 0)
         QUALIFY row_number() OVER (PARTITION BY {fp} ORDER BY doc_id) = 1
     """
     o["dedup_ngram_jaccard"] = _SHINGLE3 + """

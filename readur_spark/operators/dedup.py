@@ -1342,3 +1342,38 @@ def decontaminate_ngrams(
             ),
         )
     )
+
+
+def dedup_against_history(
+    new_docs: DataFrame,
+    history: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    history_col: str = "fingerprint",
+) -> DataFrame:
+    """Ingest-time dedup against the EXISTING corpus — the reference's
+    per-upload check of the new file's hash against the documents table
+    (/root/reference/src/ingestion/document_ingestion.rs:341-347, policy
+    switch :23-33 'Skip'). The batch formulation: fingerprint the incoming
+    batch once, drop rows whose fingerprint exists in ``history`` (a frame
+    with ``history_col`` — e.g. the committed corpus's fingerprint column,
+    or a compact distinct-hash table maintained between runs), then
+    keep-first WITHIN the batch so the surviving set is collision-free.
+
+    Scale: one left-anti join on the 16-byte fingerprint (history side is
+    a hash table the optimizer may broadcast when compact) + the standard
+    keep-first window shuffle. Appending the survivors' fingerprints back
+    to the history table makes consecutive ingests incremental — no
+    re-shuffle of the historical corpus, ever."""
+    batch = new_docs.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+    fresh = batch.join(
+        history.select(F.col(history_col).alias("fingerprint")).distinct(),
+        "fingerprint",
+        "left_anti",
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fingerprint")
+    )

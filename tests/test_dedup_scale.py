@@ -472,3 +472,32 @@ def test_decontaminate_ngrams_flags_exact_13gram_leaks(spark):
         ).collect()
     }
     assert self_rows == {"t1", "e1"}  # t1<->e1 collide; identity rows don't
+
+
+def test_dedup_against_history_skips_committed_content(spark):
+    """Ingest-time dedup (the reference's per-upload hash check,
+    document_ingestion.rs:341-347): batch rows whose normalized content
+    already exists in history are skipped; within-batch duplicates
+    keep-first; normalization means whitespace variants match."""
+    history_docs = spark.createDataFrame(
+        [("h1", "already committed content")], "doc_id string, text string"
+    )
+    from readur_spark.functions.textstats import fingerprint_col
+
+    history = history_docs.select(
+        fingerprint_col(F.col("text")).alias("fingerprint")
+    )
+    batch = spark.createDataFrame(
+        [
+            ("n1", "brand new content one"),
+            ("n2", "  already   committed content "),  # ws-variant of history
+            ("n3", "brand new content one"),  # in-batch dup of n1
+            ("n4", "another fresh document"),
+        ],
+        "doc_id string, text string",
+    )
+    kept = {
+        r["doc_id"]
+        for r in dedup.dedup_against_history(batch, history).collect()
+    }
+    assert kept == {"n1", "n4"}
