@@ -79,6 +79,8 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             except ValueError:
                 break
             body_start = head_end + 4
+            if body_start + length > n:
+                break  # payload truncated mid-record: drop it, keep the prefix
             block = member[body_start : body_start + length]
             pos = body_start + length
             payload = block
