@@ -575,6 +575,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_incremental"] = _q_dedup_incremental
 
+    def _q_lm_backoff(s, sf):
+        # trigram Stupid Backoff trained on even doc_ids, scoring all docs
+        # — held-out docs exercise every backoff level incl. OOV
+        from readur_spark.operators.lm import backoff_score, train_backoff_lm
+
+        docs_df = _docs(s, sf)
+        lm = train_backoff_lm(docs_df.filter(F.col("doc_id") % 2 == 0))
+        return backoff_score(docs_df, lm, broadcast_model=True).select(
+            "doc_id",
+            F.col("n_trigrams").cast("long").alias("n_trigrams"),
+            F.round("avg_nll", 6).alias("avg_nll"),
+        )
+
+    q["lm_backoff"] = _q_lm_backoff
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -777,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms",  # new this round: corpus-wide tf-idf keywords
         "warc_roundtrip",  # new this round: Common Crawl WARC ingestion
         "dedup_incremental",  # new this round: ingest-time history dedup
+        "lm_backoff",  # new this round: trigram Stupid Backoff scoring
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1231,6 +1247,60 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, tk AS term, tfidf, CAST(rnk AS INTEGER) AS rnk
         FROM rk WHERE rnk <= 5
+    """
+
+    # lm_backoff: trigram Stupid Backoff (Brants 2007), trained on even
+    # doc_ids, scored over all docs. Constants CAST to DOUBLE so both
+    # engines compute the identical IEEE products (0.4*0.4 in DECIMAL
+    # would be exactly 0.16; the double product is 0.16000000000000003).
+    o["lm_backoff"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM documents
+        ),
+        tri AS (
+          SELECT id, t[i.i] w1, t[i.i + 1] w2, t[i.i + 2] w3
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 2)) AS i) i
+          WHERE len(t) >= 3
+        ),
+        c3 AS (SELECT w1, w2, w3, count(*) c3 FROM tri
+               WHERE id % 2 = 0 GROUP BY 1, 2, 3),
+        bi AS (
+          SELECT t[i.i] w1, t[i.i + 1] w2, count(*) c2
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+          WHERE len(t) >= 2 AND id % 2 = 0 GROUP BY 1, 2
+        ),
+        uni AS (
+          SELECT w, count(*) c1
+          FROM (SELECT unnest(t) w FROM toks WHERE id % 2 = 0) GROUP BY w
+        ),
+        n AS (SELECT sum(c1) n FROM uni),
+        sc AS (
+          SELECT g.id,
+                 ln(CASE
+                      WHEN c3.c3 IS NOT NULL AND bctx.c2 > 0
+                        THEN c3.c3 * 1.0 / bctx.c2
+                      WHEN bback.c2 IS NOT NULL AND uctx.c1 > 0
+                        THEN CAST(0.4 AS DOUBLE) * bback.c2 / uctx.c1
+                      ELSE CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)
+                           * coalesce(CAST(uw.c1 AS DOUBLE),
+                                      CAST(0.5 AS DOUBLE))
+                           / CAST((SELECT n FROM n) AS DOUBLE)
+                    END) lp
+          FROM tri g
+          LEFT JOIN c3 ON g.w1 = c3.w1 AND g.w2 = c3.w2 AND g.w3 = c3.w3
+          LEFT JOIN bi bctx ON g.w1 = bctx.w1 AND g.w2 = bctx.w2
+          LEFT JOIN bi bback ON g.w2 = bback.w1 AND g.w3 = bback.w2
+          LEFT JOIN uni uctx ON g.w2 = uctx.w
+          LEFT JOIN uni uw ON g.w3 = uw.w
+        )
+        SELECT id AS doc_id, count(*) AS n_trigrams,
+               round(-avg(lp), 6) AS avg_nll
+        FROM sc GROUP BY id
     """
 
     # decontaminate_ngrams: exact 13-gram collisions vs eval = doc_id%7==0,

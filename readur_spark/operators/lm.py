@@ -152,3 +152,143 @@ def perplexity_filter(
     keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
     short = docs.join(scores.select(id_col), id_col, "left_anti").select(id_col)
     return docs.join(keep.unionByName(short), id_col, "left_semi")
+
+
+def _trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2, w3) — one row per adjacent token triple (linear:
+    three array slices zipped, one explode)."""
+    w = words_col(F.col(text_col))
+    n = F.size(w)
+    trips = F.arrays_zip(
+        F.slice(w, 1, n - 2).alias("w1"),
+        F.slice(w, 2, n - 2).alias("w2"),
+        F.slice(w, 3, n - 2).alias("w3"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("id"), trips.alias("t"))
+        .where(n >= 3)
+        .select("id", F.explode("t").alias("t"))
+        .select(
+            "id",
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
+    )
+
+
+@dataclass
+class BackoffLM:
+    """Trigram Stupid-Backoff model (Brants et al. 2007 — the web-scale
+    LM scoring recipe: no discounting to tune, counts all the way down,
+    a fixed backoff penalty per level). Three distributed count tables +
+    two scalars; the tables shard like fact tables at any corpus size."""
+
+    tri: DataFrame  # (w1, w2, w3, c3)
+    bi: DataFrame  # (w1, w2, c2)
+    uni: DataFrame  # (w, c1)
+    total_tokens: int
+    alpha: float = 0.4
+
+
+def train_backoff_lm(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    min_count: int = 1,
+) -> BackoffLM:
+    """Count the three n-gram orders (each one explode + map-side-combining
+    groupBy). ``min_count`` prunes the TRIGRAM table only — the fat tail
+    at web scale; pruned trigrams score through the bigram backoff, and
+    lower-order tables stay exact so every denominator is honest."""
+    tri = (
+        _trigrams(docs, id_col, text_col)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count("*").alias("c3"))
+    )
+    if min_count > 1:
+        tri = tri.filter(F.col("c3") >= min_count)
+    bi = (
+        _bigrams(docs, id_col, text_col)
+        .groupBy(F.col("prev").alias("w1"), F.col("word").alias("w2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    uni = (
+        docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    total = uni.agg(F.sum("c1").alias("t")).collect()[0]["t"]
+    return BackoffLM(tri, bi, uni, int(total or 0), alpha)
+
+
+def backoff_score(
+    docs: DataFrame,
+    lm: BackoffLM,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_model: bool = False,
+    unseen_count: float = 0.5,
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_nll, perplexity) under Stupid Backoff:
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)           if the trigram is seen
+                      = a * c(w2w3)/c(w2)           else if the bigram is
+                      = a^2 * c(w3)/N               else if the word is
+                      = a^2 * unseen_count/N        else (OOV)
+
+    Five LEFT joins on uniform token keys (trigram, context bigram,
+    backoff bigram, two unigrams) then one per-doc rollup — scoring stays
+    entirely relational. ``broadcast_model=True`` broadcasts all three
+    count tables (reference-corpus-sized models), so the candidate corpus
+    never shuffles before its own rollup. Documents with <3 tokens carry
+    no trigram evidence and produce no row."""
+    a = float(lm.alpha)
+    n_tot = float(max(lm.total_tokens, 1))
+
+    def maybe_b(df):
+        return F.broadcast(df) if broadcast_model else df
+
+    tri = maybe_b(lm.tri)
+    bi_ctx = maybe_b(
+        lm.bi.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c2_ctx"))
+    )
+    bi_back = maybe_b(
+        lm.bi.select(
+            F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+            F.col("c2").alias("c2_back"),
+        )
+    )
+    uni_ctx = maybe_b(lm.uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1_ctx")))
+    uni_w = maybe_b(lm.uni.select(F.col("w").alias("w3"), F.col("c1").alias("c1_w")))
+
+    g = _trigrams(docs, id_col, text_col)
+    joined = (
+        g.join(tri, ["w1", "w2", "w3"], "left")
+        .join(bi_ctx, ["w1", "w2"], "left")
+        .join(bi_back, ["w2", "w3"], "left")
+        .join(uni_ctx, ["w2"], "left")
+        .join(uni_w, ["w3"], "left")
+    )
+    score = (
+        F.when(
+            F.col("c3").isNotNull() & (F.col("c2_ctx") > 0),
+            F.col("c3") / F.col("c2_ctx"),
+        )
+        .when(
+            F.col("c2_back").isNotNull() & (F.col("c1_ctx") > 0),
+            F.lit(a) * F.col("c2_back") / F.col("c1_ctx"),
+        )
+        .otherwise(
+            F.lit(a * a)
+            * F.coalesce(F.col("c1_w").cast("double"), F.lit(float(unseen_count)))
+            / F.lit(n_tot)
+        )
+    )
+    scored = joined.select("id", F.log(score).alias("lp"))
+    return scored.groupBy(F.col("id").alias(id_col)).agg(
+        F.count("*").alias("n_trigrams"),
+        (-F.avg("lp")).alias("avg_nll"),
+        F.exp(-F.avg("lp")).alias("perplexity"),
+    )

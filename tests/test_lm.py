@@ -107,3 +107,51 @@ def test_broadcast_model_plan(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_backoff_score_hits_every_level(spark):
+    """Hand-verified Stupid Backoff: seen trigram, bigram backoff,
+    unigram backoff, and OOV each produce the exact Brants-2007 score."""
+    from readur_spark.operators.lm import backoff_score, train_backoff_lm
+
+    train = _mk(spark, [("t", "a b c d")])  # trigrams: abc, bcd
+    lm = train_backoff_lm(train, alpha=0.4)
+    assert lm.total_tokens == 4
+    cands = _mk(
+        spark,
+        [
+            ("seen", "a b c"),      # c(abc)=1 / c(ab)=1 -> 1.0
+            ("bi", "x b c"),        # no xbc; c(bc)=1 / c(b)=1 -> 0.4
+            ("uni", "x y c"),       # no xyc, no yc; 0.16 * c(c)/4
+            ("oov", "x y z"),       # z unseen -> 0.16 * 0.5/4
+        ],
+    )
+    got = {r["doc_id"]: r["avg_nll"] for r in backoff_score(cands, lm).collect()}
+    assert got["seen"] == pytest.approx(-math.log(1.0))
+    assert got["bi"] == pytest.approx(-math.log(0.4))
+    assert got["uni"] == pytest.approx(-math.log(0.4 * 0.4 * 1 / 4))
+    assert got["oov"] == pytest.approx(-math.log(0.4 * 0.4 * 0.5 / 4))
+
+
+def test_backoff_min_count_prunes_trigrams_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from readur_spark.operators.lm import train_backoff_lm
+
+    full = train_backoff_lm(docs)
+    pruned = train_backoff_lm(docs, min_count=3)
+    assert pruned.tri.count() < full.tri.count()
+    assert pruned.bi.count() == full.bi.count()
+    assert pruned.total_tokens == full.total_tokens
+
+
+def test_backoff_broadcast_plan(spark):
+    from readur_spark.operators.lm import backoff_score, train_backoff_lm
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    lm = train_backoff_lm(docs.filter(F.col("doc_id") % 10 == 0))
+    plan = (
+        backoff_score(docs, lm, broadcast_model=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("BroadcastHashJoin") >= 5, plan
+    assert "Exchange SinglePartition" not in plan, plan
