@@ -590,6 +590,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["lm_backoff"] = _q_lm_backoff
 
+    def _q_minhash_incremental(s, sf):
+        # incoming batch = doc_id%3 != 0, committed history = doc_id%3 == 0
+        docs_df = _docs(s, sf)
+        return dedup.minhash_lsh_incremental(
+            docs_df.filter(F.col("doc_id") % 3 != 0),
+            docs_df.filter(F.col("doc_id") % 3 == 0),
+            threshold=0.5,
+            num_hashes=32,
+            bands=8,
+            n=3,
+        )
+
+    q["dedup_minhash_incremental"] = _q_minhash_incremental
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -793,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip",  # new this round: Common Crawl WARC ingestion
         "dedup_incremental",  # new this round: ingest-time history dedup
         "lm_backoff",  # new this round: trigram Stupid Backoff scoring
+        "dedup_minhash_incremental",  # new this round: batch-vs-history LSH
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1156,6 +1171,27 @@ def oracle_sql() -> dict[str, str]:
     # planted-pair separation of the test corpora recall is 1.0, so the
     # correct output EQUALS the exact all-pairs oracle.
     o["dedup_minhash_lsh"] = o["dedup_ngram_jaccard"]
+
+    # dedup_minhash_incremental: exact cross-set Jaccard (new = id%3!=0 vs
+    # history = id%3==0) — LSH recall is 1.0 on the planted pairs at these
+    # parameters (same evidence as dedup_minhash_lsh), candidates verify
+    # exactly, so the SQL truth is the full cross join on shared shingles
+    o["dedup_minhash_incremental"] = (
+        "WITH toks AS (SELECT doc_id AS id, "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '') t "
+        "FROM documents), "
+        "sh AS (SELECT id, unnest(list_distinct("
+        "[array_to_string(t[i:i+2], ' ') for i in range(1, len(t)-1)])) AS shingle "
+        "FROM toks WHERE len(t) >= 3), "
+        "sz AS (SELECT id, count(*) sz FROM sh GROUP BY id), "
+        "inter AS (SELECT a.id ia, b.id ib, count(*) i FROM sh a "
+        "JOIN sh b ON a.shingle = b.shingle "
+        "AND a.id % 3 != 0 AND b.id % 3 = 0 GROUP BY 1, 2) "
+        "SELECT ia AS id_a, ib AS id_b, "
+        "round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard "
+        "FROM inter JOIN sz sa ON ia = sa.id JOIN sz sb ON ib = sb.id "
+        "WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5"
+    )
 
     # dedup_lines: corpus-wide boilerplate-line removal with the planted
     # footer (df = corpus size > 10) and per-doc unique tails; the oracle

@@ -1377,3 +1377,118 @@ def dedup_against_history(
         .filter(F.col("rn") == 1)
         .drop("rn", "fingerprint")
     )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    history_docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+    n: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    history_signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Continuous-ingestion near-dup: candidate pairs between an INCOMING
+    batch and the already-committed corpus, verified exactly — without
+    ever re-LSHing history against itself. The daily-ingest companion to
+    :func:`dedup_against_history` (exact) and :func:`minhash_lsh_pairs`
+    (full-corpus): a real pipeline runs the full pass once, persists the
+    signature table, then runs THIS per batch.
+
+    * the incoming side signatures fresh (one shingle+agg pass over the
+      batch only);
+    * the history side reuses ``history_signatures`` when provided (the
+      persisted signature table of the committed corpus — at 10^12 docs
+      recomputing it per batch is the whole cost, so don't); otherwise it
+      is computed from ``history_docs``;
+    * banding joins NEW × HISTORY only (band keys are uniform hashes;
+      new-new and history-history collisions never materialize);
+    * candidates verify against exact shingle Jaccard over just the
+      candidate documents from both frames.
+
+    Returns (id_a=new id, id_b=history id, jaccard ≥ threshold). The id
+    spaces may overlap (re-ingest); identity pairs are excluded."""
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sig_new = minhash_signatures(new_docs, num_hashes, n, id_col, text_col).persist()
+    sig_hist = (
+        history_signatures
+        if history_signatures is not None
+        else minhash_signatures(history_docs, num_hashes, n, id_col, text_col)
+    ).persist()
+
+    def _stack(sig):
+        band_cols = [
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        return (
+            sig.select("id", *band_cols)
+            .select(
+                "id",
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(b).alias("b"), F.col(f"band{b}").alias("v")
+                            )
+                            for b in range(bands)
+                        ]
+                    )
+                ).alias("bk"),
+            )
+            .select("id", F.col("bk.b").alias("band_no"), F.col("bk.v").alias("band_val"))
+        )
+
+    candidates = (
+        _stack(sig_new)
+        .alias("x")
+        .join(_stack(sig_hist).alias("y"), ["band_no", "band_val"])
+        .where(F.col("x.id") != F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    ).cache()
+    cand_new = new_docs.join(
+        F.broadcast(
+            candidates.select(F.col("id_a").alias(id_col)).distinct()
+        ),
+        id_col,
+        "left_semi",
+    )
+    cand_hist = history_docs.join(
+        F.broadcast(
+            candidates.select(F.col("id_b").alias(id_col)).distinct()
+        ),
+        id_col,
+        "left_semi",
+    )
+    sh_new = _shingles(cand_new, id_col, text_col, n).select(
+        F.col("id"), F.col("shingle")
+    )
+    sh_hist = _shingles(cand_hist, id_col, text_col, n)
+    sz_new = sh_new.groupBy("id").agg(F.count("*").alias("sz"))
+    sz_hist = sh_hist.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh_new.alias("a")
+        .join(sh_hist.alias("b"), "shingle")
+        .where(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    exact = (
+        inter.join(sz_new.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sz_hist.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    result = candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    return _materialize_release(result, sig_new, sig_hist, candidates)

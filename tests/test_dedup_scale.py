@@ -501,3 +501,39 @@ def test_dedup_against_history_skips_committed_content(spark):
         for r in dedup.dedup_against_history(batch, history).collect()
     }
     assert kept == {"n1", "n4"}
+
+
+def test_minhash_incremental_matches_cross_set_exact(spark, docs):
+    """Batch-vs-history LSH equals the exact cross-set Jaccard pairs (no
+    new-new or history-history pairs may appear), and passing the
+    persisted history signature table gives identical results without
+    touching history_docs text."""
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(
+            new, hist, threshold=0.5, num_hashes=32, bands=8, n=3
+        ).collect()
+    }
+    exact_all = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, n=3).collect()
+    }
+    cross = {
+        (a, b, j) if a % 3 != 0 else (b, a, j)
+        for a, b, j in exact_all
+        if (a % 3 == 0) != (b % 3 == 0)
+    }
+    assert got == cross
+    assert all(a % 3 != 0 and b % 3 == 0 for a, b, _ in got)
+    # precomputed-signature path: identical pairs
+    sigs = dedup.minhash_signatures(hist, num_hashes=32, n=3)
+    got2 = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in dedup.minhash_lsh_incremental(
+            new, hist, threshold=0.5, num_hashes=32, bands=8, n=3,
+            history_signatures=sigs,
+        ).collect()
+    }
+    assert got2 == got
