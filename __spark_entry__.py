@@ -603,6 +603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["dedup_minhash_incremental"] = _q_minhash_incremental
+    q["corpus_stats"] = lambda s, sf: relational.corpus_stats(_docs(s, sf))
 
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
@@ -808,6 +809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental",  # new this round: ingest-time history dedup
         "lm_backoff",  # new this round: trigram Stupid Backoff scoring
         "dedup_minhash_incremental",  # new this round: batch-vs-history LSH
+        "corpus_stats",  # new this round: ROLLUP composition report
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1283,6 +1285,16 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, tk AS term, tfidf, CAST(rnk AS INTEGER) AS rnk
         FROM rk WHERE rnk <= 5
+    """
+
+    # corpus_stats: one ROLLUP pass — the sum() must CAST to BIGINT (DuckDB
+    # promotes to HUGEINT, which breaks the pandas-path hash; see the
+    # pack_sequences lesson + tests/test_correctness_gate.py)
+    o["corpus_stats"] = """
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM documents GROUP BY ROLLUP (lang, source)
     """
 
     # lm_backoff: trigram Stupid Backoff (Brants 2007), trained on even

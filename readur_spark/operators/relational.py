@@ -152,3 +152,19 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus composition report: per-(lang, source) document counts and
+    size stats WITH subtotal rows via ROLLUP — per-language subtotals and
+    the grand total come out of the same single aggregation pass (one
+    shuffle; Catalyst expands the grouping sets map-side). The dashboard
+    query every curation run publishes next to its funnel metrics."""
+    return (
+        docs.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
