@@ -1166,9 +1166,15 @@ def decontaminate_filter(
     id_col: str = "doc_id",
     **kwargs,
 ) -> DataFrame:
-    """The clean corpus: drop every contaminated document."""
-    flagged = decontaminate(corpus, heldout, id_col=id_col, **kwargs).select(
-        F.col("doc_id").alias(id_col)
+    """The clean corpus: drop every document with CONFIRMED contamination
+    (n_spans > 0). Truncated pairs that confirmed no span (marker rows,
+    n_spans == 0) are kept — dropping on suspicion alone would let the
+    seed cap silently delete clean documents; callers wanting the
+    conservative policy can filter on seeds_truncated themselves."""
+    flagged = (
+        decontaminate(corpus, heldout, id_col=id_col, **kwargs)
+        .filter(F.col("n_spans") > 0)
+        .select(F.col("doc_id").alias(id_col))
     )
     return corpus.join(flagged, id_col, "left_anti")
 
@@ -1306,7 +1312,10 @@ def decontaminate_ngrams(
 
     Returns (doc_id, n_collisions, n_grams, collision_frac) for documents
     with ≥1 collision; anti-join against it to clean."""
-    cg = _shingles(corpus, id_col, text_col, n, distinct=False).select(
+    # distinct per-doc n-grams ONCE on the corpus side — the dominant
+    # shuffle; building non-distinct and re-distincting per consumer would
+    # pay it twice
+    cg = _shingles(corpus, id_col, text_col, n).select(
         "id", F.xxhash64("shingle").alias("gh")
     )
     if exclude_same_id:
@@ -1317,7 +1326,7 @@ def decontaminate_ngrams(
             cg.join(F.broadcast(eg), "gh")
             .where(F.col("id") != F.col("eid"))
             .select("id", "gh")
-            .distinct()
+            .distinct()  # one (id, gh) may match several eval docs
         )
     else:
         eg = (
@@ -1325,10 +1334,8 @@ def decontaminate_ngrams(
             .select(F.xxhash64("shingle").alias("gh"))
             .distinct()
         )
-        hits = cg.join(F.broadcast(eg), "gh").select("id", "gh").distinct()
-    totals = cg.select("id", "gh").distinct().groupBy("id").agg(
-        F.count("*").alias("n_grams")
-    )
+        hits = cg.join(F.broadcast(eg), "gh").select("id", "gh")
+    totals = cg.groupBy("id").agg(F.count("*").alias("n_grams"))
     return (
         hits.groupBy("id")
         .agg(F.count("*").alias("n_collisions"))
@@ -1413,11 +1420,17 @@ def minhash_lsh_incremental(
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
     sig_new = minhash_signatures(new_docs, num_hashes, n, id_col, text_col).persist()
-    sig_hist = (
-        history_signatures
-        if history_signatures is not None
-        else minhash_signatures(history_docs, num_hashes, n, id_col, text_col)
-    ).persist()
+    if history_signatures is not None:
+        # caller-owned: do NOT touch its persist lifecycle (they persisted
+        # it precisely to reuse across batches — unpersisting here would
+        # silently recompute the whole history pass on the next call, and
+        # re-persisting a custom storage level raises)
+        sig_hist, own_hist = history_signatures, False
+    else:
+        sig_hist = minhash_signatures(
+            history_docs, num_hashes, n, id_col, text_col
+        ).persist()
+        own_hist = True
 
     def _stack(sig):
         band_cols = [
@@ -1491,4 +1504,5 @@ def minhash_lsh_incremental(
         .select("id_a", "id_b", "jaccard")
     )
     result = candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
-    return _materialize_release(result, sig_new, sig_hist, candidates)
+    released = [sig_new, candidates] + ([sig_hist] if own_hist else [])
+    return _materialize_release(result, *released)

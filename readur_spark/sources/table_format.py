@@ -98,18 +98,32 @@ def overwrite_partitions(
     partition overwrite."""
     spark = df.sparkSession
     if resolve_format(spark, fmt) == "iceberg":
-        writer = df.writeTo(target)
-        try:  # partitioned create on first write, plain replace afterwards
-            writer.overwritePartitions()
-        except Exception:
+        # explicit existence check — NEVER an except-all fallback to
+        # createOrReplace: overwritePartitions can also fail on a transient
+        # commit conflict / schema drift, and replacing the whole table
+        # there would destroy every committed partition (the exact
+        # guarantee this function exists to provide)
+        if spark.catalog.tableExists(target):
+            df.writeTo(target).overwritePartitions()
+        else:
             from pyspark.sql import functions as F
 
             df.writeTo(target).partitionedBy(
                 *[F.col(c) for c in partition_by]
-            ).createOrReplace()
+            ).create()
     else:
+        # per-write scoped: the session conf is shared, and leaving
+        # dynamic mode set would silently change unrelated overwrite
+        # writes elsewhere in the session
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        try:
+            df.write.mode("overwrite").partitionBy(*partition_by).parquet(target)
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+            else:
+                spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def delete_where(spark: SparkSession, target: str, predicate: str, fmt: str) -> int:

@@ -43,7 +43,11 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
     rest = data
     while rest.startswith(b"\x1f\x8b"):
         d = zlib.decompressobj(wbits=31)
-        yield d.decompress(rest)
+        try:
+            member = d.decompress(rest)
+        except zlib.error:
+            return  # corrupt member: end this file's iteration, keep prefix
+        yield member
         rest = d.unused_data
 
 
@@ -78,6 +82,8 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                 length = int(hdrs.get("content-length", ""))
             except ValueError:
                 break
+            if length < 0:
+                break  # crafted negative length would rewind pos: reject
             body_start = head_end + 4
             if body_start + length > n:
                 break  # payload truncated mid-record: drop it, keep the prefix
@@ -195,13 +201,15 @@ def filter_urls(
     curated lists (e.g. the UT1 categories RefinedWeb uses)."""
     from pyspark.sql import functions as F
 
-    url = F.col(url_col)
-    host = F.lower(F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1))
-    scheme = F.lower(F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1))
+    # RFC 3986: scheme and host are case-insensitive — lowercase BEFORE
+    # matching so 'HTTP://Example.COM' passes the [a-z] patterns
+    url = F.lower(F.col(url_col))
+    host = F.regexp_extract(url, r"^[a-z][a-z0-9+.-]*://([^/:?#]+)", 1)
+    scheme = F.regexp_extract(url, r"^([a-z][a-z0-9+.-]*)://", 1)
     keep = scheme.isin(*allowed_schemes)
     for dom in blocked_domains or []:
         d = dom.lower()
         keep = keep & ~(host == d) & ~host.endswith("." + d)
     for pat in blocked_patterns or []:
-        keep = keep & ~F.lower(url).rlike(pat)
+        keep = keep & ~url.rlike(pat)
     return records.filter(keep)

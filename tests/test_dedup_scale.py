@@ -537,3 +537,47 @@ def test_minhash_incremental_matches_cross_set_exact(spark, docs):
         ).collect()
     }
     assert got2 == got
+
+
+def test_decontaminate_filter_keeps_marker_only_docs(spark):
+    """Review finding: a truncated pair with NO confirmed span (marker row,
+    n_spans=0) must not get the document deleted — dropping on suspicion
+    would let the seed cap silently erase clean docs."""
+    shared = _long_varied_text(1000, "filtermark")
+    corpus = spark.createDataFrame(
+        [("c1", f"aa {shared}"), ("c2", "totally unrelated clean text")],
+        "doc_id string, text string",
+    )
+    heldout = spark.createDataFrame(
+        [("e1", f"bb {shared}")], "doc_id string, text string"
+    )
+    flagged = dedup.decontaminate(corpus, heldout, min_len=10**6).collect()
+    assert [(r["doc_id"], r["n_spans"], r["seeds_truncated"]) for r in flagged] == [
+        ("c1", 0, True)
+    ]
+    kept = {
+        r["doc_id"]
+        for r in dedup.decontaminate_filter(corpus, heldout, min_len=10**6).collect()
+    }
+    assert kept == {"c1", "c2"}  # marker-only c1 survives
+    # with a confirmable span, c1 IS dropped
+    kept2 = {
+        r["doc_id"]
+        for r in dedup.decontaminate_filter(corpus, heldout, min_len=50).collect()
+    }
+    assert kept2 == {"c2"}
+
+
+def test_minhash_incremental_leaves_caller_signatures_persisted(spark, docs):
+    """Review finding: the caller's persisted history signature table is
+    the asset this API exists to reuse — the call must not unpersist it."""
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0)
+    sigs = dedup.minhash_signatures(hist, num_hashes=32, n=3).persist()
+    sigs.count()
+    dedup.minhash_lsh_incremental(
+        new, hist, threshold=0.5, num_hashes=32, bands=8, n=3,
+        history_signatures=sigs,
+    ).collect()
+    assert sigs.storageLevel.useMemory  # still persisted
+    sigs.unpersist()

@@ -183,3 +183,46 @@ def test_filter_urls_blocks_domains_schemes_patterns(spark):
         "https://notbad.com/z",
         "https://ok.com/article",
     }
+
+
+def test_warc_rejects_negative_content_length():
+    """A crafted negative Content-Length must not rewind the cursor (the
+    review-found infinite loop): parsing terminates with no bogus records."""
+    from readur_spark.sources.warc import parse_warc
+
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nContent-Length: -00057\r\n\r\n"
+    )
+    assert list(parse_warc(evil)) == []
+
+
+def test_warc_corrupt_gzip_member_degrades_to_prefix():
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    good = build_warc(
+        [{"warc_type": "resource", "target_uri": "https://e.com/1",
+          "payload": b"first record"}]
+    )
+    corrupt = bytearray(
+        build_warc(
+            [{"warc_type": "resource", "target_uri": "https://e.com/2",
+              "payload": b"second record"}]
+        )
+    )
+    corrupt[len(corrupt) // 2] ^= 0xFF  # flip a bit inside the member
+    recs = list(parse_warc(good + bytes(corrupt)))
+    assert [r["target_uri"] for r in recs] == ["https://e.com/1"]
+
+
+def test_filter_urls_uppercase_scheme_and_host(spark):
+    from readur_spark.sources.warc import filter_urls
+
+    df = spark.createDataFrame(
+        [("HTTP://Example.COM/Page",), ("HtTpS://Sub.BAD.com/x",)],
+        "target_uri string",
+    )
+    kept = {
+        r["target_uri"]
+        for r in filter_urls(df, blocked_domains=["bad.com"]).collect()
+    }
+    assert kept == {"HTTP://Example.COM/Page"}

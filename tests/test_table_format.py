@@ -198,3 +198,56 @@ def test_checkpoint_iceberg_branches_with_fake_catalog(monkeypatch):
     statuses = [(r["partition_id"], r["status"]) for r in fake.tables["lake.db.ck"]]
     assert statuses == [(1, "completed"), (2, "processing")]
     assert any(q.startswith("DELETE FROM lake.db.ck") for q in fake.sql_log)
+
+
+def test_overwrite_partitions_restores_session_conf(spark, tmp_path):
+    """Review finding: the dynamic-overwrite conf is session-global; the
+    seam must restore whatever was set before (or unset it)."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.sources.table_format import overwrite_partitions
+
+    df = spark.range(10).withColumn("p", F.col("id") % 2)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        overwrite_partitions(df, str(tmp_path / "t"), ["p"], fmt="parquet")
+        assert (
+            spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+            == "static"
+        )
+    finally:
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+
+
+def test_iceberg_overwrite_partitions_never_replaces_existing(monkeypatch):
+    """Review finding: a transient overwritePartitions failure must NOT
+    fall back to replacing the whole table. With the table existing, only
+    overwritePartitions may be called — and its exceptions propagate."""
+    calls = []
+
+    class _W:
+        def overwritePartitions(self):
+            calls.append("overwritePartitions")
+            raise RuntimeError("transient commit conflict")
+
+        def partitionedBy(self, *c):  # pragma: no cover - must not be hit
+            calls.append("partitionedBy")
+            return self
+
+        def create(self):  # pragma: no cover - must not be hit
+            calls.append("create")
+
+    class _DF:
+        class sparkSession:
+            class catalog:
+                @staticmethod
+                def tableExists(ident):
+                    return True
+
+        def writeTo(self, ident):
+            return _W()
+
+    monkeypatch.setattr(tf, "iceberg_available", lambda s: True)
+    with pytest.raises(RuntimeError, match="transient"):
+        tf.overwrite_partitions(_DF(), "lake.db.t", ["p"], fmt="iceberg")
+    assert calls == ["overwritePartitions"]
