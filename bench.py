@@ -86,6 +86,8 @@ def main() -> None:
         "dedup_minhash_lsh",
         "pack_sequences",
         "lm_perplexity",
+        "dedup_lines",
+        "tfidf_top_terms",
         "dedup_simhash",
         "dedup_embedding",
         "ann_topk_cosine",
