@@ -605,6 +605,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_incremental"] = _q_minhash_incremental
     q["corpus_stats"] = lambda s, sf: relational.corpus_stats(_docs(s, sf))
 
+    def _q_dsir(s, sf):
+        # DSIR importance weights: target = doc_id%5==0, raw = everything
+        from readur_spark.operators.dsir import dsir_weights
+
+        docs_df = _docs(s, sf)
+        return dsir_weights(
+            docs_df, docs_df.filter(F.col("doc_id") % 5 == 0),
+            n=2, num_buckets=4096,
+        ).select(
+            "doc_id",
+            F.col("n_features").cast("long").alias("n_features"),
+            F.round("log_w", 6).alias("log_w"),
+        )
+
+    q["dsir_weights"] = _q_dsir
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -810,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_backoff",  # new this round: trigram Stupid Backoff scoring
         "dedup_minhash_incremental",  # new this round: batch-vs-history LSH
         "corpus_stats",  # new this round: ROLLUP composition report
+        "dsir_weights",  # new this round: DSIR importance resampling
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1285,6 +1302,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id AS doc_id, tk AS term, tfidf, CAST(rnk AS INTEGER) AS rnk
         FROM rk WHERE rnk <= 5
+    """
+
+    # dsir_weights: hashed-bigram importance weights (Xie 2023) with the
+    # same portable md5 bucket construction the sampling oracles use;
+    # target = doc_id%5==0 inside the raw corpus
+    o["dsir_weights"] = """
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM documents
+        ),
+        grams AS (
+          SELECT id, t[i.i] || ' ' || t[i.i + 1] AS g
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+          WHERE len(t) >= 2
+        ),
+        feats AS (
+          SELECT id,
+                 CAST(('0x' || substr(md5(g || ':dsir-v1'), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket,
+                 count(*) cnt
+          FROM grams GROUP BY 1, 2
+        ),
+        tgt AS (SELECT bucket, sum(cnt) ct FROM feats
+                WHERE id % 5 = 0 GROUP BY 1),
+        rawc AS (SELECT bucket, sum(cnt) cr FROM feats GROUP BY 1),
+        tots AS (SELECT (SELECT sum(cr) FROM rawc) tr,
+                        (SELECT coalesce(sum(ct), 0) FROM tgt) tt),
+        ratio AS (
+          SELECT r.bucket,
+                 ln((coalesce(t.ct, 0) + 1.0)
+                    / (CAST((SELECT tt FROM tots) AS DOUBLE) + 1.0 * 4096))
+                 - ln((r.cr + 1.0)
+                      / (CAST((SELECT tr FROM tots) AS DOUBLE) + 1.0 * 4096))
+                   AS log_ratio
+          FROM rawc r LEFT JOIN tgt t USING (bucket)
+        )
+        SELECT f.id AS doc_id,
+               CAST(sum(f.cnt) AS BIGINT) AS n_features,
+               round(sum(f.cnt * ratio.log_ratio), 6) AS log_w
+        FROM feats f JOIN ratio USING (bucket)
+        GROUP BY f.id
     """
 
     # corpus_stats: one ROLLUP pass — the sum() must CAST to BIGINT (DuckDB

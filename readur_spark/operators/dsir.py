@@ -1,0 +1,157 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023).
+
+The modern pretraining-data selection step: score every raw-corpus
+document by how much more likely its hashed n-gram bag is under a TARGET
+distribution (the domain you want more of) than under the RAW
+distribution, then resample the corpus with probability proportional to
+that importance weight. Unlike a trained classifier there is nothing to
+fit — both distributions are closed-form count tables — which is why it
+scales to trillions of tokens.
+
+Spark-first shape, no Python in any plan:
+
+* features: word n-grams hashed into ``num_buckets`` via the repo's
+  engine-portable md5 bucket (first 32 bits of md5(gram||salt) mod B) —
+  the same construction the DuckDB oracles replay exactly;
+* the two distributions are ONE aggregation each over the hashed
+  features (map-side combining; B rows out — kilobytes, broadcastable);
+* per-doc log-weights: features LEFT-join the B-row log-ratio table
+  (broadcast) and roll up per doc — the raw corpus shuffles once on the
+  doc id and never on anything bigger;
+* resampling: Gumbel top-k from the SAME salted-uniform machinery as
+  split/sample (key = log_w + Gumbel(hash_uniform(id))) — a weighted
+  sample without replacement that is a pure function of (id, salt),
+  deterministic across re-runs and engines.
+
+Smoothing: add-``alpha`` on both distributions over the same B buckets,
+so empty target buckets penalize instead of zeroing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from readur_spark.operators.sampling import hash_uniform_col
+
+#: feature-hash salt — versioned so a changed hash can never silently mix
+#: with weights computed under the old one
+DSIR_SALT = "dsir-v1"
+
+
+def _bucket_col(gram: Column, num_buckets: int) -> Column:
+    """Engine-portable feature hash: first 32 bits of md5(gram||salt),
+    mod B (same construction as sampling.hash_uniform_col)."""
+    h = F.md5(F.concat(gram, F.lit(":" + DSIR_SALT)))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(num_buckets)
+    ).alias("bucket")
+
+
+def hashed_ngram_features(
+    docs: DataFrame,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, bucket, cnt): hashed word-n-gram counts per document. Linear
+    per doc (sliced-zip n-grams, one explode); multiset counts — DSIR's
+    bag-of-features, not a set."""
+    from readur_spark.operators.lm import words_col
+
+    w = words_col(F.col(text_col))
+    size = F.size(w)
+    parts = [
+        F.slice(w, i + 1, size - (n - 1)).alias(f"g{i}") for i in range(n)
+    ]
+    gram = F.concat_ws(" ", *[F.col(f"z.g{i}") for i in range(n)])
+    return (
+        docs.select(F.col(id_col).alias("id"), F.arrays_zip(*parts).alias("zs"))
+        .where(size >= n)
+        .select("id", F.explode("zs").alias("z"))
+        .select("id", _bucket_col(gram, num_buckets))
+        .groupBy("id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    n: int = 2,
+    num_buckets: int = 10_000,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_features, log_w) for every raw document with ≥1 feature:
+    ``log_w`` = Σ_b cnt_b · ln(p_target(b) / p_raw(b)) with add-``alpha``
+    smoothed bucket distributions — the log importance weight of the doc's
+    hashed n-gram bag. Higher = more target-like."""
+    feats = hashed_ngram_features(raw, n, num_buckets, id_col, text_col)
+    tgt = (
+        hashed_ngram_features(target, n, num_buckets, id_col, text_col)
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("ct"))
+    )
+    rawc = feats.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tot = rawc.agg(
+        F.sum("cr").alias("tr")
+    ).collect()[0]
+    tt_row = tgt.agg(F.sum("ct").alias("tt")).collect()[0]
+    t_raw = float(tot["tr"] or 0)
+    t_tgt = float(tt_row["tt"] or 0)
+    b = float(num_buckets)
+    ratio = (
+        rawc.join(tgt, "bucket", "left")
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                    / F.lit(t_tgt + alpha * b)
+                )
+                - F.log((F.col("cr") + F.lit(alpha)) / F.lit(t_raw + alpha * b))
+            ).alias("log_ratio"),
+        )
+    )
+    return (
+        feats.join(F.broadcast(ratio), "bucket")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.sum("cnt").alias("n_features"),
+            F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"),
+        )
+    )
+
+
+def dsir_resample(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int,
+    temperature: float = 1.0,
+    salt: str = "dsir-resample-v1",
+    id_col: str = "doc_id",
+    **kwargs,
+) -> DataFrame:
+    """Top-``k`` weighted sample without replacement via the Gumbel-top-k
+    trick: key = log_w/temperature + Gumbel(u) with u the deterministic
+    salted-md5 uniform — so the selected set is a pure function of
+    (corpus, salt), re-run-stable, and needs only a distributed top-k
+    (TakeOrdered — no global sort). ``temperature`` > 1 flattens toward
+    uniform; → 0 approaches deterministic top-k by weight."""
+    weights = dsir_weights(raw, target, id_col=id_col, **kwargs)
+    u = hash_uniform_col(F.col(id_col), salt)
+    # clamp u away from {0,1}: log(-log(u)) is infinite at the edges
+    safe_u = F.least(
+        F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12)
+    )
+    gumbel = -F.log(-F.log(safe_u))
+    keyed = weights.withColumn(
+        "gumbel_key", F.col("log_w") / F.lit(float(temperature)) + gumbel
+    )
+    picked = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k).select(
+        id_col, "log_w"
+    )
+    return raw.join(picked, id_col, "left_semi")
