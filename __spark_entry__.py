@@ -621,6 +621,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = _q_dsir
 
+    def _q_semdedup(s, sf):
+        from readur_spark.operators.similarity import semdedup
+
+        return semdedup(
+            load_table(s, sf, "embeddings"), threshold=0.3, n_clusters=16
+        ).select("vec_id")
+
+    q["semdedup"] = _q_semdedup
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -827,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental",  # new this round: batch-vs-history LSH
         "corpus_stats",  # new this round: ROLLUP composition report
         "dsir_weights",  # new this round: DSIR importance resampling
+        "semdedup",  # new this round: semantic dedup (Abbas 2023)
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -1572,6 +1582,11 @@ def oracle_sql() -> dict[str, str]:
             ["vec_id", "cosine"],
             ["BIGINT", "DOUBLE"],
             _exp.ivf_topk_expected(_osf, k=10, n_centroids=16, n_probe=4),
+        )
+        o["semdedup"] = _exp.values_sql(
+            ["vec_id"],
+            ["BIGINT"],
+            _exp.semdedup_expected(_osf, threshold=0.3, n_clusters=16),
         )
         o["winnow_overlap"] = _exp.values_sql(
             ["id_a", "id_b", "shared_fps"],

@@ -303,3 +303,62 @@ def dequantize_int8(
         out_col,
         F.transform(F.col(q_col), lambda x: x.cast("double") * F.col(scale_col)),
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication — k-means the
+    embedding space, then within each cluster keep ONE representative per
+    cosine ε-ball. Near-duplicate *meanings* (paraphrases, templated
+    rewrites) that no lexical dedup can see collapse to one exemplar.
+
+    Plan shape: centroid training + assignment reuse the IVF quantizer
+    (driver-side seeded Lloyd on a bounded sample, Catalyst-argmin
+    assignment — no shuffle); the only shuffle is the groupBy(cluster)
+    feeding one Arrow ``applyInPandas`` pass that runs the deterministic
+    greedy leader scan per cluster: ids ascending, drop any vector whose
+    cosine to an already-kept vector exceeds ``threshold`` (chunked
+    matmul against the kept set — never a full pairwise matrix). Pick
+    ``n_clusters`` ≈ corpus/5k so clusters fit an executor; the paper's
+    keep-first-by-order rule is used with id order so re-runs and the
+    oracle replay are byte-identical.
+
+    Returns the KEPT rows of ``embeddings`` (same schema)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned, _cents = ivf_assign(
+        embeddings, n_centroids=n_clusters, seed=seed,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf[id_col].to_numpy().argsort(kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        mat = np.vstack(
+            [np.asarray(v, dtype=np.float64) for v in pdf[vec_col].to_numpy()[order]]
+        )
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        kept_idx: list[int] = []
+        kept_mat = np.empty((0, unit.shape[1]))
+        for i in range(len(ids)):
+            if len(kept_idx):
+                sims = kept_mat @ unit[i]
+                if np.round(sims.max(), 6) > threshold:
+                    continue
+            kept_idx.append(i)
+            kept_mat = np.vstack([kept_mat, unit[i]])
+        return pdf.iloc[order[kept_idx]].drop(columns=["cluster"])
+
+    out_schema = embeddings.schema
+    return assigned.groupBy("cluster").applyInPandas(
+        lambda pdf: prune(pdf), schema=out_schema
+    )

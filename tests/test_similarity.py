@@ -127,3 +127,50 @@ def test_l2_normalize_and_quantize_roundtrip(spark, emb):
         scale = r["embedding_q8_scale"]
         for orig, back in zip(r["embedding"], r["embedding_deq"]):
             assert abs(float(orig) - back) <= scale / 2 + 1e-12
+
+
+def test_semdedup_collapses_epsilon_balls_keeps_first(spark):
+    """SemDeDup: near-identical embeddings collapse to the lowest id in
+    their ε-ball; orthogonal vectors all survive; a negated vector (cos
+    = -1) survives too."""
+    import numpy as np
+
+    from readur_spark.operators.similarity import semdedup
+
+    base = np.zeros(8); base[0] = 1.0
+    near = base + 0.01  # cosine ~0.999
+    orth = np.zeros(8); orth[1] = 1.0
+    neg = -base
+    rows = [
+        (1, [float(x) for x in base]),
+        (2, [float(x) for x in near]),
+        (3, [float(x) for x in orth]),
+        (4, [float(x) for x in neg]),
+        (5, [float(x) for x in near * 2.0]),  # scaled: same direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = {
+        r["vec_id"]
+        for r in semdedup(df, threshold=0.95, n_clusters=2).collect()
+    }
+    assert 1 in kept and 3 in kept and 4 in kept
+    assert 2 not in kept and 5 not in kept  # ε-ball collapsed to id 1
+
+
+def test_semdedup_matches_sequential_replica(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from readur_spark.operators.similarity import semdedup
+    from tools.expected import semdedup_expected
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = sorted(
+        (r["vec_id"],)
+        for r in semdedup(emb, threshold=0.3, n_clusters=8).collect()
+    )
+    exp = semdedup_expected(
+        "/root/testdata/sf0.001", threshold=0.3, n_clusters=8
+    )
+    assert got == exp
+    assert 0 < len(got) < emb.count()  # really pruned something

@@ -418,3 +418,59 @@ def decontaminate_expected(
             end = max(end, e)
         out.append((cid, len(per_doc_evals[cid]), per_doc_nspans[cid], covered))
     return sorted(out)
+
+
+def semdedup_expected(
+    sf_dir: str,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    seed: int = 42,
+    sample_size: int = 2048,
+    n_iter: int = 5,
+):
+    """Driver-side replay of operators/similarity.semdedup: same seeded
+    k-means (portable md5 sample order), same first-min cluster rule,
+    same ids-ascending greedy leader scan with round(.,6) on the max
+    cosine. Returns sorted kept vec_ids."""
+    import numpy as np
+
+    ids, vecs = _load_embeddings(sf_dir)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
+    )[:sample_size]
+    mat = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
+    rng = np.random.RandomState(seed)
+    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
+    for _ in range(n_iter):
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    cent = [list(map(float, c)) for c in centroids]
+
+    def cluster(v):
+        dists = [
+            _sdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)])
+            for c in cent
+        ]
+        return dists.index(min(dists))
+
+    by_cluster: dict[int, list[int]] = {}
+    for i, v in zip(ids, vecs):
+        by_cluster.setdefault(cluster(v), []).append(i)
+    vec_of = dict(zip(ids, vecs))
+    kept = []
+    for c, members in by_cluster.items():
+        kept_unit = []
+        for i in sorted(members):
+            v = np.asarray(vec_of[i], dtype=np.float64)
+            nv = np.sqrt((v * v).sum()) or 1.0
+            u = v / nv
+            if kept_unit and round(float(max(ku @ u for ku in kept_unit)), 6) > threshold:
+                continue
+            kept_unit.append(u)
+            kept.append(i)
+    return sorted((i,) for i in kept)
