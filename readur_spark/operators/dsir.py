@@ -89,12 +89,18 @@ def dsir_weights(
     ``log_w`` = Σ_b cnt_b · ln(p_target(b) / p_raw(b)) with add-``alpha``
     smoothed bucket distributions — the log importance weight of the doc's
     hashed n-gram bag. Higher = more target-like."""
-    feats = hashed_ngram_features(raw, n, num_buckets, id_col, text_col)
+    from readur_spark.operators.dedup import _materialize_release
+
+    # persisted: the feature table feeds the totals collect, the raw
+    # bucket counts, AND the final per-doc rollup — without the persist
+    # the dominant tokenize+hash+aggregate pass over the corpus runs
+    # twice per call (once for the scalar collect, once at execution)
+    feats = hashed_ngram_features(raw, n, num_buckets, id_col, text_col).persist()
     tgt = (
         hashed_ngram_features(target, n, num_buckets, id_col, text_col)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("ct"))
-    )
+    ).persist()
     rawc = feats.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
     tot = rawc.agg(
         F.sum("cr").alias("tr")
@@ -116,7 +122,7 @@ def dsir_weights(
             ).alias("log_ratio"),
         )
     )
-    return (
+    result = (
         feats.join(F.broadcast(ratio), "bucket")
         .groupBy(F.col("id").alias(id_col))
         .agg(
@@ -124,6 +130,7 @@ def dsir_weights(
             F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"),
         )
     )
+    return _materialize_release(result, feats, tgt)
 
 
 def dsir_resample(
@@ -140,7 +147,14 @@ def dsir_resample(
     salted-md5 uniform — so the selected set is a pure function of
     (corpus, salt), re-run-stable, and needs only a distributed top-k
     (TakeOrdered — no global sort). ``temperature`` > 1 flattens toward
-    uniform; → 0 approaches deterministic top-k by weight."""
+    uniform; small positive values approach deterministic top-k by
+    weight (``temperature`` must be > 0 — at exactly 0 the key division
+    would silently produce ±Inf ties and select by id instead)."""
+    if temperature <= 0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature} "
+            "(use a small value like 0.01 for near-deterministic top-k)"
+        )
     weights = dsir_weights(raw, target, id_col=id_col, **kwargs)
     u = hash_uniform_col(F.col(id_col), salt)
     # clamp u away from {0,1}: log(-log(u)) is infinite at the edges

@@ -348,14 +348,18 @@ def semdedup(
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
         kept_idx: list[int] = []
-        kept_mat = np.empty((0, unit.shape[1]))
+        # preallocated kept buffer with a fill pointer: appending via
+        # vstack would copy the whole accumulated matrix per keep (O(k²d))
+        buf = np.empty_like(unit)
+        m = 0
         for i in range(len(ids)):
-            if len(kept_idx):
-                sims = kept_mat @ unit[i]
+            if m:
+                sims = buf[:m] @ unit[i]
                 if np.round(sims.max(), 6) > threshold:
                     continue
             kept_idx.append(i)
-            kept_mat = np.vstack([kept_mat, unit[i]])
+            buf[m] = unit[i]
+            m += 1
         return pdf.iloc[order[kept_idx]].drop(columns=["cluster"])
 
     out_schema = embeddings.schema

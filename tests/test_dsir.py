@@ -75,3 +75,11 @@ def test_resample_plan_is_distributed_topk(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_resample_rejects_nonpositive_temperature(spark):
+    from readur_spark.operators.dsir import dsir_resample
+
+    docs = _mk(spark, [("1", "a b c")])
+    with pytest.raises(ValueError, match="temperature"):
+        dsir_resample(docs, docs, k=1, temperature=0)

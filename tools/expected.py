@@ -157,23 +157,24 @@ def ann_topk_lsh_expected(
 # --------------------------------------------------------------------------
 
 
-def ivf_topk_expected(
+def _kmeans_replay(
     sf_dir: str,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    n_centroids: int,
     seed: int = 42,
     sample_size: int = 2048,
     n_iter: int = 5,
 ):
+    """Shared oracle-side replay of ivf_assign's centroid training: the
+    portable md5 sample order, seeded init, Lloyd with empty-cluster
+    keep, and the first-min cluster rule. Returns (ids, vecs, cent,
+    cluster_fn) — used by both the IVF and SemDeDup replicas so a change
+    to the training recipe can only be mirrored in ONE place."""
     import numpy as np
 
     ids, vecs = _load_embeddings(sf_dir)
-    query_vec = vecs[ids.index(0)]
-    # sample order: md5(str(id)) asc, id asc — portable mirror of the
-    # Spark-side orderBy(md5(cast(id as string)), id).limit(sample_size)
     order = sorted(
-        range(len(ids)), key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i])
+        range(len(ids)),
+        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
     )[:sample_size]
     mat = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
     rng = np.random.RandomState(seed)
@@ -188,10 +189,30 @@ def ivf_topk_expected(
     cent = [list(map(float, c)) for c in centroids]
 
     def cluster(v):
-        # first index of the minimum, like array_position(dists, array_min)
-        dists = [_sdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)]) for c in cent]
+        dists = [
+            _sdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)])
+            for c in cent
+        ]
         return dists.index(min(dists))
 
+    return ids, vecs, cent, cluster
+
+
+def ivf_topk_expected(
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_size: int = 2048,
+    n_iter: int = 5,
+):
+    import numpy as np
+
+    ids, vecs, cent, cluster = _kmeans_replay(
+        sf_dir, n_centroids, seed, sample_size, n_iter
+    )
+    query_vec = vecs[ids.index(0)]
     q = np.asarray(query_vec, dtype=np.float64)
     probe_order = sorted(((((np.asarray(c) - q) ** 2).sum(), i) for i, c in enumerate(cent)))
     probe = {i for _, i in probe_order[:n_probe]}
@@ -434,30 +455,9 @@ def semdedup_expected(
     cosine. Returns sorted kept vec_ids."""
     import numpy as np
 
-    ids, vecs = _load_embeddings(sf_dir)
-    order = sorted(
-        range(len(ids)),
-        key=lambda i: (hashlib.md5(str(ids[i]).encode()).hexdigest(), ids[i]),
-    )[:sample_size]
-    mat = np.vstack([np.asarray(vecs[i], dtype=np.float64) for i in order])
-    rng = np.random.RandomState(seed)
-    centroids = mat[rng.choice(len(mat), size=min(n_clusters, len(mat)), replace=False)]
-    for _ in range(n_iter):
-        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d.argmin(axis=1)
-        for c in range(len(centroids)):
-            members = mat[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-    cent = [list(map(float, c)) for c in centroids]
-
-    def cluster(v):
-        dists = [
-            _sdot([x - y for x, y in zip(v, c)], [x - y for x, y in zip(v, c)])
-            for c in cent
-        ]
-        return dists.index(min(dists))
-
+    ids, vecs, _cent, cluster = _kmeans_replay(
+        sf_dir, n_clusters, seed, sample_size, n_iter
+    )
     by_cluster: dict[int, list[int]] = {}
     for i, v in zip(ids, vecs):
         by_cluster.setdefault(cluster(v), []).append(i)
