@@ -837,6 +837,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats",  # new this round: ROLLUP composition report
         "dsir_weights",  # new this round: DSIR importance resampling
         "semdedup",  # new this round: semantic dedup (Abbas 2023)
+        "dup_spans",  # implementation changed this round (truncation flag)
+        "decontaminate",  # implementation changed this round (marker rows)
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
