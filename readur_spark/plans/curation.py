@@ -89,30 +89,36 @@ def curate(
     ``heldout_df`` decontaminates against an eval set before dedup;
     ``split_fractions`` appends a deterministic ``split`` column.
     """
+    # Stage boundaries use eager localCheckpoint, not bare persist: the
+    # funnel composes a dozen operators, several of which reference their
+    # input plan multiple times (joins back to text_df, semi-joins, window
+    # rebuilds) — with caching alone the LOGICAL plan still nests and its
+    # string form grows multiplicatively, until a downstream
+    # plan-stringification OOMs building a >1 GB UTF16 string (observed at
+    # sf0.1 with every optional stage enabled). Checkpointing truncates
+    # lineage at each boundary, so every stage starts from a leaf. On a
+    # real cluster prefer reliable checkpoints for executor-loss safety.
     metrics: dict[str, int] = {}
-    extra_persists = []
-    text_df = _to_text(docs_df).persist()
+    text_df = _to_text(docs_df).localCheckpoint(eager=True)
     metrics["input_docs"] = text_df.count()
 
     if line_dedup_max_df is not None:
-        lined = dedup.dedup_lines(text_df, max_line_df=line_dedup_max_df).persist()
-        extra_persists.append(lined)
+        lined = dedup.dedup_lines(
+            text_df, max_line_df=line_dedup_max_df
+        ).localCheckpoint(eager=True)
         metrics["boilerplate_lines_removed_docs"] = lined.filter(
             F.col("n_lines_removed") > 0
         ).count()
-        text_df.unpersist()
         text_df = lined.select("doc_id", "text")
 
     if heldout_df is not None:
-        text_df_clean = dedup.decontaminate_filter(
+        text_df = dedup.decontaminate_filter(
             text_df,
             _to_text(heldout_df),
             min_len=decontam_min_len,
             exclude_same_id=True,
-        ).persist()
-        metrics["after_decontamination"] = text_df_clean.count()
-        text_df.unpersist()
-        text_df = text_df_clean
+        ).localCheckpoint(eager=True)
+        metrics["after_decontamination"] = text_df.count()
 
     gopher_cols = (
         gopher_flags_cols(F.col("text"), stopwords=gopher_stopwords)
@@ -134,27 +140,29 @@ def curate(
 
         rep_ok = repetition_metrics(text_df).filter(F.col("rep_pass")).select("doc_id")
         filtered = filtered.join(rep_ok, "doc_id", "left_semi")
-    filtered = filtered.select("doc_id", "text", "lang", "quality").persist()
+    filtered = filtered.select(
+        "doc_id", "text", "lang", "quality"
+    ).localCheckpoint(eager=True)
     metrics["after_quality_filter"] = filtered.count()
 
     if lm_ref_df is not None and max_perplexity is not None:
         from readur_spark.operators.lm import perplexity_filter, train_bigram_lm
 
         lm = train_bigram_lm(_to_text(lm_ref_df))
-        lm_kept = perplexity_filter(
+        filtered = perplexity_filter(
             filtered, lm, max_perplexity, broadcast_model=True
-        ).persist()
-        metrics["after_lm_filter"] = lm_kept.count()
-        filtered.unpersist()
-        filtered = lm_kept
+        ).localCheckpoint(eager=True)
+        metrics["after_lm_filter"] = filtered.count()
 
-    exact = dedup.dedup_keep_first(filtered).persist()
+    exact = dedup.dedup_keep_first(filtered).localCheckpoint(eager=True)
     metrics["after_exact_dedup"] = exact.count()
 
     pairs = dedup.minhash_lsh_pairs(
         exact, threshold=near_dup_threshold, n=shingle_n
     )
-    curated = dedup.dedup_cluster_keep_first(exact, pairs).persist()
+    curated = dedup.dedup_cluster_keep_first(exact, pairs).localCheckpoint(
+        eager=True
+    )
     metrics["after_near_dedup"] = curated.count()
 
     if scrub_pii:
@@ -169,18 +177,8 @@ def curate(
 
         chunks = split_assign(chunks, split_fractions)
     metrics["chunks"] = chunks.count()
-
-    # full lifecycle: every persisted intermediate is released once the
-    # final chunk count has materialized the whole funnel. The returned
-    # `chunks` plan still references `curated`, so that one is released
-    # lazily via blocking=False unpersist AFTER the count — recomputation
-    # (if the caller re-collects) is correct, just uncached.
-    text_df.unpersist()
-    filtered.unpersist()
-    exact.unpersist()
-    curated.unpersist()
-    for df in extra_persists:
-        df.unpersist()
+    # checkpointed stage frames are freed by the ContextCleaner once the
+    # returned plan (which references only `curated`) drops them from scope
     return chunks, metrics
 
 
