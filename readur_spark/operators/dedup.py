@@ -19,6 +19,8 @@ ch.3), implemented Spark-first:
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1219,6 +1221,7 @@ def dedup_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 10,
+    separator: str = "\n",
 ) -> DataFrame:
     """Corpus-wide boilerplate-line removal (the C4 / RefinedWeb curation
     step): any line whose trimmed form appears in MORE than ``max_line_df``
@@ -1226,6 +1229,10 @@ def dedup_lines(
     reassembled in their original order. Catches nav bars, cookie banners,
     copyright footers — the cross-document repeated lines a per-document
     dedup can never see.
+
+    ``separator="\n\n"`` switches the unit from lines to PARAGRAPHS (the
+    RefinedWeb granularity); any literal separator works — the unit is
+    whatever the split produces, and reassembly uses the same separator.
 
     Lines shorter than ``min_line_chars`` after trimming (including empty
     lines) are exempt: one-word lines ("Home", "Menu") are too ambiguous
@@ -1242,11 +1249,12 @@ def dedup_lines(
     Returns (id_col, text, n_lines, n_lines_removed) — ``text`` rewritten,
     with every input document present (a fully-boilerplate doc comes back
     with empty text and its removal count, so callers can gate on it)."""
+    sep_rx = re.escape(separator)
     lines = docs.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
-            "pos", "line"
-        ),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx)
+        ).alias("pos", "line"),
     ).withColumn("norm", F.trim(F.col("line")))
     eligible = F.length(F.col("norm")) >= min_line_chars
     drop = (
@@ -1272,7 +1280,7 @@ def dedup_lines(
                 F.sort_array(F.collect_list(F.struct("pos", "line"))),
                 lambda s: s["line"],
             ),
-            "\n",
+            separator,
         ).alias(text_col),
         F.count("*").alias("n_kept"),
     )

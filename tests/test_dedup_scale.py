@@ -581,3 +581,34 @@ def test_minhash_incremental_leaves_caller_signatures_persisted(spark, docs):
     ).collect()
     assert sigs.storageLevel.useMemory  # still persisted
     sigs.unpersist()
+
+
+def test_dedup_lines_paragraph_mode(spark):
+    """separator='\\n\\n' dedups at PARAGRAPH granularity (RefinedWeb):
+    a repeated multi-line paragraph vanishes as a unit while its
+    constituent lines elsewhere survive, and reassembly preserves the
+    paragraph separator."""
+    para = "repeated disclaimer paragraph\nspanning two lines"
+    docs = spark.createDataFrame(
+        [
+            ("1", f"unique intro paragraph one\n\n{para}\n\nunique tail one"),
+            ("2", f"{para}\n\nunique body paragraph two"),
+            ("3", f"unique text three\n\n{para}"),
+            # same SENTENCE as a standalone line inside a different
+            # paragraph — must survive (the unit is the paragraph)
+            ("4", "repeated disclaimer paragraph\nbut different second line"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_lines(
+            docs, max_line_df=2, separator="\n\n"
+        ).collect()
+    }
+    assert out["1"]["text"] == "unique intro paragraph one\n\nunique tail one"
+    assert out["2"]["text"] == "unique body paragraph two"
+    assert out["3"]["text"] == "unique text three"
+    assert out["4"]["text"].startswith("repeated disclaimer paragraph\n")
+    assert all(out[d]["n_lines_removed"] == 1 for d in ("1", "2", "3"))
+    assert out["4"]["n_lines_removed"] == 0
