@@ -630,6 +630,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semdedup"] = _q_semdedup
 
+    def _q_pack_stats(s, sf):
+        from readur_spark.operators.packing import pack_sequences, packing_stats
+
+        return packing_stats(pack_sequences(_docs(s, sf), seq_len=512), 512).select(
+            "seq_id",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "fill_ratio",
+        )
+
+    q["pack_stats"] = _q_pack_stats
+
     def _q_scrub_pii(s, sf):
         from readur_spark.functions.textstats import pii_counts_cols, scrub_pii_col
 
@@ -837,6 +849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats",  # new this round: ROLLUP composition report
         "dsir_weights",  # new this round: DSIR importance resampling
         "semdedup",  # new this round: semantic dedup (Abbas 2023)
+        "pack_stats",  # new this round: per-sequence fill report
         "dup_spans",  # implementation changed this round (truncation flag)
         "decontaminate",  # implementation changed this round (marker rows)
     ]
@@ -1697,6 +1710,16 @@ def oracle_sql() -> dict[str, str]:
                                         CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
         ) s
     """
+
+    # pack_stats: per-sequence rollup of the same manifest (fill-report);
+    # counts CAST to BIGINT per the HUGEINT rule
+    o["pack_stats"] = (
+        "WITH manifest AS (" + o["pack_sequences"] + ") "
+        "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
+        "round(sum(n_tokens) * 1.0 / 512, 6) AS fill_ratio "
+        "FROM manifest GROUP BY seq_id"
+    )
 
     # repetition_filters: the Gopher repetition family mirrored relationally
     # (dup lines/paragraphs + top-n-gram coverage, cnt>1 only, clamped ≤1)

@@ -37,6 +37,9 @@ def main() -> None:
     ap.add_argument("--line-dedup-max-df", type=int, default=None,
                     help="strip lines appearing in more than this many docs "
                          "(C4/RefinedWeb boilerplate removal)")
+    ap.add_argument("--line-dedup-paragraphs", action="store_true",
+                    help="dedup at paragraph (blank-line) granularity "
+                         "instead of lines")
     ap.add_argument("--lm-ref", default=None,
                     help="reference parquet to train the CCNet bigram LM on")
     ap.add_argument("--max-perplexity", type=float, default=None,
@@ -70,6 +73,7 @@ def main() -> None:
         heldout_df=spark.read.parquet(args.heldout) if args.heldout else None,
         near_dup_threshold=args.near_dup_threshold,
         line_dedup_max_df=args.line_dedup_max_df,
+        line_dedup_separator="\n\n" if args.line_dedup_paragraphs else "\n",
         lm_ref_df=spark.read.parquet(args.lm_ref) if args.lm_ref else None,
         max_perplexity=args.max_perplexity,
         scrub_pii=args.scrub_pii,

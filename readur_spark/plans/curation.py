@@ -60,6 +60,7 @@ def curate(
     gopher_stopwords: tuple[str, ...] | None = None,
     require_rep_pass: bool = False,
     line_dedup_max_df: int | None = None,
+    line_dedup_separator: str = "\n",
     lm_ref_df: DataFrame | None = None,
     max_perplexity: float | None = None,
     scrub_pii: bool = False,
@@ -104,7 +105,8 @@ def curate(
 
     if line_dedup_max_df is not None:
         lined = dedup.dedup_lines(
-            text_df, max_line_df=line_dedup_max_df
+            text_df, max_line_df=line_dedup_max_df,
+            separator=line_dedup_separator,
         ).localCheckpoint(eager=True)
         metrics["boilerplate_lines_removed_docs"] = lined.filter(
             F.col("n_lines_removed") > 0

@@ -115,3 +115,51 @@ def test_pack_empty_string_corpus_schema(spark):
     out = pack_sequences(empty, seq_len=128)
     assert out.count() == 0
     assert dict(out.dtypes)["doc_id"] == "string"
+
+
+def test_pack_invariants_property_based(spark):
+    """Hypothesis over random small corpora: for ANY corpus and seq_len,
+    the manifest conserves tokens, fills every non-final sequence
+    exactly, and tiles each doc contiguously from zero."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from readur_spark.functions.textstats import token_count_col
+
+    words = st.lists(
+        st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=0, max_size=40
+    )
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        texts=st.lists(words, min_size=1, max_size=12),
+        seq_len=st.integers(min_value=3, max_value=64),
+    )
+    def run(texts, seq_len):
+        docs = spark.createDataFrame(
+            [(i, " ".join(ws)) for i, ws in enumerate(texts)],
+            "doc_id long, text string",
+        )
+        rows = pack_sequences(docs, seq_len=seq_len).collect()
+        total = docs.select(F.sum(token_count_col(F.col("text")))).collect()[0][0] or 0
+        assert sum(r["n_tokens"] for r in rows) == total
+        by_seq = {}
+        for r in rows:
+            by_seq.setdefault(r["seq_id"], 0)
+            by_seq[r["seq_id"]] += r["n_tokens"]
+        if by_seq:
+            last = max(by_seq)
+            for sid, n in by_seq.items():
+                assert n == seq_len if sid != last else 0 < n <= seq_len
+        by_doc = {}
+        for r in sorted(rows, key=lambda r: (r["doc_id"], r["tok_start"])):
+            by_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+        for spans in by_doc.values():
+            assert spans[0][0] == 0
+            for (s0, e0), (s1, e1) in zip(spans, spans[1:]):
+                assert s1 == e0
+
+    run()
