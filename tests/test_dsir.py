@@ -83,3 +83,12 @@ def test_resample_rejects_nonpositive_temperature(spark):
     docs = _mk(spark, [("1", "a b c")])
     with pytest.raises(ValueError, match="temperature"):
         dsir_resample(docs, docs, k=1, temperature=0)
+
+
+def test_dsir_self_target_gives_zero_weights(spark):
+    """When the target IS the raw corpus, both bucket distributions are
+    identical, every log-ratio is exactly 0, and all weights vanish —
+    the importance-sampling identity."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = dsir_weights(docs, docs, num_buckets=1024).collect()
+    assert rows and all(r["log_w"] == 0.0 for r in rows)

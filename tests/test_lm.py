@@ -155,3 +155,22 @@ def test_backoff_broadcast_plan(spark):
     )
     assert plan.count("BroadcastHashJoin") >= 5, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_bigram_lm_is_a_proper_distribution_per_context(spark):
+    """Add-k smoothing must normalize: for any seen context p,
+    sum over the training vocab of (c(p,w)+k)/(c(p)+kV) plus nothing
+    else equals exactly 1 (the unseen vocab words are part of the same
+    V-term sum)."""
+    docs = _mk(spark, [("a", "x y x z y x")])
+    lm = train_bigram_lm(docs, add_k=0.5)
+    pairs = {(r["prev"], r["word"]): r["c"] for r in lm.pair_counts.collect()}
+    ctx = {r["prev"]: r["cc"] for r in lm.ctx_counts.collect()}
+    vocab = {w for _, w in pairs} | {p for p, _ in pairs}
+    assert len(vocab) == lm.vocab_size
+    k, v = lm.add_k, lm.vocab_size
+    for p, cc in ctx.items():
+        total = sum(
+            (pairs.get((p, w), 0) + k) / (cc + k * v) for w in vocab
+        )
+        assert total == pytest.approx(1.0, abs=1e-12), p
