@@ -46,6 +46,10 @@ def main() -> None:
                     help="LM perplexity ceiling (requires --lm-ref)")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="redact emails/IPs/phones before chunking")
+    ap.add_argument("--embeddings", default=None,
+                    help="embeddings parquet (vec_id aligned with doc_id) "
+                         "enabling the SemDeDup semantic-dedup stage")
+    ap.add_argument("--semantic-threshold", type=float, default=0.95)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -77,6 +81,10 @@ def main() -> None:
         lm_ref_df=spark.read.parquet(args.lm_ref) if args.lm_ref else None,
         max_perplexity=args.max_perplexity,
         scrub_pii=args.scrub_pii,
+        embeddings_df=(
+            spark.read.parquet(args.embeddings) if args.embeddings else None
+        ),
+        semantic_threshold=args.semantic_threshold,
         chunk_words=args.chunk_words,
         overlap_words=args.overlap,
         split_fractions=splits,

@@ -64,6 +64,9 @@ def curate(
     lm_ref_df: DataFrame | None = None,
     max_perplexity: float | None = None,
     scrub_pii: bool = False,
+    embeddings_df: DataFrame | None = None,
+    semantic_threshold: float = 0.95,
+    semantic_clusters: int = 16,
     heldout_df: DataFrame | None = None,
     decontam_min_len: int = 50,
     near_dup_threshold: float = 0.5,
@@ -87,6 +90,9 @@ def curate(
     bigram LM on the reference frame, keep docs at/below the ceiling);
     ``scrub_pii`` redacts contact identifiers just before chunking (late,
     so dedup hashes are computed on the original bytes);
+    ``embeddings_df`` (vec_id aligned with doc_id) adds the SemDeDup
+    semantic stage after lexical near-dup dedup — paraphrase duplicates
+    collapse to one exemplar per cosine ε-ball;
     ``heldout_df`` decontaminates against an eval set before dedup;
     ``split_fractions`` appends a deterministic ``split`` column.
     """
@@ -166,6 +172,19 @@ def curate(
         eager=True
     )
     metrics["after_near_dedup"] = curated.count()
+
+    if embeddings_df is not None:
+        from readur_spark.operators.similarity import semdedup
+
+        kept_ids = semdedup(
+            embeddings_df,
+            threshold=semantic_threshold,
+            n_clusters=semantic_clusters,
+        ).select(F.col("vec_id").alias("doc_id"))
+        curated = curated.join(kept_ids, "doc_id", "left_semi").localCheckpoint(
+            eager=True
+        )
+        metrics["after_semantic_dedup"] = curated.count()
 
     if scrub_pii:
         from readur_spark.functions.textstats import scrub_pii_col

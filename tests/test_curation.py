@@ -138,3 +138,39 @@ def test_curate_round4_stages(spark):
     assert footer not in texts
     assert "alice@example.com" not in texts and "<EMAIL>" in texts
     assert 4 not in {r["doc_id"] for r in chunks.collect()}
+
+
+def test_curate_semantic_dedup_stage(spark):
+    """SemDeDup stage: two docs whose embeddings share a cosine ε-ball
+    collapse to the lower doc_id; dissimilar docs survive."""
+    from readur_spark.plans.curation import curate
+
+    texts = {
+        1: "alpha document body with plenty of distinct words inside",
+        2: "totally different beta content with its own distinct words",
+        3: "gamma text also entirely unlike the other two documents",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),  # same direction as doc 1
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    chunks, metrics = curate(
+        docs,
+        require_gopher=False,
+        embeddings_df=emb,
+        semantic_threshold=0.95,
+        semantic_clusters=2,
+        near_dup_threshold=0.95,
+        chunk_words=50,
+        overlap_words=0,
+    )
+    assert metrics["after_near_dedup"] == 3
+    assert metrics["after_semantic_dedup"] == 2
+    assert {r["doc_id"] for r in chunks.collect()} == {1, 3}
