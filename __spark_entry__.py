@@ -1251,7 +1251,7 @@ def oracle_sql() -> dict[str, str]:
         split AS (SELECT doc_id, string_split(text, chr(10)) t FROM docs2),
         lines AS (
           SELECT doc_id, i.i AS pos, t[i.i] AS line,
-                 trim(t[i.i]) AS nrm
+                 regexp_replace(t[i.i], '^\s+|\s+$', '', 'g') AS nrm
           FROM split, LATERAL (
             SELECT unnest(generate_series(1, len(t))) AS i) i
         ),

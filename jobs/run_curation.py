@@ -49,7 +49,11 @@ def main() -> None:
     ap.add_argument("--embeddings", default=None,
                     help="embeddings parquet (vec_id aligned with doc_id) "
                          "enabling the SemDeDup semantic-dedup stage")
-    ap.add_argument("--semantic-threshold", type=float, default=0.95)
+    ap.add_argument("--semantic-threshold", type=float, default=0.95,
+                    help="cosine epsilon-ball radius for SemDeDup")
+    ap.add_argument("--semantic-clusters", type=int, default=16,
+                    help="k-means cluster count for SemDeDup; size it to "
+                         "~corpus/5k so each cluster fits one executor")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -85,6 +89,7 @@ def main() -> None:
             spark.read.parquet(args.embeddings) if args.embeddings else None
         ),
         semantic_threshold=args.semantic_threshold,
+        semantic_clusters=args.semantic_clusters,
         chunk_words=args.chunk_words,
         overlap_words=args.overlap,
         split_fractions=splits,

@@ -1255,7 +1255,14 @@ def dedup_lines(
         F.posexplode(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep_rx)
         ).alias("pos", "line"),
-    ).withColumn("norm", F.trim(F.col("line")))
+    ).withColumn(
+        # normalize with a full-whitespace trim, NOT space-only trim: in
+        # paragraph mode a run of 3+ newlines leaks a leading "\n" into
+        # the unit, and "\npara" must hash equal to "para" or the
+        # corpus-wide df undercounts and boilerplate escapes removal
+        "norm",
+        F.regexp_replace(F.col("line"), r"^\s+|\s+$", ""),
+    )
     eligible = F.length(F.col("norm")) >= min_line_chars
     drop = (
         lines.filter(eligible)

@@ -35,6 +35,19 @@ from readur_spark.operators import dedup
 from readur_spark.operators.extract import chunk_texts, extract_spans
 
 
+def _release_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpointed frame's storage blocks deterministically —
+    ContextCleaner would otherwise wait on driver GC + py4j finalization,
+    which lets executor storage accumulate across repeated curate() calls
+    in a long-lived session. A released frame CANNOT be recomputed (the
+    checkpoint truncated its lineage), so this is only ever called on dead
+    intermediates, never on the returned frame."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # best-effort: GC-driven cleanup remains the fallback
+
+
 def _to_text(docs_df: DataFrame) -> DataFrame:
     """Normalize input: interleaved (doc_id, spans) runs the extraction
     operator and joins text spans; flat (doc_id, text) passes through."""
@@ -106,26 +119,33 @@ def curate(
     # lineage at each boundary, so every stage starts from a leaf. On a
     # real cluster prefer reliable checkpoints for executor-loss safety.
     metrics: dict[str, int] = {}
-    text_df = _to_text(docs_df).localCheckpoint(eager=True)
+    stage_frames: list[DataFrame] = []
+
+    def _ckpt(df: DataFrame) -> DataFrame:
+        out = df.localCheckpoint(eager=True)
+        stage_frames.append(out)
+        return out
+
+    text_df = _ckpt(_to_text(docs_df))
     metrics["input_docs"] = text_df.count()
 
     if line_dedup_max_df is not None:
-        lined = dedup.dedup_lines(
+        lined = _ckpt(dedup.dedup_lines(
             text_df, max_line_df=line_dedup_max_df,
             separator=line_dedup_separator,
-        ).localCheckpoint(eager=True)
+        ))
         metrics["boilerplate_lines_removed_docs"] = lined.filter(
             F.col("n_lines_removed") > 0
         ).count()
         text_df = lined.select("doc_id", "text")
 
     if heldout_df is not None:
-        text_df = dedup.decontaminate_filter(
+        text_df = _ckpt(dedup.decontaminate_filter(
             text_df,
             _to_text(heldout_df),
             min_len=decontam_min_len,
             exclude_same_id=True,
-        ).localCheckpoint(eager=True)
+        ))
         metrics["after_decontamination"] = text_df.count()
 
     gopher_cols = (
@@ -148,42 +168,54 @@ def curate(
 
         rep_ok = repetition_metrics(text_df).filter(F.col("rep_pass")).select("doc_id")
         filtered = filtered.join(rep_ok, "doc_id", "left_semi")
-    filtered = filtered.select(
-        "doc_id", "text", "lang", "quality"
-    ).localCheckpoint(eager=True)
+    filtered = _ckpt(filtered.select("doc_id", "text", "lang", "quality"))
     metrics["after_quality_filter"] = filtered.count()
 
     if lm_ref_df is not None and max_perplexity is not None:
         from readur_spark.operators.lm import perplexity_filter, train_bigram_lm
 
         lm = train_bigram_lm(_to_text(lm_ref_df))
-        filtered = perplexity_filter(
+        filtered = _ckpt(perplexity_filter(
             filtered, lm, max_perplexity, broadcast_model=True
-        ).localCheckpoint(eager=True)
+        ))
         metrics["after_lm_filter"] = filtered.count()
 
-    exact = dedup.dedup_keep_first(filtered).localCheckpoint(eager=True)
+    exact = _ckpt(dedup.dedup_keep_first(filtered))
     metrics["after_exact_dedup"] = exact.count()
 
     pairs = dedup.minhash_lsh_pairs(
         exact, threshold=near_dup_threshold, n=shingle_n
     )
-    curated = dedup.dedup_cluster_keep_first(exact, pairs).localCheckpoint(
-        eager=True
-    )
+    curated = _ckpt(dedup.dedup_cluster_keep_first(exact, pairs))
     metrics["after_near_dedup"] = curated.count()
 
     if embeddings_df is not None:
         from readur_spark.operators.similarity import semdedup
 
+        # restrict embeddings to the SURVIVING docs first: otherwise a doc
+        # already removed upstream can be elected the ε-ball exemplar and
+        # its surviving duplicate gets dropped — losing the content class
+        # entirely (and clustering removed docs is wasted work anyway)
+        emb_cur = embeddings_df.join(
+            curated.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
         kept_ids = semdedup(
-            embeddings_df,
+            emb_cur,
             threshold=semantic_threshold,
             n_clusters=semantic_clusters,
         ).select(F.col("vec_id").alias("doc_id"))
-        curated = curated.join(kept_ids, "doc_id", "left_semi").localCheckpoint(
-            eager=True
-        )
+        # docs with no embedding row carry no semantic evidence and must
+        # SURVIVE (a partial embedding job must not silently delete docs);
+        # they are counted separately so the metric stays honest
+        no_emb = curated.join(
+            embeddings_df.select(F.col("vec_id").alias("doc_id")),
+            "doc_id",
+            "left_anti",
+        ).select("doc_id")
+        metrics["semantic_no_embedding_docs"] = no_emb.count()
+        curated = _ckpt(curated.join(
+            kept_ids.unionByName(no_emb), "doc_id", "left_semi"
+        ))
         metrics["after_semantic_dedup"] = curated.count()
 
     if scrub_pii:
@@ -198,8 +230,12 @@ def curate(
 
         chunks = split_assign(chunks, split_fractions)
     metrics["chunks"] = chunks.count()
-    # checkpointed stage frames are freed by the ContextCleaner once the
-    # returned plan (which references only `curated`) drops them from scope
+    # deterministically free every dead intermediate's checkpoint blocks.
+    # The LAST stage checkpoint is the one the returned plan depends on
+    # (later stages like scrub_pii only WRAP it without re-checkpointing,
+    # so an identity check against `curated` would release the live frame)
+    for df in stage_frames[:-1]:
+        _release_checkpoint(df)
     return chunks, metrics
 
 

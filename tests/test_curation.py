@@ -174,3 +174,76 @@ def test_curate_semantic_dedup_stage(spark):
     assert metrics["after_near_dedup"] == 3
     assert metrics["after_semantic_dedup"] == 2
     assert {r["doc_id"] for r in chunks.collect()} == {1, 3}
+
+
+def test_semantic_stage_only_considers_survivors_and_missing_embeddings_survive(
+    spark,
+):
+    """Review findings: (a) a doc removed upstream must not be elected the
+    epsilon-ball exemplar — its surviving paraphrase stays; (b) curated
+    docs with no embedding row survive and are counted separately."""
+    from readur_spark.plans.curation import curate
+
+    eval_q = (
+        "the exact evaluation question that leaks into training data here "
+        "with plenty of verbatim overlap to be caught"
+    )
+    texts = {
+        1: f"contaminated paraphrase doc {eval_q}",  # removed by decon
+        2: "surviving paraphrase with its own words and enough content",
+        3: "unrelated control document with completely different text",
+        4: "document that has no embedding row at all but is clean",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    heldout = spark.createDataFrame([(99, eval_q)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),   # paraphrase pair with doc 2...
+            (2, [0.999, 0.01, 0.0, 0.0]),  # ...but doc 1 dies upstream
+            (3, [0.0, 1.0, 0.0, 0.0]),
+            # doc 4 intentionally absent
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    chunks, metrics = curate(
+        docs,
+        require_gopher=False,
+        heldout_df=heldout,
+        embeddings_df=emb,
+        semantic_threshold=0.95,
+        semantic_clusters=2,
+        near_dup_threshold=0.95,
+        chunk_words=50,
+        overlap_words=0,
+    )
+    assert metrics["after_decontamination"] == 3  # doc 1 removed
+    assert metrics["semantic_no_embedding_docs"] == 1  # doc 4
+    # doc 2 SURVIVES: doc 1 (removed upstream) cannot shadow it
+    assert {r["doc_id"] for r in chunks.collect()} == {2, 3, 4}
+
+
+def test_curate_releases_stage_checkpoints(spark):
+    """Repeated curate() calls must not accumulate checkpoint storage:
+    only the returned frame's blocks may remain per call."""
+    from readur_spark.plans.curation import curate
+
+    docs = spark.createDataFrame(
+        [(i, f"document {i} with several words of content here") for i in range(20)],
+        "doc_id long, text string",
+    )
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    base = n_persistent()
+    curate(docs, require_gopher=False, near_dup_threshold=0.95)
+    after1 = n_persistent()
+    curate(docs, require_gopher=False, near_dup_threshold=0.95)
+    after2 = n_persistent()
+    # each call may keep its `curated` checkpoint (+ small operator-internal
+    #残余); growth per call must be bounded, not one-per-stage
+    assert after2 - after1 <= after1 - base + 1
+    assert after2 - base <= 8, (base, after1, after2)
