@@ -523,12 +523,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 500 docs — the fixture build collects bounded sf0.01 rows; the
         # OPERATOR under test is the distributed read_warc), read back and
         # compared value-for-value against the source table.
+        import glob
         import hashlib
         import os
 
         from readur_spark.sources.warc import build_warc, read_warc
 
-        tag = hashlib.md5(sf.encode()).hexdigest()[:8]
+        # fixture tag folds in the docs parquet's (path, mtime, size) so a
+        # regenerated table at the same sf invalidates stale shards
+        # (ADVICE r4) — stat-based, no extra scan of the table
+        doc_files = sorted(
+            glob.glob(os.path.join(sf, "documents.parquet"))
+            + glob.glob(os.path.join(sf, "documents.parquet", "*.parquet"))
+        )
+        stamp = ";".join(
+            f"{p}:{os.path.getmtime(p)}:{os.path.getsize(p)}" for p in doc_files
+        )
+        tag = hashlib.md5((sf + "|" + stamp).encode()).hexdigest()[:8]
         out_dir = f"/tmp/readur_spark_warc_{tag}"
         marker = os.path.join(out_dir, "_DONE")
         if not os.path.exists(marker):

@@ -1387,17 +1387,20 @@ def dedup_against_history(
     keep-first window shuffle. Appending the survivors' fingerprints back
     to the history table makes consecutive ingests incremental — no
     re-shuffle of the historical corpus, ever."""
-    batch = new_docs.withColumn("fingerprint", fingerprint_col(F.col(text_col)))
+    # internal column name, not 'fingerprint': withColumn would silently
+    # overwrite (then drop) a caller-owned fingerprint column (ADVICE r4)
+    fp = "__rs_ingest_fp__"
+    batch = new_docs.withColumn(fp, fingerprint_col(F.col(text_col)))
     fresh = batch.join(
-        history.select(F.col(history_col).alias("fingerprint")).distinct(),
-        "fingerprint",
+        history.select(F.col(history_col).alias(fp)).distinct(),
+        fp,
         "left_anti",
     )
-    w = Window.partitionBy("fingerprint").orderBy(F.asc(id_col))
+    w = Window.partitionBy(fp).orderBy(F.asc(id_col))
     return (
         fresh.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .drop("rn", "fingerprint")
+        .drop("rn", fp)
     )
 
 

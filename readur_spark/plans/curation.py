@@ -23,8 +23,13 @@ language — the layout downstream training-data samplers prune on.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
+_release_warned = False
 
 from readur_spark.functions.textstats import (
     gopher_flags_cols,
@@ -41,11 +46,34 @@ def _release_checkpoint(df: DataFrame) -> None:
     which lets executor storage accumulate across repeated curate() calls
     in a long-lived session. A released frame CANNOT be recomputed (the
     checkpoint truncated its lineage), so this is only ever called on dead
-    intermediates, never on the returned frame."""
+    intermediates, never on the returned frame.
+
+    Failure is OBSERVABLE, not swallowed silently (ADVICE r4): if a future
+    Spark version stops analyzing a localCheckpointed frame to a
+    LogicalRDD, the executor-storage leak this call exists to prevent
+    would return undetected under a bare ``except: pass``. A one-time
+    warning names the plan class so the regression shows up in logs, and
+    tests/test_curation.py::test_curate_releases_stage_checkpoints pins
+    the block count across repeated curate() calls."""
+    global _release_warned
     try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass  # best-effort: GC-driven cleanup remains the fallback
+        plan = df._jdf.queryExecution().analyzed()
+        cls = plan.getClass().getSimpleName()
+        if cls != "LogicalRDD":
+            if not _release_warned:
+                _release_warned = True
+                _log.warning(
+                    "checkpoint release no-op: analyzed plan is %s, not "
+                    "LogicalRDD — executor storage will be GC-freed only; "
+                    "update _release_checkpoint for this Spark version",
+                    cls,
+                )
+            return
+        plan.rdd().unpersist(False)
+    except Exception as exc:  # GC-driven cleanup remains the fallback
+        if not _release_warned:
+            _release_warned = True
+            _log.warning("checkpoint release failed (%s); relying on GC", exc)
 
 
 def _to_text(docs_df: DataFrame) -> DataFrame:

@@ -36,19 +36,37 @@ WARC_SCHEMA = (
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members (the per-record layout
-    of .warc.gz) — or yield the input unchanged when it isn't gzip."""
+    of .warc.gz) — or yield the input unchanged when it isn't gzip.
+
+    Feeds the decompressor fixed-size memoryview chunks and tracks an
+    integer offset into the original buffer: a Common Crawl file has
+    ~100k members in ~1 GB, so materializing ``unused_data`` (the whole
+    remaining file) per member would be O(members × file_size) memcpy —
+    quadratic. Here the only per-member copy is the ≤CHUNK-byte tail of
+    the last chunk fed, so the whole file is O(file_size)."""
     if not data.startswith(b"\x1f\x8b"):
         yield data
         return
-    rest = data
-    while rest.startswith(b"\x1f\x8b"):
+    mv = memoryview(data)
+    n = len(data)
+    pos = 0
+    CHUNK = 1 << 20
+    while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
+        out = []
         try:
-            member = d.decompress(rest)
+            while pos < n and not d.eof:
+                fed = mv[pos : pos + CHUNK]
+                out.append(d.decompress(fed))
+                pos += len(fed)
         except zlib.error:
             return  # corrupt member: end this file's iteration, keep prefix
-        yield member
-        rest = d.unused_data
+        if not d.eof:
+            return  # truncated final member: drop it, keep the prefix
+        yield b"".join(out)
+        # the last chunk fed may overrun the member's end; unused_data is
+        # at most CHUNK bytes here — rewind to the next member's start.
+        pos -= len(d.unused_data)
 
 
 def parse_warc(data: bytes) -> Iterator[dict]:
@@ -157,7 +175,9 @@ def build_warc(records: list[dict], gzip_per_record: bool = True) -> bytes:
     for i, rec in enumerate(records):
         payload = rec["payload"]
         if rec.get("warc_type") == "response":
-            ct = rec.get("http_content_type", "text/html")
+            # parse_warc emits http_content_type=None for headerless
+            # responses — `or` (not a .get default) keeps round-trips safe
+            ct = rec.get("http_content_type") or "text/html"
             payload = (
                 b"HTTP/1.1 200 OK\r\nContent-Type: "
                 + ct.encode()

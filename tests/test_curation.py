@@ -244,6 +244,38 @@ def test_curate_releases_stage_checkpoints(spark):
     curate(docs, require_gopher=False, near_dup_threshold=0.95)
     after2 = n_persistent()
     # each call may keep its `curated` checkpoint (+ small operator-internal
-    #残余); growth per call must be bounded, not one-per-stage
+    # residue); growth per call must be bounded, not one-per-stage
     assert after2 - after1 <= after1 - base + 1
     assert after2 - base <= 8, (base, after1, after2)
+
+
+def test_release_checkpoint_frees_blocks_and_warns_on_foreign_plan(spark, caplog):
+    """_release_checkpoint must actually free a checkpointed frame's
+    storage, and must WARN (not silently no-op) when handed a frame whose
+    analyzed plan is not a LogicalRDD (ADVICE r4 observability)."""
+    import logging
+
+    import readur_spark.plans.curation as cur
+
+    sc = spark.sparkContext
+
+    def n_persistent():
+        return sc._jsc.getPersistentRDDs().size()
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    base = n_persistent()
+    ck = df.localCheckpoint(eager=True)
+    assert n_persistent() == base + 1
+    cur._release_checkpoint(ck)
+    assert n_persistent() == base
+
+    # a non-checkpointed frame analyzes to Range/Project, not LogicalRDD:
+    # the release must decline loudly exactly once
+    cur._release_warned = False
+    with caplog.at_level(logging.WARNING, logger="readur_spark.plans.curation"):
+        cur._release_checkpoint(df)
+        cur._release_checkpoint(df)  # second call: warning already issued
+    warnings = [r for r in caplog.records if "checkpoint release" in r.message]
+    assert len(warnings) == 1
+    assert "LogicalRDD" in warnings[0].message
+    cur._release_warned = False  # leave global state clean for other tests

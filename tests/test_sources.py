@@ -226,3 +226,59 @@ def test_filter_urls_uppercase_scheme_and_host(spark):
         for r in filter_urls(df, blocked_domains=["bad.com"]).collect()
     }
     assert kept == {"HTTP://Example.COM/Page"}
+
+
+def test_warc_many_members_linear_time():
+    # ADVICE r4: _gzip_members used to copy d.unused_data (the whole
+    # remaining file) per member — O(members x size). 4,000 members over
+    # ~1.3 MB would take minutes under that; linear parse is instant.
+    import time
+
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    recs = [
+        {"warc_type": "resource", "target_uri": f"https://e.com/{i}",
+         "payload": (f"payload {i} " * 20).encode()}
+        for i in range(4000)
+    ]
+    data = build_warc(recs, gzip_per_record=True)
+    t0 = time.monotonic()
+    parsed = list(parse_warc(data))
+    elapsed = time.monotonic() - t0
+    assert len(parsed) == 4000
+    assert parsed[0]["payload"].startswith(b"payload 0 ")
+    assert parsed[-1]["target_uri"] == "https://e.com/3999"
+    assert elapsed < 10.0  # quadratic path blows far past this
+
+
+def test_warc_member_larger_than_chunk():
+    # a single member bigger than the 1 MiB feed chunk must decompress
+    # across chunk boundaries and land the offset on the next member
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    big = b"A" * (3 << 20)
+    data = build_warc(
+        [{"warc_type": "resource", "target_uri": "https://e.com/big",
+          "payload": big},
+         {"warc_type": "resource", "target_uri": "https://e.com/after",
+          "payload": b"tail record"}]
+    )
+    parsed = list(parse_warc(data))
+    assert [r["target_uri"] for r in parsed] == [
+        "https://e.com/big", "https://e.com/after"]
+    assert parsed[0]["payload"] == big
+    assert parsed[1]["payload"] == b"tail record"
+
+
+def test_warc_rebuild_from_parsed_records():
+    # ADVICE r4: parse_warc emits http_content_type=None for resource
+    # records; feeding those dicts back to build_warc must not raise.
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    first = list(parse_warc(build_warc(_warc_records())))
+    rebuilt = build_warc(
+        [{**r, "payload": r["payload"]} for r in first]
+    )
+    second = list(parse_warc(rebuilt))
+    assert [r["target_uri"] for r in second] == [r["target_uri"] for r in first]
+    assert [r["payload"] for r in second] == [r["payload"] for r in first]
