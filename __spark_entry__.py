@@ -711,6 +711,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = _q_pack_sequences
 
+    def _q_bpe_token_counts(s, sf):
+        # distributed BPE train (word-count shuffle + driver merge loop)
+        # + Arrow-batched encode; id_sum checks the actual token ids, not
+        # just their count. Oracle: independent naive trainer + rank-order
+        # encoder replayed in Python, emitted as a VALUES literal.
+        from readur_spark.operators.bpe import (
+            bpe_encode_udf,
+            train_bpe_distributed,
+        )
+
+        docs_df = _docs(s, sf)
+        tok = train_bpe_distributed(docs_df, num_merges=_BPE_MERGES)
+        d = docs_df.select(
+            "doc_id", bpe_encode_udf(tok)(F.col("text")).alias("ids")
+        )
+        return d.select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.aggregate(
+                "ids", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("id_sum"),
+        )
+
+    q["bpe_token_counts"] = _q_bpe_token_counts
+
+    def _q_pack_sequences_bpe(s, sf):
+        # the trainer-faithful packing manifest: same distributed prefix
+        # scan, token counts from the BPE encoder instead of the regex
+        from readur_spark.operators.bpe import (
+            bpe_count_udf,
+            train_bpe_distributed,
+        )
+        from readur_spark.operators.packing import pack_sequences
+
+        docs_df = _docs(s, sf)
+        tok = train_bpe_distributed(docs_df, num_merges=_BPE_MERGES)
+        return pack_sequences(
+            docs_df, seq_len=512, token_counter=bpe_count_udf(tok)
+        )
+
+    q["pack_sequences_bpe"] = _q_pack_sequences_bpe
+
+    def _q_chunk_pack_roundtrip(s, sf):
+        # the actual training-data layout path: chunk -> pack composed
+        # end-to-end, so chunk ids, ordering, and token ranges are checked
+        # as a composition (not just each operator alone). chunk_id packs
+        # (doc_id, chunk_no) into one dense numeric key preserving
+        # doc-then-chunk order.
+        from readur_spark.operators.extract import chunk_texts
+        from readur_spark.operators.packing import pack_sequences
+
+        chunks = chunk_texts(
+            _docs(s, sf), chunk_words=40, overlap_words=8
+        ).select(
+            (F.col("doc_id") * 100000 + F.col("chunk_no")).alias("chunk_id"),
+            F.col("chunk_text").alias("text"),
+        )
+        return pack_sequences(
+            chunks, seq_len=256, id_col="chunk_id", text_col="text"
+        )
+
+    q["chunk_pack_roundtrip"] = _q_chunk_pack_roundtrip
+
     def _q_repetition(s, sf):
         from readur_spark.operators.repetition import repetition_metrics
 
@@ -828,41 +891,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # The driver samples a bounded prefix of the registry (50 rows per
-    # round, insertion order).  Front-load the entries with the fewest /
-    # stalest driver checks so nothing is perpetually sampled out:
-    # event_windowed_metrics has never had a driver row (r1–r3), and the
-    # relational/similarity block was last checked in r02.
+    # round, insertion order). Rotation policy (r4 verdict #4): first the
+    # 27 entries whose last driver row is r03 — led by the two whose code
+    # changed since (dedup_embedding: force_path param;
+    # image_quality_stats: Adam7 branch) — then this round's new queries,
+    # then every query whose implementation files changed this round.
     priority = [
+        # --- stale since r03, changed code first
+        "dedup_embedding",
+        "image_quality_stats",
+        # --- stale since r03, code untouched (dedup/search/facet family)
+        "dedup_exact",
+        "dedup_keep_first",
+        "dedup_ngram_jaccard",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_cluster",
+        "winnow_overlap",
+        "repetition_filters",
+        "split_assign",
+        "sample_weighted",
+        "mix_sources",
+        "facet_lang",
+        "filter_lang",
+        "filter_labels",
+        "facet_tags",
+        "filter_role",
+        "search_ranked_ts",
+        "snippets",
+        "snippets_full",
+        "list_documents",
+        "doc_stats",
+        "sql_search",
+        "extract_binary_roundtrip",
+        "image_ocr_fake",
+        "pdf_ocr_glyph",
+        # --- new this round (r5)
+        "bpe_token_counts",  # distributed BPE train+encode vs naive replay
+        "pack_sequences_bpe",  # trainer-faithful packing manifest
+        "chunk_pack_roundtrip",  # chunk -> pack composition oracle
+        # --- implementation files changed this round (r5)
+        "pack_sequences",  # packing.py: token_counter seam
+        "pack_stats",  # same file
+        "warc_roundtrip",  # warc.py: linear gzip-member parse
+        "dedup_incremental",  # dedup.py: internal fingerprint column
+        "dedup_minhash_incremental",  # dedup.py shared file
+        "semdedup",  # similarity.py: oversized-cluster guard
+        "dsir_weights",  # dsir.py: threshold-based large-k resample
+        "lm_perplexity",  # lm.py: one-pass training
+        "lm_backoff",  # lm.py shared file
+        # --- carried high-value rows
         "event_windowed_metrics",
-        "ann_topk_cosine",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
-        "embedding_quantize",
-        "q1_pricing_summary",
-        "top_customers",
-        "customers_without_orders",
-        "customers_high_value",
-        "revenue_by_nation",
-        "event_type_stats",
-        "user_event_windows",
-        "sessionize",
-        "pack_sequences",  # r03's one red row — re-check the fixed oracle
-        "dedup_ngram_capped",  # new this round: the capped scale config
-        "lm_perplexity",  # new this round: CCNet-style LM filtering
-        "dedup_lines",  # new this round: C4-style boilerplate-line removal
-        "scrub_pii",  # new this round: PII redaction pass
-        "decontaminate_ngrams",  # new this round: 13-gram decon
-        "tfidf_top_terms",  # new this round: corpus-wide tf-idf keywords
-        "warc_roundtrip",  # new this round: Common Crawl WARC ingestion
-        "dedup_incremental",  # new this round: ingest-time history dedup
-        "lm_backoff",  # new this round: trigram Stupid Backoff scoring
-        "dedup_minhash_incremental",  # new this round: batch-vs-history LSH
-        "corpus_stats",  # new this round: ROLLUP composition report
-        "dsir_weights",  # new this round: DSIR importance resampling
-        "semdedup",  # new this round: semantic dedup (Abbas 2023)
-        "pack_stats",  # new this round: per-sequence fill report
-        "dup_spans",  # implementation changed this round (truncation flag)
-        "decontaminate",  # implementation changed this round (marker rows)
+        "dup_spans",
+        "decontaminate",
+        "dedup_ngram_capped",
+        "dedup_lines",
+        "corpus_stats",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -873,6 +957,115 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # DuckDB oracles
 # --------------------------------------------------------------------------
+
+#: merge-table size for the BPE driver queries — large enough that multi-
+#: level merges (merged tokens merging with merged tokens) are exercised
+#: on the sf0.01 corpus, small enough that the naive oracle replay stays
+#: sub-second
+_BPE_MERGES = 200
+
+_BPE_ORACLE_CACHE: dict[tuple, list] = {}
+
+
+def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]]:
+    """(doc_id, n_tokens, id_sum) per document of the sf0.01 corpus,
+    computed by an INDEPENDENT sequential BPE: a naive full-recount
+    trainer and the apply-in-rank-order encoder — different formulations
+    from the production kernel on both axes (incremental pair-count
+    maintenance; greedy lowest-rank loop), per the same public spec:
+    all adjacent positions counted (overlaps included), best = highest
+    count then smallest (a, b) pair, stop below count 2, left-to-right
+    non-overlapping merge application.
+
+    The driver's oracle gate runs at sf0.01 (TESTDATA.md), so the replay
+    reads that parquet directly; like the other corpus-keyed oracles
+    (planted families, df thresholds) this entry is only meaningful at
+    the gate's scale factor."""
+    key = ("sf0.01", num_merges)
+    if key not in _BPE_ORACLE_CACHE:
+        import re
+        from collections import Counter
+
+        import duckdb
+
+        con = duckdb.connect()
+        docs = con.execute(
+            "SELECT doc_id, text FROM "
+            "'/root/testdata/sf0.01/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        con.close()
+        pretok = re.compile(
+            r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+            r"| ?[^\sA-Za-z0-9]+|\s+(?!\S)|\s+"
+        )
+
+        def words_of(text):
+            return [m.group().encode("utf-8") for m in pretok.finditer(text)]
+
+        wf = Counter()
+        for _, text in docs:
+            wf.update(words_of(text or ""))
+        # naive trainer: full recount each iteration
+        table = {w: (tuple(w), c) for w, c in wf.items() if len(w) >= 2}
+        merges = []
+        for step in range(num_merges):
+            counts = Counter()
+            for ids, c in table.values():
+                for p in zip(ids, ids[1:]):
+                    counts[p] += c
+            if not counts:
+                break
+            best_count = max(counts.values())
+            if best_count < 2:
+                break
+            best = min(p for p, c in counts.items() if c == best_count)
+            merges.append(best)
+            new_id = 256 + step
+            nxt = {}
+            for w, (ids, c) in table.items():
+                lst, i = [], 0
+                while i < len(ids):
+                    if i + 1 < len(ids) and (ids[i], ids[i + 1]) == best:
+                        lst.append(new_id)
+                        i += 2
+                    else:
+                        lst.append(ids[i])
+                        i += 1
+                nxt[w] = (tuple(lst), c)
+            table = nxt
+
+        # rank-order encoder, memoized per distinct word
+        word_cache: dict[bytes, list[int]] = {}
+
+        def encode_word(w: bytes) -> list[int]:
+            got = word_cache.get(w)
+            if got is None:
+                ids = list(w)
+                for rank, (a, b) in enumerate(merges):
+                    new_id = 256 + rank
+                    lst, i = [], 0
+                    while i < len(ids):
+                        if i + 1 < len(ids) and ids[i] == a and ids[i + 1] == b:
+                            lst.append(new_id)
+                            i += 2
+                        else:
+                            lst.append(ids[i])
+                            i += 1
+                    ids = lst
+                got = word_cache[w] = ids
+            return got
+
+        rows = []
+        for doc_id, text in docs:
+            n = tot = 0
+            for w in words_of(text or ""):
+                ids = encode_word(w)
+                n += len(ids)
+                tot += sum(ids)
+            rows.append((int(doc_id), n, tot))
+        _BPE_ORACLE_CACHE[key] = rows
+    return _BPE_ORACLE_CACHE[key]
+
 
 #: planted boilerplate family for dedup_ngram_capped — tokens chosen so no
 #: 3-gram collides with the synthetic corpus vocabulary
@@ -1731,6 +1924,103 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(n_tokens) * 1.0 / 512, 6) AS fill_ratio "
         "FROM manifest GROUP BY seq_id"
     )
+
+    # bpe_token_counts / pack_sequences_bpe: BPE is not SQL-expressible,
+    # so the oracle replays an INDEPENDENT sequential implementation
+    # (naive full-recount trainer + rank-order encoder — see
+    # _bpe_oracle_rows) and ships its per-doc results as a VALUES literal;
+    # the packing window then runs relationally over those counts exactly
+    # like o["pack_sequences"] does over the regex counts.
+    try:
+        _bpe_rows = _bpe_oracle_rows()
+        _bpe_values = ", ".join(
+            f"({d}, {n}, {s})" for d, n, s in _bpe_rows
+        )
+        o["bpe_token_counts"] = (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS id_sum "
+            f"FROM (VALUES {_bpe_values}) AS v(doc_id, n, s)"
+        )
+        o["pack_sequences_bpe"] = f"""
+            WITH t AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n
+              FROM (VALUES {_bpe_values}) AS v(doc_id, n, s)
+            ),
+            c AS (
+              SELECT doc_id, n,
+                     sum(n) OVER (ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - n AS gstart
+              FROM t WHERE n > 0
+            )
+            SELECT s.seq AS seq_id,
+                   c.doc_id,
+                   CAST(greatest(c.gstart, s.seq * 512) - c.gstart
+                        AS BIGINT) AS tok_start,
+                   CAST(least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart
+                        AS BIGINT) AS tok_end,
+                   CAST(least(c.gstart + c.n, (s.seq + 1) * 512)
+                        - greatest(c.gstart, s.seq * 512) AS BIGINT) AS n_tokens
+            FROM c, LATERAL (
+              SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
+                                            CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
+            ) s
+        """
+    except Exception:
+        # oracle replay unavailable (no sf0.01 parquet on this host):
+        # omit the entries — the driver records the weaker rows-only check
+        pass
+
+    # chunk_pack_roundtrip: chunk (40/8) -> pack (256) composed
+    # relationally: the chunk oracle's word windows feed the same regex
+    # token counts + global packing window, keyed by the composite
+    # chunk_id = doc_id * 100000 + chunk_no
+    o["chunk_pack_roundtrip"] = r"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x != '') AS words
+          FROM documents
+        ),
+        nc AS (
+          SELECT doc_id, words,
+                 CASE WHEN len(words) = 0 THEN 0
+                      ELSE 1 + CAST(ceil(greatest(len(words) - 40, 0) / 32.0) AS INT)
+                 END AS nc
+          FROM base
+        ),
+        chunks AS (
+          SELECT doc_id * 100000 + i AS chunk_id,
+                 array_to_string(words[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text
+          FROM nc, unnest(range(nc)) AS t(i)
+          WHERE nc > 0
+        ),
+        t AS (
+          SELECT chunk_id,
+                 CAST(len(regexp_extract_all(chunk_text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+          FROM chunks
+        ),
+        c AS (
+          SELECT chunk_id, n,
+                 sum(n) OVER (ORDER BY chunk_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS gstart
+          FROM t WHERE n > 0
+        )
+        SELECT s.seq AS seq_id,
+               c.chunk_id,
+               CAST(greatest(c.gstart, s.seq * 256) - c.gstart
+                    AS BIGINT) AS tok_start,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 256) - c.gstart
+                    AS BIGINT) AS tok_end,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 256)
+                    - greatest(c.gstart, s.seq * 256) AS BIGINT) AS n_tokens
+        FROM c, LATERAL (
+          SELECT unnest(generate_series(CAST(c.gstart // 256 AS BIGINT),
+                                        CAST((c.gstart + c.n - 1) // 256 AS BIGINT))) AS seq
+        ) s
+    """
 
     # repetition_filters: the Gopher repetition family mirrored relationally
     # (dup lines/paragraphs + top-n-gram coverage, cnt>1 only, clamped ≤1)

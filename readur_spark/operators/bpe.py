@@ -1,0 +1,205 @@
+"""Distributed BPE: corpus-scale training and Arrow-batched encoding.
+
+Training at 100 TB decomposes into
+1. ONE corpus pass building the pre-token frequency table — a
+   map-side-combining shuffle on the word bytes (Counters inside
+   ``mapInPandas`` pre-aggregate each Arrow batch before anything
+   shuffles, so the exchange carries distinct words per task, not
+   tokens);
+2. the merge loop over that table. Two interchangeable paths:
+   * **driver path (default)** — TakeOrdered the top ``max_words`` rows
+     (deterministic: count desc, word asc) and run the incremental
+     sequential trainer (kernels/bpe.py). The word table of even a web
+     corpus is Zipf-bounded (~10^7 distinct pre-tokens dominate all
+     mass); truncation is SURFACED in ``train_stats`` (words kept /
+     total, mass coverage), never silent.
+   * **Spark-loop path** (``train_bpe_spark_loop``) — each merge is one
+     groupBy over exploded adjacent pairs + one Arrow-batched merge
+     application; use when the word table genuinely cannot sit on the
+     driver. Equality-tested against the driver path.
+
+Encoding is embarrassingly parallel (merges never cross pre-token
+boundaries), so it ships as pandas UDFs closing over the pickled merge
+table — no join, no shuffle, no driver involvement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from readur_spark.kernels.bpe import BpeTokenizer, train_bpe, word_counts
+
+
+def word_count_table(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word binary, count long) pre-token frequencies of the corpus.
+    One shuffle; the per-batch Counter is the map-side combine."""
+    def run(batches):
+        for pdf in batches:
+            wc = word_counts(t for t in pdf[text_col] if t is not None)
+            yield pd.DataFrame(
+                {"word": list(wc.keys()), "count": list(wc.values())}
+            )
+
+    partial = docs.select(text_col).mapInPandas(run, "word binary, count long")
+    return partial.groupBy("word").agg(F.sum("count").alias("count"))
+
+
+def train_bpe_distributed(
+    docs: DataFrame,
+    num_merges: int = 256,
+    text_col: str = "text",
+    max_words: int = 1_000_000,
+) -> BpeTokenizer:
+    """Corpus pass distributed, merge loop on the bounded top-``max_words``
+    word table (count desc, word asc — a deterministic cut). The returned
+    tokenizer carries ``train_stats``:
+
+    * ``words_total`` / ``words_used`` — truncation visibility;
+    * ``mass_total`` / ``mass_used`` — token-occurrence coverage of the
+      kept table (Zipf puts this near 1.0 long before 10^6 words).
+    """
+    wc = word_count_table(docs, text_col).persist()
+    try:
+        totals = wc.agg(
+            F.count("*").alias("n"), F.sum("count").alias("mass")
+        ).collect()[0]
+        top = (
+            wc.orderBy(F.desc("count"), F.asc("word"))
+            .limit(max_words)
+            .collect()
+        )
+    finally:
+        wc.unpersist()
+    freqs = {bytes(r["word"]): int(r["count"]) for r in top}
+    tok = BpeTokenizer(train_bpe(freqs, num_merges))
+    tok.train_stats = {
+        "words_total": int(totals["n"] or 0),
+        "words_used": len(freqs),
+        "mass_total": int(totals["mass"] or 0),
+        "mass_used": sum(freqs.values()),
+    }
+    return tok
+
+
+def train_bpe_spark_loop(
+    word_table: DataFrame,
+    num_merges: int,
+    checkpoint_every: int = 8,
+) -> list[tuple[int, int]]:
+    """Merge loop entirely on executors, for word tables too large to
+    TakeOrdered. ``word_table`` is (word binary, count long); each
+    iteration = one pair-count groupBy (all adjacent positions, overlaps
+    included, weighted by count) + one Arrow-batched merge application on
+    the rows containing the winning pair. Lineage is cut with eager
+    localCheckpoint every ``checkpoint_every`` merges so the plan stays
+    O(checkpoint interval), not O(num_merges).
+
+    Deterministic tie-break matches the sequential trainer: highest
+    count, then smallest (a, b). Stops early when the best pair count
+    drops below 2."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    words = word_table.select(
+        F.transform(
+            # binary -> array<int>, one byte per element; Java split keeps
+            # a trailing empty element at limit -1 — drop it
+            F.filter(
+                F.split(F.hex("word"), "(?<=\\G..)"), lambda h: h != ""
+            ),
+            lambda h: F.conv(h, 16, 10).cast("int"),
+        ).alias("ids"),
+        F.col("count"),
+    ).filter(F.size("ids") >= 2)
+    words = last_ckpt = words.localCheckpoint(eager=True)
+
+    merges: list[tuple[int, int]] = []
+    for step in range(num_merges):
+        pairs = words.select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("ids", 1, F.size("ids") - 1).alias("a"),
+                    F.slice("ids", 2, F.size("ids") - 1).alias("b"),
+                )
+            ).alias("p"),
+            "count",
+        ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "count")
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("count").alias("c"))
+            .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best or int(best[0]["c"]) < 2:
+            break
+        a, b = int(best[0]["a"]), int(best[0]["b"])
+        new_id = 256 + step
+        merges.append((a, b))
+
+        @F.pandas_udf(ArrayType(IntegerType()))
+        def apply_merge(col: pd.Series) -> pd.Series:
+            def one(ids):
+                out = []
+                i, n = 0, len(ids)
+                while i < n:
+                    if i + 1 < n and ids[i] == a and ids[i + 1] == b:
+                        out.append(new_id)
+                        i += 2
+                    else:
+                        out.append(int(ids[i]))
+                        i += 1
+                return out
+
+            return col.map(one)
+
+        has_pair = F.exists(
+            F.arrays_zip(
+                F.slice("ids", 1, F.size("ids") - 1).alias("x"),
+                F.slice("ids", 2, F.size("ids") - 1).alias("y"),
+            ),
+            lambda s: (s["x"] == a) & (s["y"] == b),
+        )
+        words = words.withColumn(
+            "ids", F.when(has_pair, apply_merge("ids")).otherwise(F.col("ids"))
+        )
+        if (step + 1) % checkpoint_every == 0:
+            nxt = words.localCheckpoint(eager=True)
+            # free the superseded checkpoint's executor blocks; nxt no
+            # longer references them (its lineage was truncated)
+            from readur_spark.plans.curation import _release_checkpoint
+
+            _release_checkpoint(last_ckpt)
+            words = last_ckpt = nxt
+    return merges
+
+
+def bpe_count_udf(tokenizer: BpeTokenizer):
+    """Factory: a Column -> Column pandas-UDF counting BPE tokens — the
+    shape ``pack_sequences(token_counter=...)`` takes. Null text counts
+    0 (matching word_count_col's empty semantics)."""
+    from pyspark.sql.types import LongType
+
+    merges = tokenizer.merges
+
+    @F.pandas_udf(LongType())
+    def count_tokens(texts: pd.Series) -> pd.Series:
+        tok = BpeTokenizer(merges)  # fresh per-worker memo cache
+        return texts.map(lambda t: 0 if t is None else tok.count(t))
+
+    return count_tokens
+
+
+def bpe_encode_udf(tokenizer: BpeTokenizer):
+    """Factory: a Column -> Column pandas-UDF producing array<int> ids."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    merges = tokenizer.merges
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def encode_tokens(texts: pd.Series) -> pd.Series:
+        tok = BpeTokenizer(merges)
+        return texts.map(lambda t: [] if t is None else tok.encode(t))
+
+    return encode_tokens

@@ -45,6 +45,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_buckets: int | None = None,
+    token_counter=None,
 ) -> DataFrame:
     """Packing manifest: (seq_id, doc_id, tok_start, tok_end, n_tokens)
     with ``tok_start``/``tok_end`` the half-open within-document token
@@ -61,17 +62,26 @@ def pack_sequences(
       order (any fixed order is a valid packing order), and hash keys are
       uniform so the buckets are balanced by construction. The hash→bucket
       map is monotone in the hash, so cross-bucket prefix sums stay exact.
+
+    ``token_counter`` overrides the default regex token count with any
+    Column -> Column counter — in particular
+    :func:`readur_spark.operators.bpe.bpe_count_udf` for trainer-faithful
+    BPE token counts (the manifest then measures exactly what a loader
+    materializing BPE-tokenized sequences will see). The counter runs in
+    the same fused scan stage; everything downstream is unchanged.
     """
     import pyspark.sql.types as T
 
     spark = docs.sparkSession
+    if token_counter is None:
+        token_counter = token_count_col
     numeric_id = isinstance(docs.schema[id_col].dataType, T.NumericType)
     id_type = docs.schema[id_col].dataType.simpleString()
     key = F.col(id_col) if numeric_id else F.xxhash64(id_col)
     base = docs.select(
         F.col(id_col).alias("id"),
         key.alias("key"),
-        token_count_col(F.col(text_col)).alias("n"),
+        token_counter(F.col(text_col)).cast("long").alias("n"),
     ).filter(F.col("n") > 0)
     if num_buckets is None:
         num_buckets = spark.sparkContext.defaultParallelism

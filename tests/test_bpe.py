@@ -1,0 +1,278 @@
+"""Byte-level BPE: golden merges, reference equivalences, Spark parity.
+
+The kernel's contracts are pinned three ways:
+* hand-computed golden merges on tiny corpora;
+* the fast incremental trainer vs a NAIVE full-recount trainer written
+  here (independent formulation of the same spec);
+* the greedy lowest-rank encoder vs the apply-in-rank-order encoder
+  (the classical equivalence) — also written here, independently.
+"""
+
+from collections import Counter
+
+import pytest
+
+from readur_spark.kernels.bpe import (
+    BpeTokenizer,
+    pretokenize,
+    train_bpe,
+    train_bpe_from_texts,
+    word_counts,
+)
+
+
+# ---------------------------------------------------------------- naive refs
+def naive_train(word_freqs: dict[bytes, int], num_merges: int):
+    """Full recount every iteration — O(merges x corpus), obviously correct."""
+    words = {w: (tuple(w), c) for w, c in word_freqs.items() if len(w) >= 2}
+    merges = []
+    for step in range(num_merges):
+        counts = Counter()
+        for ids, c in words.values():
+            for p in zip(ids, ids[1:]):
+                counts[p] += c
+        if not counts:
+            break
+        best_count = max(counts.values())
+        if best_count < 2:
+            break
+        best = min(p for p, c in counts.items() if c == best_count)
+        merges.append(best)
+        new_id = 256 + step
+        out = {}
+        for w, (ids, c) in words.items():
+            lst, i = [], 0
+            while i < len(ids):
+                if i + 1 < len(ids) and (ids[i], ids[i + 1]) == best:
+                    lst.append(new_id)
+                    i += 2
+                else:
+                    lst.append(ids[i])
+                    i += 1
+            out[w] = (tuple(lst), c)
+        words = out
+    return merges
+
+
+def rank_order_encode(text: str, merges) -> list[int]:
+    """Apply rules strictly in learned order — the other classical
+    encoder formulation; must equal the greedy lowest-rank loop."""
+    out = []
+    for w in pretokenize(text):
+        ids = list(w)
+        for rank, (a, b) in enumerate(merges):
+            new_id = 256 + rank
+            lst, i = [], 0
+            while i < len(ids):
+                if i + 1 < len(ids) and ids[i] == a and ids[i + 1] == b:
+                    lst.append(new_id)
+                    i += 2
+                else:
+                    lst.append(ids[i])
+                    i += 1
+            ids = lst
+        out.extend(ids)
+    return out
+
+
+# ------------------------------------------------------------------- kernel
+def test_pretokenize_gpt2_shapes():
+    assert pretokenize("Hello world") == [b"Hello", b" world"]
+    assert pretokenize("it's 42!") == [b"it", b"'s", b" 42", b"!"]
+    assert pretokenize("a  b") == [b"a", b" ", b" b"]
+    assert pretokenize("tab\tend\n") == [b"tab", b"\t", b"end", b"\n"]
+    assert pretokenize("") == []
+    # unicode: non-ASCII letters fall to the punctuation-run branch as
+    # UTF-8 bytes — lossless, merges can still learn them
+    assert b"".join(pretokenize("café x")) == "café x".encode()
+
+
+def test_golden_merges_tiny_corpus():
+    # corpus: 'aaab' x3, 'ab' x2  (as raw words)
+    wf = {b"aaab": 3, b"ab": 2}
+    merges = train_bpe(wf, 3)
+    # pair counts: (a,a): 2 per 'aaab' x3 = 6; (a,b): 1x3 + 1x2 = 5
+    assert merges[0] == (97, 97)  # 'aa'
+    # after merge0: 'aaab' -> (256, 97, 98); pairs (256,97):3 (97,98):5
+    assert merges[1] == (97, 98)  # 'ab'
+    # after merge1: (256, 257) x3 and (257,) x2 -> best (256, 257): 3
+    assert merges[2] == (256, 257)
+
+
+def test_incremental_trainer_equals_naive_recount():
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "concatenate the catalogue",
+        "statistics about cats and hats",
+        "999 cats, 42 hats -- really?!",
+    ] * 3
+    wf = word_counts(texts)
+    fast = train_bpe(wf, 40)
+    slow = naive_train(dict(wf), 40)
+    assert fast == slow
+
+
+def test_trainer_early_stop_when_nothing_repeats():
+    merges = train_bpe({b"ab": 1, b"cd": 1}, 10)
+    assert merges == []  # every pair occurs once
+
+
+def test_greedy_encoder_equals_rank_order_encoder():
+    texts = [
+        "she sells sea shells by the sea shore",
+        "the shells she sells are sea shells",
+        "I'm sure she'll sell seashore shells (99% sure!)",
+    ]
+    tok = train_bpe_from_texts(texts, 60)
+    for t in texts + ["unseen shoreline sells", ""]:
+        assert tok.encode(t) == rank_order_encode(t, tok.merges), t
+
+
+def test_encode_decode_roundtrip_lossless():
+    tok = train_bpe_from_texts(["hello world, how are you?"] * 4, 30)
+    for t in [
+        "hello world",
+        "how are you today? fine!",
+        "café — naïve 中文",
+        "",
+    ]:
+        assert tok.decode(tok.encode(t)) == t
+
+
+def test_count_matches_encode_len_and_compresses():
+    texts = ["the quick brown fox jumps over the lazy dog"] * 5
+    tok = train_bpe_from_texts(texts, 50)
+    t = texts[0]
+    ids = tok.encode(t)
+    assert tok.count(t) == len(ids)
+    assert len(ids) < len(t.encode())  # merges actually compress
+    assert max(ids) >= 256  # learned tokens in use
+
+
+def test_serialization_roundtrip():
+    tok = train_bpe_from_texts(["serialize me twice, carefully"] * 3, 20)
+    back = BpeTokenizer.from_lines(tok.to_lines())
+    assert back.merges == tok.merges
+    assert back.encode("serialize me") == tok.encode("serialize me")
+
+
+def test_merges_never_cross_pretoken_boundaries():
+    # ' a' repeated: the space belongs to the pre-token, so a merge CAN
+    # include it, but nothing merges across 'x y' word boundaries: encoding
+    # a concatenation equals concatenating encodings of the pre-tokens
+    tok = train_bpe_from_texts(["word soup word soup word soup"] * 3, 30)
+    text = "word soup word"
+    ids = []
+    for w in pretokenize(text):
+        ids.extend(tok._encode_word(w))
+    assert tok.encode(text) == ids
+
+
+# ------------------------------------------------------------------ spark
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    texts = [
+        "the cat sat on the mat",
+        "the bat and the cat chat",
+        "concatenate the catalogue",
+        "statistics about cats and hats",
+        "the shells she sells are sea shells",
+        "999 cats, 42 hats -- really?!",
+    ] * 4
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_word_count_table_matches_sequential(spark, corpus_df):
+    from readur_spark.operators.bpe import word_count_table
+
+    got = {
+        bytes(r["word"]): r["count"]
+        for r in word_count_table(corpus_df).collect()
+    }
+    want = word_counts([r["text"] for r in corpus_df.collect()])
+    assert got == dict(want)
+
+
+def test_train_bpe_distributed_equals_sequential(spark, corpus_df):
+    from readur_spark.operators.bpe import train_bpe_distributed
+
+    tok = train_bpe_distributed(corpus_df, num_merges=40)
+    seq = train_bpe_from_texts(
+        [r["text"] for r in corpus_df.collect()], 40
+    )
+    assert tok.merges == seq.merges
+    st = tok.train_stats
+    assert st["words_used"] == st["words_total"]  # no truncation here
+    assert st["mass_used"] == st["mass_total"]
+
+
+def test_train_bpe_distributed_truncation_surfaced(spark, corpus_df):
+    from readur_spark.operators.bpe import train_bpe_distributed
+
+    tok = train_bpe_distributed(corpus_df, num_merges=5, max_words=10)
+    st = tok.train_stats
+    assert st["words_used"] == 10 < st["words_total"]
+    assert st["mass_used"] < st["mass_total"]
+
+
+def test_train_bpe_spark_loop_equals_sequential(spark, corpus_df):
+    from readur_spark.operators.bpe import (
+        train_bpe_spark_loop,
+        word_count_table,
+    )
+
+    merges = train_bpe_spark_loop(
+        word_count_table(corpus_df), num_merges=12, checkpoint_every=4
+    )
+    seq = train_bpe(
+        word_counts([r["text"] for r in corpus_df.collect()]), 12
+    )
+    assert merges == seq
+
+
+def test_bpe_udfs_match_kernel(spark, corpus_df):
+    from readur_spark.operators.bpe import (
+        bpe_count_udf,
+        bpe_encode_udf,
+        train_bpe_distributed,
+    )
+    from pyspark.sql import functions as F
+
+    tok = train_bpe_distributed(corpus_df, num_merges=30)
+    out = corpus_df.select(
+        "doc_id",
+        "text",
+        bpe_count_udf(tok)(F.col("text")).alias("n"),
+        bpe_encode_udf(tok)(F.col("text")).alias("ids"),
+    ).collect()
+    for r in out:
+        assert r["n"] == tok.count(r["text"])
+        assert list(r["ids"]) == tok.encode(r["text"])
+        assert r["n"] == len(r["ids"])
+
+
+def test_pack_sequences_with_bpe_counter(spark, corpus_df):
+    from readur_spark.operators.bpe import bpe_count_udf, train_bpe_distributed
+    from readur_spark.operators.packing import pack_sequences
+
+    tok = train_bpe_distributed(corpus_df, num_merges=30)
+    manifest = pack_sequences(
+        corpus_df, seq_len=16, token_counter=bpe_count_udf(tok)
+    ).collect()
+    counts = {
+        r["doc_id"]: tok.count(r["text"]) for r in corpus_df.collect()
+    }
+    # per-doc token mass in the manifest == BPE count
+    per_doc = {}
+    for r in manifest:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+    assert per_doc == {k: v for k, v in counts.items() if v > 0}
+    # global stream: every sequence except the last holds exactly 16
+    per_seq = {}
+    for r in manifest:
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    last = max(per_seq)
+    assert all(v == 16 for s, v in per_seq.items() if s != last)
