@@ -140,16 +140,33 @@ def dsir_resample(
     temperature: float = 1.0,
     salt: str = "dsir-resample-v1",
     id_col: str = "doc_id",
+    driver_topk_max: int = 100_000,
+    boundary_band: int = 500_000,
     **kwargs,
 ) -> DataFrame:
     """Top-``k`` weighted sample without replacement via the Gumbel-top-k
     trick: key = log_w/temperature + Gumbel(u) with u the deterministic
     salted-md5 uniform — so the selected set is a pure function of
-    (corpus, salt), re-run-stable, and needs only a distributed top-k
-    (TakeOrdered — no global sort). ``temperature`` > 1 flattens toward
+    (corpus, salt) and re-run-stable. ``temperature`` > 1 flattens toward
     uniform; small positive values approach deterministic top-k by
     weight (``temperature`` must be > 0 — at exactly 0 the key division
-    would silently produce ±Inf ties and select by id instead)."""
+    would silently produce ±Inf ties and select by id instead).
+
+    Selection is size-dispatched (r4 verdict #3 — DSIR's real use picks
+    10^8–10^9 documents, a set no single point should hold):
+
+    * ``k <= driver_topk_max`` — TakeOrdered top-k (shuffle-free, one
+      bounded k-row limit).
+    * larger ``k`` — threshold selection: ``approxQuantile`` brackets the
+      k-th largest gumbel key with a rank error chosen so the bracket
+      band holds ~``boundary_band`` rows; everything strictly above the
+      upper bracket is selected by a DISTRIBUTED FILTER (exact count,
+      one scalar to the driver), and the remaining ``k - count`` slots
+      are filled from the bounded band in exact (key desc, id asc)
+      order. The selected set is IDENTICAL to the TakeOrdered answer
+      (equality-tested at small scale); no k-row limit appears anywhere
+      in the plan — tests/test_dsir.py asserts the plan shape.
+    """
     if temperature <= 0:
         raise ValueError(
             f"temperature must be > 0, got {temperature} "
@@ -162,10 +179,60 @@ def dsir_resample(
         F.greatest(u, F.lit(1e-12)), F.lit(1.0 - 1e-12)
     )
     gumbel = -F.log(-F.log(safe_u))
-    keyed = weights.withColumn(
-        "gumbel_key", F.col("log_w") / F.lit(float(temperature)) + gumbel
+    # weights is executor-checkpointed by dsir_weights, so every pass
+    # below re-reads stored blocks, never the corpus tokenize
+    keyed = weights.select(
+        id_col,
+        (F.col("log_w") / F.lit(float(temperature)) + gumbel).alias(
+            "gumbel_key"
+        ),
     )
-    picked = keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col)).limit(k).select(
-        id_col, "log_w"
+    if k <= driver_topk_max:
+        picked = (
+            keyed.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+            .limit(k)
+            .select(id_col)
+        )
+        return raw.join(picked, id_col, "left_semi")
+
+    n = keyed.count()
+    if k >= n:
+        return raw.join(keyed.select(id_col), id_col, "left_semi")
+    # rank error sized so the [lo_q, hi_q] bracket spans ~boundary_band
+    # rows; approxQuantile guarantees rank error <= err * n
+    err = max(1e-6, min(0.01, boundary_band / (4.0 * n)))
+    q = 1.0 - k / n
+    hi_q = min(1.0, q + 2.0 * err)
+    lo_q = max(0.0, q - 2.0 * err)
+    lo, hi = keyed.stat.approxQuantile("gumbel_key", [lo_q, hi_q], err)
+    c_hi = keyed.filter(F.col("gumbel_key") > hi).count()
+    widen = 0
+    while c_hi > k and widen < 3:
+        # sketch guarantee violated (shouldn't happen at the documented
+        # err): push the upper bracket further up and recount
+        widen += 1
+        hi_q = min(1.0, hi_q + 2.0 * err)
+        hi = keyed.stat.approxQuantile("gumbel_key", [hi_q], err)[0]
+        c_hi = keyed.filter(F.col("gumbel_key") > hi).count()
+    if c_hi > k:
+        raise RuntimeError(
+            "dsir_resample: approxQuantile bracket failed to cover the "
+            f"k-th key after widening (k={k}, c_hi={c_hi}); rerun with a "
+            "larger boundary_band"
+        )
+    need = k - c_hi
+    sure = keyed.filter(F.col("gumbel_key") > hi).select(id_col)
+    band = keyed.filter(
+        (F.col("gumbel_key") <= hi) & (F.col("gumbel_key") > lo)
     )
+    if c_hi + band.count() < k:
+        # lower bracket cut too high (same violated-guarantee case):
+        # conservatively take the whole tail as the band
+        band = keyed.filter(F.col("gumbel_key") <= hi)
+    boundary = (
+        band.orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(need)
+        .select(id_col)
+    )
+    picked = sure.unionByName(boundary)
     return raw.join(picked, id_col, "left_semi")

@@ -308,10 +308,13 @@ def dequantize_int8(
 def semdedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cluster_size: int = 5000,
+    max_cluster_size: int = 20_000,
+    max_split_depth: int = 3,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication — k-means the
     embedding space, then within each cluster keep ONE representative per
@@ -324,19 +327,115 @@ def semdedup(
     feeding one Arrow ``applyInPandas`` pass that runs the deterministic
     greedy leader scan per cluster: ids ascending, drop any vector whose
     cosine to an already-kept vector exceeds ``threshold`` (chunked
-    matmul against the kept set — never a full pairwise matrix). Pick
-    ``n_clusters`` ≈ corpus/5k so clusters fit an executor; the paper's
-    keep-first-by-order rule is used with id order so re-runs and the
-    oracle replay are byte-identical.
+    matmul against the kept set — never a full pairwise matrix). The
+    paper's keep-first-by-order rule is used with id order so re-runs and
+    the oracle replay are byte-identical.
 
-    Returns the KEPT rows of ``embeddings`` (same schema)."""
+    Scale guards (r4 verdict #2 — a whole cluster's embedding matrix must
+    fit one executor, so oversized clusters are never processed whole):
+
+    * ``n_clusters=None`` auto-derives ``ceil(count/target_cluster_size)``
+      from one cheap ``count()`` — the paper's clusters ≈ corpus/5k rule
+      enforced, not just documented.
+    * Any cluster above ``max_cluster_size`` is recursively RE-SPLIT by a
+      salted sub-k-means (deterministic: seed mixed with depth + cluster
+      id CRC), up to ``max_split_depth`` times; clusters still oversized
+      at the cap (e.g. one giant exact-duplicate ball, where k-means
+      can't separate anything) get a forced balanced hash split.
+    * Survivors of every split cluster then get a SECOND greedy pass as
+      one group, so duplicates that straddled a split boundary still
+      collapse — for duplicate-heavy clusters the final kept set equals
+      the unsplit answer (tests/test_similarity.py pins this).
+    * If even the survivor set exceeds ``max_cluster_size`` (a genuinely
+      diverse mega-cluster), the second pass is skipped and those rows are
+      SURFACED with ``oversized_split=true`` — cross-split near-dups may
+      survive there; never a silent cap, never an OOM.
+
+    Returns the KEPT rows of ``embeddings`` plus an ``oversized_split``
+    boolean column (false everywhere when no guard fired)."""
+    import math
+    import zlib
+
     import numpy as np
     import pandas as pd
+    import pyspark.sql.types as T
+
+    if n_clusters is None:
+        n_clusters = max(
+            1, math.ceil(embeddings.count() / target_cluster_size)
+        )
 
     assigned, _cents = ivf_assign(
         embeddings, n_centroids=n_clusters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    work = assigned.withColumn("gid", F.col("cluster").cast("string")).drop(
+        "cluster"
+    )
+
+    def oversized(df: DataFrame) -> list[tuple[str, int]]:
+        # ONE row per group — metadata scale, never corpus scale
+        return [
+            (r["gid"], int(r["n"]))
+            for r in df.groupBy("gid")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > max_cluster_size)
+            .collect()
+        ]
+
+    split_roots: set[str] = set()
+    over = oversized(work)
+    for depth in range(max_split_depth):
+        if not over:
+            break
+        parts = [work.filter(~F.col("gid").isin([g for g, _ in over]))]
+        for g, n in over:
+            split_roots.add(g.split("/", 1)[0].split("#", 1)[0])
+            sub = work.filter(F.col("gid") == g).drop("gid")
+            k = max(2, math.ceil(n / target_cluster_size))
+            sub_seed = (
+                seed + 7919 * (depth + 1) + zlib.crc32(g.encode())
+            ) % (2**31)
+            sub_assigned, _ = ivf_assign(
+                sub, n_centroids=k, seed=sub_seed,
+                id_col=id_col, vec_col=vec_col,
+            )
+            parts.append(
+                sub_assigned.withColumn(
+                    "gid",
+                    F.concat_ws(
+                        "/", F.lit(g), F.col("cluster").cast("string")
+                    ),
+                ).drop("cluster")
+            )
+        work = parts[0]
+        for p in parts[1:]:
+            work = work.unionByName(p)
+        # guard path only: cut the union lineage before the next round
+        work = work.localCheckpoint(eager=True)
+        over = oversized(work)
+    if over:
+        # depth cap reached with groups k-means cannot separate (identical
+        # vectors collapse to one centroid): forced balanced hash split
+        for g, _ in over:
+            split_roots.add(g.split("/", 1)[0].split("#", 1)[0])
+        kmap = {
+            g: max(2, math.ceil(n / target_cluster_size)) for g, n in over
+        }
+        k_col = F.create_map(
+            *[F.lit(x) for kv in kmap.items() for x in kv]
+        )[F.col("gid")]
+        work = work.withColumn(
+            "gid",
+            F.when(
+                k_col.isNotNull(),
+                F.concat_ws(
+                    "#",
+                    F.col("gid"),
+                    F.pmod(F.xxhash64(F.col(id_col)), k_col).cast("string"),
+                ),
+            ).otherwise(F.col("gid")),
+        )
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf[id_col].to_numpy().argsort(kind="stable")
@@ -360,9 +459,59 @@ def semdedup(
             kept_idx.append(i)
             buf[m] = unit[i]
             m += 1
-        return pdf.iloc[order[kept_idx]].drop(columns=["cluster"])
+        return pdf.iloc[order[kept_idx]]
 
-    out_schema = embeddings.schema
-    return assigned.groupBy("cluster").applyInPandas(
-        lambda pdf: prune(pdf), schema=out_schema
+    gid_schema = T.StructType(
+        list(embeddings.schema.fields)
+        + [T.StructField("gid", T.StringType())]
     )
+    pruned = work.groupBy("gid").applyInPandas(
+        lambda pdf: prune(pdf), schema=gid_schema
+    )
+    base_cols = [f.name for f in embeddings.schema.fields]
+
+    if not split_roots:
+        return pruned.select(
+            *base_cols, F.lit(False).alias("oversized_split")
+        )
+
+    # survivor pass: regroup each split cluster's survivors and re-prune
+    # them as ONE group when they fit — boundary-straddling duplicates
+    # collapse here. Residually-huge survivor sets skip it, flagged.
+    root = F.split_part(F.col("gid"), F.lit("/"), F.lit(1))
+    root = F.split_part(root, F.lit("#"), F.lit(1))
+    pruned = pruned.withColumn("root", root).localCheckpoint(eager=True)
+    roots = sorted(split_roots)
+    surv = {
+        r["root"]: int(r["n"])
+        for r in pruned.filter(F.col("root").isin(roots))
+        .groupBy("root")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    refit = sorted(g for g, n in surv.items() if n <= max_cluster_size)
+    residual = sorted(set(surv) - set(refit))
+
+    out = pruned.filter(~F.col("root").isin(roots)).select(
+        *base_cols, F.lit(False).alias("oversized_split")
+    )
+    if refit:
+        root_schema = T.StructType(
+            list(gid_schema.fields) + [T.StructField("root", T.StringType())]
+        )
+        second = (
+            pruned.filter(F.col("root").isin(refit))
+            .withColumn("gid", F.col("root"))
+            .groupBy("gid")
+            .applyInPandas(lambda pdf: prune(pdf), schema=root_schema)
+        )
+        out = out.unionByName(
+            second.select(*base_cols, F.lit(False).alias("oversized_split"))
+        )
+    if residual:
+        out = out.unionByName(
+            pruned.filter(F.col("root").isin(residual)).select(
+                *base_cols, F.lit(True).alias("oversized_split")
+            )
+        )
+    return out

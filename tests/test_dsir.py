@@ -92,3 +92,51 @@ def test_dsir_self_target_gives_zero_weights(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     rows = dsir_weights(docs, docs, num_buckets=1024).collect()
     assert rows and all(r["log_w"] == 0.0 for r in rows)
+
+
+def test_resample_threshold_path_equals_takeordered(spark):
+    """r4 verdict #3: above driver_topk_max the selection switches to
+    approxQuantile threshold + bounded boundary band; the selected set
+    must be IDENTICAL to the TakeOrdered answer."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 5 == 0)
+    for k in (7, 40, 150):
+        small = {
+            r["doc_id"]
+            for r in dsir_resample(
+                docs, tgt, k=k, num_buckets=1024,
+                driver_topk_max=10**9,
+            ).collect()
+        }
+        large = {
+            r["doc_id"]
+            for r in dsir_resample(
+                docs, tgt, k=k, num_buckets=1024,
+                driver_topk_max=0, boundary_band=64,
+            ).collect()
+        }
+        assert large == small, (k, sorted(large ^ small))
+        assert len(large) == k
+
+
+def test_resample_threshold_path_has_no_k_row_limit(spark):
+    """The large-k plan must contain no k-row limit / TakeOrdered over
+    the keyed corpus — only the bounded boundary-band limit (< k)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    tgt = docs.filter(F.col("doc_id") % 5 == 0)
+    k = 150
+    out = dsir_resample(
+        docs, tgt, k=k, num_buckets=1024,
+        driver_topk_max=0, boundary_band=64,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert f"TakeOrderedAndProject(limit={k}" not in plan, plan
+    assert f"GlobalLimit {k}" not in plan, plan
+
+
+def test_resample_k_at_least_corpus_returns_all_weighted(spark):
+    docs = _mk(spark, [(f"d{i}", "alpha beta gamma delta") for i in range(8)])
+    out = dsir_resample(
+        docs, docs, k=100, num_buckets=64, driver_topk_max=0
+    ).collect()
+    assert len(out) == 8

@@ -174,3 +174,85 @@ def test_semdedup_matches_sequential_replica(spark):
     )
     assert got == exp
     assert 0 < len(got) < emb.count()  # really pruned something
+
+
+def _vecs_df(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_semdedup_oversized_duplicate_cluster_resplit_matches_unsplit(spark):
+    """r4 verdict #2: a giant exact-duplicate ball k-means cannot separate
+    must be re-split (salted sub-k-means, then forced hash split at the
+    depth cap), and the survivor pass must collapse boundary-straddling
+    duplicates so the final kept set EQUALS the unsplit answer."""
+    import numpy as np
+
+    from readur_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(7)
+    base = np.zeros(8)
+    base[0] = 1.0
+    rows = [
+        # 900 same-direction vectors (cosine exactly 1 pairwise)
+        (i, [float(x) for x in base * (1.0 + 0.001 * (i % 7))])
+        for i in range(900)
+    ] + [
+        # 60 well-separated distinct directions
+        (1000 + j, [float(x) for x in rng.standard_normal(8) * 3.0])
+        for j in range(60)
+    ]
+    df = _vecs_df(spark, rows)
+    guarded = semdedup(
+        df, threshold=0.95, n_clusters=1,
+        target_cluster_size=100, max_cluster_size=200, max_split_depth=2,
+    ).collect()
+    unsplit = semdedup(
+        df, threshold=0.95, n_clusters=1,
+        target_cluster_size=10**9, max_cluster_size=10**9,
+    ).collect()
+    assert {r["vec_id"] for r in guarded} == {r["vec_id"] for r in unsplit}
+    # the duplicate family collapsed to its global minimum id
+    kept_dups = [r["vec_id"] for r in guarded if r["vec_id"] < 1000]
+    assert kept_dups == [0]
+    # survivors refit the cap, so nothing stays flagged
+    assert all(not r["oversized_split"] for r in guarded)
+
+
+def test_semdedup_residual_diverse_megacluster_is_flagged_not_dropped(spark):
+    """A genuinely diverse oversized cluster (no duplicates to shrink it)
+    keeps all rows and SURFACES them with oversized_split=true — the
+    guard never silently caps or drops."""
+    import numpy as np
+
+    from readur_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(32)]) for i in range(600)
+    ]
+    df = _vecs_df(spark, rows)
+    out = semdedup(
+        df, threshold=0.95, n_clusters=1,
+        target_cluster_size=100, max_cluster_size=150, max_split_depth=1,
+    ).collect()
+    # random gaussian directions in R^32 essentially never exceed 0.95
+    # cosine: every row survives, and every row is flagged residual
+    assert len(out) == 600
+    assert all(r["oversized_split"] for r in out)
+
+
+def test_semdedup_auto_n_clusters(spark):
+    """n_clusters=None derives ceil(count/target) from one count() and
+    matches the equivalent explicit setting exactly."""
+    import numpy as np
+
+    from readur_spark.operators.similarity import semdedup
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(8)]) for i in range(100)
+    ]
+    df = _vecs_df(spark, rows)
+    auto = semdedup(df, threshold=0.9, target_cluster_size=10).collect()
+    explicit = semdedup(df, threshold=0.9, n_clusters=10).collect()
+    assert {r["vec_id"] for r in auto} == {r["vec_id"] for r in explicit}
