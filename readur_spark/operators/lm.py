@@ -84,18 +84,38 @@ def train_bigram_lm(
     unseen path — a documented approximation that bounds the model size on
     web-scale reference corpora; context counts stay exact so smoothing
     denominators are unaffected)."""
-    big = _bigrams(docs, id_col, text_col)
-    all_pairs = big.groupBy("prev", "word").agg(F.count("*").alias("c"))
-    # context totals derive from the (pre-pruning) pair table — one shuffle
-    # on (prev, word) then a cheap rollup, instead of re-tokenizing the corpus
+    from readur_spark.operators.dedup import _materialize_release
+
+    # ONE tokenize pass (r4 verdict #5): the corpus splits into word
+    # arrays exactly once, persisted; pair counts AND the vocab size both
+    # read the cached arrays. The pair table is checkpointed eagerly
+    # (truncating its lineage off the cache) so the cache can be released
+    # before returning — the model tables never re-tokenize.
+    toks = docs.select(words_col(F.col(text_col)).alias("ws")).persist()
+    n = F.size("ws")
+    pairs = F.arrays_zip(
+        F.slice("ws", 1, n - 1).alias("prev"),
+        F.slice("ws", 2, n - 1).alias("word"),
+    )
+    big = (
+        toks.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select(F.col("p.prev").alias("prev"), F.col("p.word").alias("word"))
+    )
+    all_pairs = _materialize_release(
+        big.groupBy("prev", "word").agg(F.count("*").alias("c"))
+    )
+    vocab_size = (
+        toks.select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+        .collect()[0]["v"]
+    )
+    toks.unpersist()
+    # context totals derive from the (pre-pruning) pair table — a cheap
+    # rollup of the checkpointed counts, no corpus access
     ctx_counts = all_pairs.groupBy("prev").agg(F.sum("c").alias("cc"))
     pair_counts = (
         all_pairs.filter(F.col("c") >= min_count) if min_count > 1 else all_pairs
-    )
-    vocab_size = (
-        docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
-        .agg(F.countDistinct("w").alias("v"))
-        .collect()[0]["v"]
     )
     return BigramLM(pair_counts, ctx_counts, int(vocab_size), add_k)
 
@@ -148,10 +168,12 @@ def perplexity_filter(
     """Keep documents scoring at or below the perplexity ceiling (plus
     documents too short to score — <2 tokens carry no LM evidence; gate
     those on length filters, not this one)."""
+    # single anti-join formulation: drop only the documents that scored
+    # ABOVE the ceiling; unscored (<2-token) docs survive by absence from
+    # the drop set — one pass over docs instead of the semi+anti+union
     scores = perplexity_score(docs, lm, id_col=id_col, **kwargs)
-    keep = scores.filter(F.col("perplexity") <= max_perplexity).select(id_col)
-    short = docs.join(scores.select(id_col), id_col, "left_anti").select(id_col)
-    return docs.join(keep.unionByName(short), id_col, "left_semi")
+    dropped = scores.filter(F.col("perplexity") > max_perplexity).select(id_col)
+    return docs.join(dropped, id_col, "left_anti")
 
 
 def _trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -202,23 +224,47 @@ def train_backoff_lm(
     groupBy). ``min_count`` prunes the TRIGRAM table only — the fat tail
     at web scale; pruned trigrams score through the bigram backoff, and
     lower-order tables stay exact so every denominator is honest."""
-    tri = (
-        _trigrams(docs, id_col, text_col)
-        .groupBy("w1", "w2", "w3")
+    from readur_spark.operators.dedup import _materialize_release
+
+    # ONE tokenize pass (r4 verdict #5): word arrays persisted once; the
+    # three n-gram orders aggregate the cached arrays, each count table
+    # checkpointed eagerly so the cache releases without any model table
+    # re-tokenizing the corpus on later actions.
+    toks = docs.select(words_col(F.col(text_col)).alias("ws")).persist()
+    n = F.size("ws")
+    trips = F.arrays_zip(
+        F.slice("ws", 1, n - 2).alias("w1"),
+        F.slice("ws", 2, n - 2).alias("w2"),
+        F.slice("ws", 3, n - 2).alias("w3"),
+    )
+    tri = _materialize_release(
+        toks.where(n >= 3)
+        .select(F.explode(trips).alias("t"))
+        .groupBy(
+            F.col("t.w1").alias("w1"),
+            F.col("t.w2").alias("w2"),
+            F.col("t.w3").alias("w3"),
+        )
         .agg(F.count("*").alias("c3"))
     )
     if min_count > 1:
         tri = tri.filter(F.col("c3") >= min_count)
-    bi = (
-        _bigrams(docs, id_col, text_col)
-        .groupBy(F.col("prev").alias("w1"), F.col("word").alias("w2"))
+    pairs = F.arrays_zip(
+        F.slice("ws", 1, n - 1).alias("w1"),
+        F.slice("ws", 2, n - 1).alias("w2"),
+    )
+    bi = _materialize_release(
+        toks.where(n >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("c2"))
     )
-    uni = (
-        docs.select(F.explode(words_col(F.col(text_col))).alias("w"))
+    uni = _materialize_release(
+        toks.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
     )
+    toks.unpersist()
     total = uni.agg(F.sum("c1").alias("t")).collect()[0]["t"]
     return BackoffLM(tri, bi, uni, int(total or 0), alpha)
 
