@@ -32,6 +32,7 @@ EXCLUDED_TAGS = frozenset(
         "script", "style", "noscript", "template", "head", "title",
         "nav", "header", "footer", "aside", "form", "button", "select",
         "option", "label", "iframe", "svg", "canvas", "object", "applet",
+        "textarea", "datalist",
     }
 )
 
@@ -107,8 +108,38 @@ class _MainContentParser(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
-        if tag == "a":  # self-closing <a/> opens nothing
+        if tag in EXCLUDED_TAGS:
+            # a self-closing excluded element (<nav/>) excludes nothing
+            # beyond itself — without this, the rest of the document
+            # would be silently swallowed (round-5 WARC-markup fuzz)
+            self._exclude_depth = max(0, self._exclude_depth - 1)
+        elif not self._exclude_depth and tag == "a":
+            # self-closing <a/> opens nothing
             self._link_depth = max(0, self._link_depth - 1)
+
+    def set_cdata_mode(self, elem: str) -> None:
+        # html.parser's rawtext-exit regex (r'</\s*%s\s*>') never matches
+        # an attribute-bearing close tag, so goahead() would buffer to EOF
+        # waiting for one — use the permissive end pattern instead (same
+        # as the fast tokenizer's _RAWTEXT_END)
+        super().set_cdata_mode(elem)
+        end = _RAWTEXT_END.get(self.cdata_elem)
+        if end is not None:
+            self.interesting = end
+
+    def parse_endtag(self, i: int) -> int:
+        # WHATWG script-data: a close tag MAY carry (ignored) attributes
+        # — </script foo='bar'> ends the element. html.parser's endtagfind
+        # rejects it and would swallow the rest of the document as script
+        # content; match the permissive end-tag exactly like the fast
+        # tokenizer's _RAWTEXT_END (round-5 WARC-markup fuzz).
+        if self.cdata_elem is not None:
+            m = _RAWTEXT_END[self.cdata_elem].match(self.rawdata, i)
+            if m:
+                self.handle_endtag(self.cdata_elem)
+                self.clear_cdata_mode()
+                return m.end()
+        return super().parse_endtag(i)
 
     def handle_endtag(self, tag: str) -> None:
         if tag in EXCLUDED_TAGS:
@@ -138,9 +169,20 @@ def extract_main_content_reference(html: str) -> list[dict]:
     """html.parser-based implementation — kept as the cross-validation
     reference for the fast tokenizer below (tests assert equality on the
     corpus generator's output)."""
+    if "\x00" in html:
+        html = html.replace("\x00", "")  # same normalization as the fast path
     parser = _MainContentParser()
     try:
         parser.feed(html)
+        # browsers consume an unterminated comment / CDATA section to EOF
+        # and DROP it; html.parser would instead dump the buffered tail as
+        # text at close(). Clear the incomplete construct so the reference
+        # matches the fast tokenizer (round-5 WARC-markup fuzz).
+        tail = parser.rawdata
+        if (tail.startswith("<!--") and "-->" not in tail) or (
+            tail.startswith("<![CDATA[") and "]]>" not in tail
+        ):
+            parser.rawdata = ""
         parser.close()
     except Exception:
         # html.parser is robust, but guard anyway: salvage what was parsed.
@@ -160,11 +202,16 @@ def extract_main_content_reference(html: str) -> list[dict]:
 
 _TAG_RE = re.compile(
     r"(?s)"
-    r"<!--.*?(?:-->|$)"  # comments
-    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA
+    r"<!--.*?(?:-->|$)"  # comments (unterminated: consumed to EOF)
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"  # CDATA (unterminated: consumed to EOF)
     r"|<![^>]*>"  # doctype / declarations
     r"|<\?[^>]*>"  # processing instructions
-    r"|<(/?)([a-zA-Z][a-zA-Z0-9:-]*)"  # 1: close-slash, 2: tag name
+    # end tag: optional whitespace, tolerant name (WHATWG: any char but
+    # ws / > — so '</p<>' closes 'p<'), junk to the FIRST '>' quote-
+    # unaware (html.parser/browser end tags don't honor quotes)
+    r"|</\s*([a-zA-Z][^\t\n\r\f />]*)[^>]*>"  # 1: end tag name
+    r"|</[^>]*>"  # bogus end tag ('</>', '</123>') — dropped silently
+    r"|<([a-zA-Z][^\t\n\r\f />]*)"  # 2: start tag name (tolerant charset)
     r"((?:\"[^\"]*\"|'[^']*'|[^>\"'])*?)"  # 3: attr blob (lazy: leave the /)
     r"(/?)>"  # 4: self-closing slash
 )
@@ -188,6 +235,12 @@ def extract_main_content(html: str) -> list[dict]:
     tests/test_htmlmain.py).
     """
     from html import unescape
+
+    if "\x00" in html:
+        # WHATWG replaces NUL in content; the engine's cleaning chain (O7)
+        # strips it — normalize up front so junk tags with embedded NULs
+        # tokenize identically in both implementations
+        html = html.replace("\x00", "")
 
     items: list[tuple[str, str]] = []
     exclude_depth = 0
@@ -232,11 +285,11 @@ def extract_main_content(html: str) -> list[dict]:
             pos += 1
             continue
         pos = m.end()
-        tag = m.group(2)
-        if tag is None:  # comment/doctype/CDATA/PI
-            continue
-        tag = tag.lower()
-        closing = m.group(1) == "/"
+        end_name, start_name = m.group(1), m.group(2)
+        if end_name is None and start_name is None:
+            continue  # comment / doctype / CDATA / PI / bogus end tag
+        closing = end_name is not None
+        tag = (end_name if closing else start_name).lower()
         self_closing = m.group(4) == "/"
 
         if not closing and tag in _RAWTEXT:

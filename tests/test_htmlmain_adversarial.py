@@ -1,0 +1,243 @@
+"""Round-5 WARC-markup robustness: the HTML main-content extractor vs
+realistic adversarial web markup (the Common Crawl shapes: conditional
+comments, CDATA, attribute-bearing close tags, unterminated constructs,
+tag soup, entity edge cases), plus the WARC -> extract composition.
+
+Every case asserts the production fast tokenizer == the html.parser
+reference implementation; specific semantic cases additionally pin the
+browser-correct answer (which side is right was decided per WHATWG
+behavior when the round-5 fuzz found the divergences)."""
+
+import random
+
+from readur_spark.kernels.htmlmain import (
+    extract_main_content,
+    extract_main_content_reference,
+)
+
+KEEP = "<p>a sufficiently long paragraph of real content to keep here.</p>"
+KEEP_TEXT = "a sufficiently long paragraph of real content to keep here."
+
+
+def both(h):
+    f = extract_main_content(h)
+    assert f == extract_main_content_reference(h), h[:200]
+    return f
+
+
+def texts(h):
+    return [s["text"] for s in both(h) if s["kind"] == "text"]
+
+
+# -------------------------------------------------- pinned semantic cases
+def test_self_closing_excluded_tag_excludes_nothing_beyond_itself():
+    # reference bug found by the round-5 fuzz: <nav/> permanently
+    # swallowed the rest of the document
+    assert texts("<nav/>" + KEEP) == [KEEP_TEXT]
+    assert texts("<aside />" + KEEP) == [KEEP_TEXT]
+    assert texts("<footer/><header/>" + KEEP) == [KEEP_TEXT]
+
+
+def test_close_tag_with_attributes_ends_rawtext():
+    # WHATWG script-data: </script foo='bar'> closes the element
+    assert texts("<script>x</script foo='bar'>" + KEEP) == [KEEP_TEXT]
+    assert texts("<SCRIPT>x</SCRIPT LANG=Y>" + KEEP) == [KEEP_TEXT]
+    assert texts("<style>.c{}</style media='x'>" + KEEP) == [KEEP_TEXT]
+
+
+def test_unterminated_comment_consumed_to_eof():
+    # browsers drop an unterminated comment to EOF; neither impl may dump
+    # the raw markup as text
+    assert both("<!-- open comment " + KEEP) == []
+    assert texts(KEEP + "<!-- trailing unterminated") == [KEEP_TEXT]
+
+
+def test_unterminated_cdata_consumed_to_eof():
+    assert both("<![CDATA[ open cdata " + KEEP) == []
+
+
+def test_textarea_content_is_boilerplate():
+    h = "<textarea>placeholder text long enough to look real</textarea>" + KEEP
+    assert texts(h) == [KEEP_TEXT]
+
+
+def test_conditional_comments_and_processing_instructions():
+    assert texts("<!--[if IE]><p>ie junk</p><![endif]-->" + KEEP) == [KEEP_TEXT]
+    assert texts("<?php echo '<p>php</p>'; ?>" + KEEP) == [KEEP_TEXT]
+    assert texts("<?xml version='1.0'?>" + KEEP) == [KEEP_TEXT]
+
+
+def test_rawtext_with_fake_close_inside_string_literal():
+    # '</scr' + 'ipt>' inside the script source must NOT close it early
+    # ... but a literal '</script' inside a JS string DOES (WHATWG: the
+    # tokenizer has no JS awareness; that's why real pages escape it)
+    h = "<script>var s = '<\\/scr' + 'ipt>';</script>" + KEEP
+    assert texts(h) == [KEEP_TEXT]
+
+
+def test_attribute_edge_cases():
+    assert texts("<p class=c1 data-x=a/b>" + "x" * 30 + "</p>") == ["x" * 30]
+    # quoted '>' inside an open-tag attribute must not end the tag
+    assert texts('<p title="a>b">' + "y" * 30 + "</p>") == ["y" * 30]
+    h = "<div" + " " * 2000 + "class='x'>" + "z" * 30 + "</div>"
+    assert texts(h) == ["z" * 30]
+
+
+def test_entity_edge_cases():
+    out = texts("<p>&amp;&lt;&gt; &#65;&#x42; &nbsp; " + "w" * 25 + "</p>")
+    assert out and out[0].startswith("&<> AB")
+    # malformed / overflow charrefs must not raise
+    both("<p>&#99999999999; &notarealentity; &#x; " + "v" * 25 + "</p>")
+
+
+def test_media_position_preserved_through_soup():
+    h = (
+        "<div>" + "intro words long enough to be kept here yes" + "</div>"
+        "<img src='m://one'>"
+        "<nav><img src='m://hidden'></nav>"
+        "<p>closing paragraph long enough to be kept here too</p>"
+    )
+    spans = both(h)
+    kinds = [(s["kind"], s["media_ref"]) for s in spans]
+    assert kinds == [("text", ""), ("media", "m://one"), ("text", "")]
+
+
+# ----------------------------------------------------- generator fuzzing
+_BOILER = [
+    "<nav><ul><li><a href='/'>Home</a></li><li><a href='/about'>About</a></li></ul></nav>",
+    "<header><h1>Site Title</h1><form action='/s'><input name='q'></form></header>",
+    "<footer><p>© 2024 Example Corp. <a href='/privacy'>Privacy</a></p></footer>",
+    "<aside><h3>Related</h3><a href='/1'>One</a> <a href='/2'>Two</a> <a href='/3'>Three</a></aside>",
+    "<script type='text/javascript'>window.dataLayer = window.dataLayer || [];</script>",
+    "<script async src='https://example.invalid/analytics.js'></script>",
+    "<style>.ad{display:none} body>.x{color:red}</style>",
+    "<div class='cookie-banner'><a href='/accept'>Accept</a> <a href='/no'>Decline</a></div>",
+    "<!--[if lt IE 9]><script src='shiv.js'></script><![endif]-->",
+    "<noscript><img src='m://pixel' height='1' width='1'></noscript>",
+    "<select><option>en</option><option>fr</option></select>",
+    "<textarea rows=4>type your comment here...</textarea>",
+]
+
+_CONTENT = [
+    "<p>The committee published its findings on Tuesday after a long review process.</p>",
+    "<p>Researchers said the measurements were consistent with earlier surveys of the region.</p>",
+    "<article><p>Paragraph one of the article body with enough words to pass the filter.</p>"
+    "<p>Paragraph two continues the story with additional verified details and quotes.</p></article>",
+    "<div><p>Community members gathered downtown to discuss the proposed changes in depth.</p></div>",
+    "<td>Tabular body cell holding a complete descriptive sentence of real content.</td>",
+    "<blockquote>An extended quotation long enough to be treated as genuine content here.</blockquote>",
+]
+
+_GLITCH = [
+    "<", "< ", "<>", "</>", "<p/>", "<br/>", "<hr>", "&", "&#", "&amp",
+    "<!doctype html>", "<!DOCTYPE HTML PUBLIC '-//W3C//DTD HTML 4.01//EN'>",
+    "<b><i>misnested</b></i>", "\x00", "<p", "</p", "<![CDATA[x]]>",
+    "<!-- ok -->", "<?pi?>", "<div unclosed",
+    "<img src=m://bare>", "<img>", "<a href='#'></a>",
+    "<script>var a = 1 < 2 && 2 > 1;</script>",
+    "<SPAN STYLE='x'>UPPER</SPAN>",
+]
+
+
+#: glitches that swallow the NEXT element into a junk tag name ('<p' +
+#: '<script...>' tokenizes as one unknown tag 'p<script' — faithful
+#: WHATWG behavior, but it makes boilerplate-exclusion assertions
+#: meaningless), excluded from the distributional test only
+_TAG_MANGLERS = {"<", "< ", "<p", "</p", "<div unclosed", "&", "&#", "&amp"}
+
+
+def _page(rng: random.Random, safe_glitches: bool = False) -> str:
+    glitches = (
+        [g for g in _GLITCH if g not in _TAG_MANGLERS]
+        if safe_glitches
+        else _GLITCH
+    )
+    parts = ["<!doctype html><html><head><title>t</title></head><body>"]
+    for _ in range(rng.randint(3, 14)):
+        r = rng.random()
+        if r < 0.4:
+            parts.append(rng.choice(_BOILER))
+        elif r < 0.8:
+            parts.append(rng.choice(_CONTENT))
+        else:
+            parts.append(rng.choice(glitches))
+    if rng.random() < 0.3:
+        parts.append(rng.choice(["</body></html>", "</body>", ""]))
+    else:
+        parts.append("</body></html>")
+    page = "".join(parts)
+    if rng.random() < 0.15:  # truncated fetch: cut mid-document
+        page = page[: rng.randint(1, len(page))]
+    return page
+
+
+def test_realistic_page_fuzz_fast_equals_reference():
+    rng = random.Random(20260817)
+    diverged = 0
+    for _ in range(600):
+        h = _page(rng)
+        if extract_main_content(h) != extract_main_content_reference(h):
+            diverged += 1
+            print("DIVERGE:", h[:160])
+    assert diverged == 0
+
+
+def test_fuzz_pages_extract_mostly_content_not_boilerplate():
+    """Distributional sanity: on generated pages the extractor keeps the
+    article sentences and drops nav/footer/script mass."""
+    rng = random.Random(7)
+    kept = " ".join(
+        " ".join(texts(_page(rng, safe_glitches=True))) for _ in range(120)
+    )
+    assert "committee published its findings" in kept
+    assert "dataLayer" not in kept
+    assert "cookie-banner" not in kept
+    assert "type your comment here" not in kept
+
+
+def test_warc_to_extraction_composition(spark, tmp_path):
+    """The verdict's two-line corpus: WARC shards of adversarial pages ->
+    read_warc -> extract_main_content in an Arrow batch — the actual
+    Common Crawl ingestion path, end-to-end."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from readur_spark.sources.warc import build_warc, read_warc
+
+    rng = random.Random(99)
+    pages = {f"https://ex.com/{i}": _page(rng) for i in range(40)}
+    recs = [
+        {"warc_type": "response", "target_uri": u,
+         "http_content_type": "text/html; charset=utf-8",
+         "payload": p.encode()}
+        for u, p in pages.items()
+    ]
+    (tmp_path / "shard.warc.gz").write_bytes(build_warc(recs))
+    df = read_warc(spark, str(tmp_path) + "/*.warc.gz")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for uri, payload in zip(pdf["target_uri"], pdf["payload"]):
+                spans = extract_main_content(bytes(payload).decode("utf-8"))
+                rows.append(
+                    {"uri": uri,
+                     "n_text": sum(s["kind"] == "text" for s in spans),
+                     "n_media": sum(s["kind"] == "media" for s in spans)}
+                )
+            yield pd.DataFrame(rows, columns=["uri", "n_text", "n_media"])
+
+    out = {
+        r["uri"]: (r["n_text"], r["n_media"])
+        for r in df.mapInPandas(run, "uri string, n_text int, n_media int")
+        .collect()
+    }
+    assert len(out) == 40
+    # every page round-trips to the same spans the kernel computes locally
+    for uri, page in pages.items():
+        spans = extract_main_content(page)
+        want = (
+            sum(s["kind"] == "text" for s in spans),
+            sum(s["kind"] == "media" for s in spans),
+        )
+        assert out[uri] == want, uri
