@@ -108,6 +108,14 @@ class _MainContentParser(HTMLParser):
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         self.handle_starttag(tag, attrs)
+        if tag in _RAWTEXT:
+            # WHATWG ignores the self-closing flag on script/style: the
+            # element OPENS and swallows source until its real close tag
+            # (html.parser skips cdata mode for '<script/>' — re-enter it;
+            # the exclusion opened by handle_starttag stays up until the
+            # close tag's handle_endtag). Round-5 review finding.
+            self.set_cdata_mode(tag)
+            return
         if tag in EXCLUDED_TAGS:
             # a self-closing excluded element (<nav/>) excludes nothing
             # beyond itself — without this, the rest of the document

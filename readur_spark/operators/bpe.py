@@ -172,6 +172,11 @@ def train_bpe_spark_loop(
 
             _release_checkpoint(last_ckpt)
             words = last_ckpt = nxt
+    # the function returns only the plain merges list — release the final
+    # word-table checkpoint too (round-5 review: it leaked otherwise)
+    from readur_spark.plans.curation import _release_checkpoint
+
+    _release_checkpoint(last_ckpt)
     return merges
 
 
@@ -182,10 +187,15 @@ def bpe_count_udf(tokenizer: BpeTokenizer):
     from pyspark.sql.types import LongType
 
     merges = tokenizer.merges
+    holder: dict = {}  # one tokenizer per executor process: the per-word
+    # memo cache survives across Arrow batches (round-5 review — a fresh
+    # tokenizer per batch discarded the zipfian cache every ~10k rows)
 
     @F.pandas_udf(LongType())
     def count_tokens(texts: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)  # fresh per-worker memo cache
+        tok = holder.get("tok")
+        if tok is None:
+            tok = holder["tok"] = BpeTokenizer(merges)
         return texts.map(lambda t: 0 if t is None else tok.count(t))
 
     return count_tokens
@@ -196,10 +206,13 @@ def bpe_encode_udf(tokenizer: BpeTokenizer):
     from pyspark.sql.types import ArrayType, IntegerType
 
     merges = tokenizer.merges
+    holder: dict = {}  # per-process singleton — see bpe_count_udf
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode_tokens(texts: pd.Series) -> pd.Series:
-        tok = BpeTokenizer(merges)
+        tok = holder.get("tok")
+        if tok is None:
+            tok = holder["tok"] = BpeTokenizer(merges)
         return texts.map(lambda t: [] if t is None else tok.encode(t))
 
     return encode_tokens

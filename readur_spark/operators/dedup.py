@@ -1397,10 +1397,11 @@ def dedup_against_history(
         "left_anti",
     )
     w = Window.partitionBy(fp).orderBy(F.asc(id_col))
+    rn = "__rs_ingest_rn__"  # internal, like fp: never clobber caller data
     return (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", fp)
+        fresh.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) == 1)
+        .drop(rn, fp)
     )
 
 

@@ -225,10 +225,32 @@ def dsir_resample(
     band = keyed.filter(
         (F.col("gumbel_key") <= hi) & (F.col("gumbel_key") > lo)
     )
-    if c_hi + band.count() < k:
-        # lower bracket cut too high (same violated-guarantee case):
-        # conservatively take the whole tail as the band
-        band = keyed.filter(F.col("gumbel_key") <= hi)
+    band_cnt = band.count()
+    widen = 0
+    while c_hi + band_cnt < k and widen < 3:
+        # lower bracket cut too high (violated guarantee): widen the band
+        # DOWNWARD by bounded quantile steps — never "take the whole tail",
+        # which would reintroduce a near-k-row sort
+        widen += 1
+        lo_q = max(0.0, lo_q - 4.0 * err)
+        lo = (
+            float("-inf")
+            if lo_q <= 0.0
+            else keyed.stat.approxQuantile("gumbel_key", [lo_q], err)[0]
+        )
+        band = keyed.filter(
+            (F.col("gumbel_key") <= hi) & (F.col("gumbel_key") > lo)
+        )
+        band_cnt = band.count()
+    # symmetric guard (round-5 review): under the sketch guarantee both
+    # `need` and the band stay O(boundary_band); a wild overshoot of `hi`
+    # upward would otherwise silently funnel ~k rows through the limit
+    if c_hi + band_cnt < k or max(need, band_cnt) > 8 * boundary_band:
+        raise RuntimeError(
+            "dsir_resample: approxQuantile bracket degenerate "
+            f"(k={k}, c_hi={c_hi}, need={need}, band={band_cnt}); rerun "
+            "with a larger boundary_band"
+        )
     boundary = (
         band.orderBy(F.desc("gumbel_key"), F.asc(id_col))
         .limit(need)

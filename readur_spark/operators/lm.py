@@ -44,18 +44,30 @@ def words_col(c: Column) -> Column:
     return F.filter(F.split(F.lower(c), "[^a-z0-9]+"), lambda x: x != "")
 
 
-def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, prev, word) — one row per adjacent token pair. Linear per doc
-    (two array slices zipped, one explode); documents with fewer than two
-    tokens produce no rows."""
-    w = words_col(F.col(text_col))
-    n = F.size(w)
-    pairs = F.arrays_zip(
-        F.slice(w, 1, n - 1).alias("prev"), F.slice(w, 2, n - 1).alias("word")
+def _adjacent_zip(ws, order: int, names: tuple[str, ...]):
+    """zip of ``order`` staggered slices of a words-array column — ONE
+    shared definition of n-gram adjacency for training and scoring
+    (struct fields named ``names``). Linear per doc: ``order`` slices,
+    no join."""
+    n = F.size(ws)
+    return F.arrays_zip(
+        *[
+            F.slice(ws, i + 1, n - (order - 1)).alias(names[i])
+            for i in range(order)
+        ]
     )
+
+
+def _bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, prev, word) — one row per adjacent token pair; documents with
+    fewer than two tokens produce no rows."""
+    w = words_col(F.col(text_col))
     return (
-        docs.select(F.col(id_col).alias("id"), pairs.alias("pairs"))
-        .where(n >= 2)
+        docs.select(
+            F.col(id_col).alias("id"),
+            _adjacent_zip(w, 2, ("prev", "word")).alias("pairs"),
+        )
+        .where(F.size(w) >= 2)
         .select("id", F.explode("pairs").alias("p"))
         .select("id", F.col("p.prev").alias("prev"), F.col("p.word").alias("word"))
     )
@@ -92,14 +104,13 @@ def train_bigram_lm(
     # (truncating its lineage off the cache) so the cache can be released
     # before returning — the model tables never re-tokenize.
     toks = docs.select(words_col(F.col(text_col)).alias("ws")).persist()
-    n = F.size("ws")
-    pairs = F.arrays_zip(
-        F.slice("ws", 1, n - 1).alias("prev"),
-        F.slice("ws", 2, n - 1).alias("word"),
-    )
     big = (
-        toks.where(n >= 2)
-        .select(F.explode(pairs).alias("p"))
+        toks.where(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                _adjacent_zip(F.col("ws"), 2, ("prev", "word"))
+            ).alias("p")
+        )
         .select(F.col("p.prev").alias("prev"), F.col("p.word").alias("word"))
     )
     all_pairs = _materialize_release(
@@ -178,17 +189,14 @@ def perplexity_filter(
 
 def _trigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, w1, w2, w3) — one row per adjacent token triple (linear:
-    three array slices zipped, one explode)."""
+    three array slices zipped via the shared _adjacent_zip, one explode)."""
     w = words_col(F.col(text_col))
-    n = F.size(w)
-    trips = F.arrays_zip(
-        F.slice(w, 1, n - 2).alias("w1"),
-        F.slice(w, 2, n - 2).alias("w2"),
-        F.slice(w, 3, n - 2).alias("w3"),
-    )
     return (
-        docs.select(F.col(id_col).alias("id"), trips.alias("t"))
-        .where(n >= 3)
+        docs.select(
+            F.col(id_col).alias("id"),
+            _adjacent_zip(w, 3, ("w1", "w2", "w3")).alias("t"),
+        )
+        .where(F.size(w) >= 3)
         .select("id", F.explode("t").alias("t"))
         .select(
             "id",
@@ -231,15 +239,13 @@ def train_backoff_lm(
     # checkpointed eagerly so the cache releases without any model table
     # re-tokenizing the corpus on later actions.
     toks = docs.select(words_col(F.col(text_col)).alias("ws")).persist()
-    n = F.size("ws")
-    trips = F.arrays_zip(
-        F.slice("ws", 1, n - 2).alias("w1"),
-        F.slice("ws", 2, n - 2).alias("w2"),
-        F.slice("ws", 3, n - 2).alias("w3"),
-    )
     tri = _materialize_release(
-        toks.where(n >= 3)
-        .select(F.explode(trips).alias("t"))
+        toks.where(F.size("ws") >= 3)
+        .select(
+            F.explode(
+                _adjacent_zip(F.col("ws"), 3, ("w1", "w2", "w3"))
+            ).alias("t")
+        )
         .groupBy(
             F.col("t.w1").alias("w1"),
             F.col("t.w2").alias("w2"),
@@ -249,13 +255,11 @@ def train_backoff_lm(
     )
     if min_count > 1:
         tri = tri.filter(F.col("c3") >= min_count)
-    pairs = F.arrays_zip(
-        F.slice("ws", 1, n - 1).alias("w1"),
-        F.slice("ws", 2, n - 1).alias("w2"),
-    )
     bi = _materialize_release(
-        toks.where(n >= 2)
-        .select(F.explode(pairs).alias("p"))
+        toks.where(F.size("ws") >= 2)
+        .select(
+            F.explode(_adjacent_zip(F.col("ws"), 2, ("w1", "w2"))).alias("p")
+        )
         .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
         .agg(F.count("*").alias("c2"))
     )

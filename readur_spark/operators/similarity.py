@@ -365,13 +365,27 @@ def semdedup(
             1, math.ceil(embeddings.count() / target_cluster_size)
         )
 
+    from readur_spark.operators.dedup import _materialize_release
+    from readur_spark.plans.curation import _release_checkpoint
+
     assigned, _cents = ivf_assign(
         embeddings, n_centroids=n_clusters, seed=seed,
         id_col=id_col, vec_col=vec_col,
     )
+    # persisted: the assignment projection feeds the oversized() size
+    # check AND the prune shuffle (plus every split-loop filter) — one
+    # materialization instead of recomputing the argmin scan per pass
     work = assigned.withColumn("gid", F.col("cluster").cast("string")).drop(
         "cluster"
-    )
+    ).persist()
+    work_is_ckpt = False
+
+    def _discard(frame, is_ckpt: bool) -> None:
+        # release a superseded backing frame (cache or checkpoint blocks)
+        if is_ckpt:
+            _release_checkpoint(frame)
+        else:
+            frame.unpersist()
 
     def oversized(df: DataFrame) -> list[tuple[str, int]]:
         # ONE row per group — metadata scale, never corpus scale
@@ -408,11 +422,15 @@ def semdedup(
                     ),
                 ).drop("cluster")
             )
-        work = parts[0]
+        nxt = parts[0]
         for p in parts[1:]:
-            work = work.unionByName(p)
-        # guard path only: cut the union lineage before the next round
-        work = work.localCheckpoint(eager=True)
+            nxt = nxt.unionByName(p)
+        # guard path only: cut the union lineage before the next round,
+        # then release the superseded backing frame (round-5 review: the
+        # split loop used to leak one corpus-scale checkpoint per depth)
+        nxt = nxt.localCheckpoint(eager=True)
+        _discard(work, work_is_ckpt)
+        work, work_is_ckpt = nxt, True
         over = oversized(work)
     if over:
         # depth cap reached with groups k-means cannot separate (identical
@@ -425,6 +443,9 @@ def semdedup(
         k_col = F.create_map(
             *[F.lit(x) for kv in kmap.items() for x in kv]
         )[F.col("gid")]
+        # keep `backing` pointing at the materialized frame: this wrapper
+        # is lazy on top of it, and releasing the wrapper would no-op
+        backing, backing_is_ckpt = work, work_is_ckpt
         work = work.withColumn(
             "gid",
             F.when(
@@ -436,6 +457,8 @@ def semdedup(
                 ),
             ).otherwise(F.col("gid")),
         )
+    else:
+        backing, backing_is_ckpt = work, work_is_ckpt
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         order = pdf[id_col].to_numpy().argsort(kind="stable")
@@ -471,9 +494,14 @@ def semdedup(
     base_cols = [f.name for f in embeddings.schema.fields]
 
     if not split_roots:
-        return pruned.select(
+        out = pruned.select(
             *base_cols, F.lit(False).alias("oversized_split")
         )
+        # eager checkpoint of the (smaller) kept set, then release the
+        # assignment cache — the returned plan never re-derives clusters
+        out = out.localCheckpoint(eager=True)
+        _discard(backing, backing_is_ckpt)
+        return out
 
     # survivor pass: regroup each split cluster's survivors and re-prune
     # them as ONE group when they fit — boundary-straddling duplicates
@@ -481,6 +509,7 @@ def semdedup(
     root = F.split_part(F.col("gid"), F.lit("/"), F.lit(1))
     root = F.split_part(root, F.lit("#"), F.lit(1))
     pruned = pruned.withColumn("root", root).localCheckpoint(eager=True)
+    _discard(backing, backing_is_ckpt)  # pruned no longer references it
     roots = sorted(split_roots)
     surv = {
         r["root"]: int(r["n"])
@@ -514,4 +543,6 @@ def semdedup(
                 *base_cols, F.lit(True).alias("oversized_split")
             )
         )
+    out = out.localCheckpoint(eager=True)
+    _release_checkpoint(pruned)
     return out

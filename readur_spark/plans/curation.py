@@ -227,11 +227,16 @@ def curate(
         emb_cur = embeddings_df.join(
             curated.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
         )
-        kept_ids = semdedup(
+        sem_out = semdedup(
             emb_cur,
             threshold=semantic_threshold,
             n_clusters=semantic_clusters,
-        ).select(F.col("vec_id").alias("doc_id"))
+        )
+        # semdedup returns an eagerly-checkpointed frame (its own
+        # intermediates already released); track it for release once the
+        # joined survivor set is checkpointed below
+        stage_frames.append(sem_out)
+        kept_ids = sem_out.select(F.col("vec_id").alias("doc_id"))
         # docs with no embedding row carry no semantic evidence and must
         # SURVIVE (a partial embedding job must not silently delete docs);
         # they are counted separately so the metric stays honest

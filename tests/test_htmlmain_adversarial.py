@@ -56,6 +56,14 @@ def test_unterminated_cdata_consumed_to_eof():
     assert both("<![CDATA[ open cdata " + KEEP) == []
 
 
+def test_self_closing_rawtext_still_swallows_source():
+    # WHATWG ignores the self-closing flag on script/style: '<script/>'
+    # OPENS the element; its source runs to the real close tag (or EOF)
+    assert both("<script/>" + KEEP) == []  # no close tag: swallowed
+    assert texts("<script/>var x;</script>" + KEEP) == [KEEP_TEXT]
+    assert texts("<style />.c{}</style>" + KEEP) == [KEEP_TEXT]
+
+
 def test_textarea_content_is_boilerplate():
     h = "<textarea>placeholder text long enough to look real</textarea>" + KEEP
     assert texts(h) == [KEEP_TEXT]
@@ -136,6 +144,7 @@ _GLITCH = [
     "<img src=m://bare>", "<img>", "<a href='#'></a>",
     "<script>var a = 1 < 2 && 2 > 1;</script>",
     "<SPAN STYLE='x'>UPPER</SPAN>",
+    "<script/>", "<style />", "<script/>;</script>",
 ]
 
 
@@ -143,7 +152,12 @@ _GLITCH = [
 #: '<script...>' tokenizes as one unknown tag 'p<script' — faithful
 #: WHATWG behavior, but it makes boilerplate-exclusion assertions
 #: meaningless), excluded from the distributional test only
-_TAG_MANGLERS = {"<", "< ", "<p", "</p", "<div unclosed", "&", "&#", "&amp"}
+_TAG_MANGLERS = {
+    "<", "< ", "<p", "</p", "<div unclosed", "&", "&#", "&amp",
+    # self-closing rawtext swallows following content to the next close
+    # tag (WHATWG) — equality still holds, exclusion assertions don't
+    "<script/>", "<style />", "<script/>;</script>",
+}
 
 
 def _page(rng: random.Random, safe_glitches: bool = False) -> str:
