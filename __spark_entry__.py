@@ -774,6 +774,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_pack_roundtrip"] = _q_chunk_pack_roundtrip
 
+    def _q_pdf_layout_roundtrip(s, sf):
+        # north-star layout parsing: each doc's first 96 words are laid
+        # out as a TWO-COLUMN PDF page (left column = first half of the
+        # lines, right column = second half); the XY-cut reading order
+        # must reconstruct the original word sequence — a naive y-sort
+        # would interleave the columns and fail the hash. All distributed:
+        # build + extract in one mapInPandas.
+        import pandas as pd
+
+        from readur_spark.kernels.minipdf import build_pdf, extract_text_layout
+
+        docs_df = _docs(s, sf).select("doc_id", "text")
+
+        def run(batches):
+            for pdf_b in batches:
+                rows = []
+                for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
+                    words = (text or "").split()[:96]
+                    lines = [
+                        " ".join(words[i : i + 6])
+                        for i in range(0, len(words), 6)
+                    ]
+                    half = (len(lines) + 1) // 2
+                    page = [
+                        (50.0, 740.0 - 14.0 * i, ln)
+                        for i, ln in enumerate(lines[:half])
+                    ] + [
+                        (330.0, 740.0 - 14.0 * i, ln)
+                        for i, ln in enumerate(lines[half:])
+                    ]
+                    got = extract_text_layout(build_pdf([page]))[0]
+                    rows.append(
+                        {"doc_id": int(doc_id),
+                         "layout_text": " ".join(got.split())}
+                    )
+                yield pd.DataFrame(rows, columns=["doc_id", "layout_text"])
+
+        return docs_df.mapInPandas(run, "doc_id long, layout_text string")
+
+    q["pdf_layout_roundtrip"] = _q_pdf_layout_roundtrip
+
     def _q_repetition(s, sf):
         from readur_spark.operators.repetition import repetition_metrics
 
@@ -930,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts",  # distributed BPE train+encode vs naive replay
         "pack_sequences_bpe",  # trainer-faithful packing manifest
         "chunk_pack_roundtrip",  # chunk -> pack composition oracle
+        "pdf_layout_roundtrip",  # XY-cut two-column reading order
         # --- implementation files changed this round (r5)
         "pack_sequences",  # packing.py: token_counter seam
         "pack_stats",  # same file
@@ -1970,6 +2012,17 @@ def oracle_sql() -> dict[str, str]:
         # oracle replay unavailable (no sf0.01 parquet on this host):
         # omit the entries — the driver records the weaker rows-only check
         pass
+
+    # pdf_layout_roundtrip: the two-column layout must read back as the
+    # original word sequence (capped at 96 words / 6-word lines, matching
+    # the query's fixture builder exactly)
+    o["pdf_layout_roundtrip"] = r"""
+        SELECT doc_id,
+               array_to_string(
+                 list_filter(regexp_split_to_array(trim(text), '\s+'),
+                             x -> x != '')[1:96], ' ') AS layout_text
+        FROM documents
+    """
 
     # chunk_pack_roundtrip: chunk (40/8) -> pack (256) composed
     # relationally: the chunk oracle's word windows feed the same regex

@@ -425,6 +425,116 @@ def extract_text_layer(data: bytes) -> list[str]:
     return out
 
 
+# --------------------------------------------------------------------------
+# Multi-column reading order: recursive X-Y cut
+# --------------------------------------------------------------------------
+
+#: approximate glyph advance (pt per char at text size ~10) used to give
+#: text runs a bounding box for white-band detection; the tokenizer keeps
+#: baselines only, and column gutters dwarf this approximation
+_CHAR_W = 6.0
+_LINE_H = 10.0
+
+
+def _xycut(boxes, min_col_gap: float, min_band_gap: float):
+    """Recursive X-Y cut (Nagy & Seth, "Hierarchical representation of
+    optically scanned documents", ICPR 1984 — the classic layout-analysis
+    decomposition): split the region at the widest horizontal white band
+    (reading top-to-bottom), else at vertical white bands (columns,
+    left-to-right), recursing until no qualifying gap remains; leaves
+    assemble in the single-column line order. This is what fixes the
+    naive y-sort interleaving two columns line-by-line.
+
+    ``boxes``: (x0, x1, y0, y1, run) tuples; returns runs reading-ordered.
+    """
+    if len(boxes) <= 1:
+        return [b[4] for b in boxes]
+
+    def gaps(intervals, min_gap):
+        # maximal white gaps between merged occupied intervals
+        out = []
+        intervals = sorted(intervals)
+        cur_end = intervals[0][1]
+        for s, e in intervals[1:]:
+            if s - cur_end >= min_gap:
+                out.append((s - cur_end, cur_end, s))
+            cur_end = max(cur_end, e)
+        return out
+
+    # 1) horizontal white band -> top block(s) read before bottom
+    hg = gaps([(b[2], b[3]) for b in boxes], min_band_gap)
+    if hg:
+        _, lo, hi = max(hg)
+        cut = (lo + hi) / 2.0
+        top = [b for b in boxes if b[2] >= cut]  # PDF y points up
+        bottom = [b for b in boxes if b[2] < cut]
+        if top and bottom:
+            return _xycut(top, min_col_gap, min_band_gap) + _xycut(
+                bottom, min_col_gap, min_band_gap
+            )
+    # 2) vertical white band -> left column before right column
+    vg = gaps([(b[0], b[1]) for b in boxes], min_col_gap)
+    if vg:
+        _, lo, hi = max(vg)
+        cut = (lo + hi) / 2.0
+        left = [b for b in boxes if b[0] < cut]
+        right = [b for b in boxes if b[0] >= cut]
+        if left and right:
+            return _xycut(left, min_col_gap, min_band_gap) + _xycut(
+                right, min_col_gap, min_band_gap
+            )
+    # 3) leaf: plain line order
+    return [
+        r for r in sorted((b[4] for b in boxes), key=lambda r: (-r[1], r[0]))
+    ]
+
+
+def _assemble_layout(runs, min_col_gap: float, min_band_gap: float) -> str:
+    if not runs:
+        return ""
+    boxes = [
+        (x, x + _CHAR_W * max(len(t), 1), y, y + _LINE_H, (x, y, t))
+        for x, y, t in runs
+    ]
+    ordered = _xycut(boxes, min_col_gap, min_band_gap)
+    # within the cut order, group consecutive runs sharing a baseline into
+    # lines (same tolerance as the single-column assembler)
+    lines: list[list[str]] = []
+    last_y = None
+    for x, y, t in ordered:
+        if last_y is not None and abs(last_y - y) <= 0.5:
+            lines[-1].append(t)
+        else:
+            lines.append([t])
+        last_y = y
+    return "\n".join(" ".join(parts) for parts in lines)
+
+
+def extract_text_layout(
+    data: bytes,
+    min_col_gap: float = 24.0,
+    min_band_gap: float = 18.0,
+) -> list[str]:
+    """Per-page text with COLUMN-AWARE reading order (the north star's
+    "layout parsing with reading-order reconstruction"): recursive X-Y
+    cut segments each page into blocks/columns before line assembly, so
+    a two-column article reads column by column instead of the naive
+    y-sort's line-by-line interleave. Single-column pages degenerate to
+    exactly :func:`extract_text_layer`'s order (tested).
+
+    ``min_col_gap`` / ``min_band_gap`` are the minimum white-band widths
+    (pt) recognized as column gutters / block separators; defaults suit
+    letter-size pages (a gutter is ≥0.3 in ≈ 22 pt in print layouts)."""
+    objs = _objects(data)
+    pages = _page_order(objs)
+    return [
+        _assemble_layout(
+            _runs_from_content(_page_content(objs, p)), min_col_gap, min_band_gap
+        )
+        for p in pages
+    ]
+
+
 def pdf_metadata(data: bytes) -> dict:
     """P12: lightweight PDF metadata by byte/regex scan
     (/root/reference/src/metadata_extraction.rs:84-136): version from the
