@@ -815,6 +815,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pdf_layout_roundtrip"] = _q_pdf_layout_roundtrip
 
+    def _q_pack_materialize_bpe(s, sf):
+        # the COMPLETE training-data layout path: BPE train -> count ->
+        # pack manifest -> materialize the actual fixed-length token
+        # sequences. Verified per sequence by length, id-sum, and an md5
+        # over the comma-joined ids (exact content, order included).
+        from readur_spark.operators.bpe import (
+            bpe_count_udf,
+            bpe_encode_udf,
+            train_bpe_distributed,
+        )
+        from readur_spark.operators.packing import (
+            materialize_sequences,
+            pack_sequences,
+        )
+
+        docs_df = _docs(s, sf)
+        tok = train_bpe_distributed(docs_df, num_merges=_BPE_MERGES)
+        manifest = pack_sequences(
+            docs_df, seq_len=512, token_counter=bpe_count_udf(tok)
+        )
+        seqs = materialize_sequences(docs_df, manifest, bpe_encode_udf(tok))
+        return seqs.select(
+            "seq_id",
+            "n_tokens",
+            F.aggregate(
+                "ids", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("id_sum"),
+            F.md5(F.concat_ws(",", F.col("ids").cast("array<string>"))).alias(
+                "ids_md5"
+            ),
+        )
+
+    q["pack_materialize_bpe"] = _q_pack_materialize_bpe
+
+    def _q_chunk_by_tokens(s, sf):
+        # token-boundary chunking: windows of 128 BPE tokens, overlap 16;
+        # chunk text is the exact decode of the window — verified by md5
+        # against the independent naive replay's decode.
+        from readur_spark.operators.bpe import train_bpe_distributed
+        from readur_spark.operators.extract import chunk_texts_by_tokens
+
+        docs_df = _docs(s, sf)
+        tok = train_bpe_distributed(docs_df, num_merges=_BPE_MERGES)
+        chunks = chunk_texts_by_tokens(
+            docs_df, tok, chunk_tokens=128, overlap_tokens=16
+        )
+        return chunks.select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            "n_tokens",
+            F.md5("chunk_text").alias("chunk_md5"),
+        )
+
+    q["chunk_by_tokens"] = _q_chunk_by_tokens
+
     def _q_repetition(s, sf):
         from readur_spark.operators.repetition import repetition_metrics
 
@@ -972,6 +1027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_bpe",  # trainer-faithful packing manifest
         "chunk_pack_roundtrip",  # chunk -> pack composition oracle
         "pdf_layout_roundtrip",  # XY-cut two-column reading order
+        "pack_materialize_bpe",  # manifest -> actual token sequences
+        "chunk_by_tokens",  # token-boundary chunk windows
         # --- implementation files changed this round (r5)
         "pack_sequences",  # packing.py: token_counter seam
         "pack_stats",  # same file
@@ -1098,15 +1155,32 @@ def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]
             return got
 
         rows = []
+        ids_by_doc: dict[int, list[int]] = {}
         for doc_id, text in docs:
-            n = tot = 0
+            doc_ids: list[int] = []
             for w in words_of(text or ""):
-                ids = encode_word(w)
-                n += len(ids)
-                tot += sum(ids)
-            rows.append((int(doc_id), n, tot))
+                doc_ids.extend(encode_word(w))
+            ids_by_doc[int(doc_id)] = doc_ids
+            rows.append((int(doc_id), len(doc_ids), sum(doc_ids)))
+        # vocab bytes for chunk-decode replay (naive expansion of merges)
+        vocab = [bytes([i]) for i in range(256)]
+        for a, b in merges:
+            vocab.append(vocab[a] + vocab[b])
         _BPE_ORACLE_CACHE[key] = rows
+        _BPE_ORACLE_CACHE[key + ("ids",)] = ids_by_doc
+        _BPE_ORACLE_CACHE[key + ("vocab",)] = vocab
     return _BPE_ORACLE_CACHE[key]
+
+
+def _bpe_oracle_ids(num_merges: int = _BPE_MERGES):
+    """Per-doc token ids + vocab byte table from the same independent
+    replay (memoized alongside _bpe_oracle_rows)."""
+    _bpe_oracle_rows(num_merges)
+    key = ("sf0.01", num_merges)
+    return (
+        _BPE_ORACLE_CACHE[key + ("ids",)],
+        _BPE_ORACLE_CACHE[key + ("vocab",)],
+    )
 
 
 #: planted boilerplate family for dedup_ngram_capped — tokens chosen so no
@@ -2008,6 +2082,67 @@ def oracle_sql() -> dict[str, str]:
                                             CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
             ) s
         """
+        # pack_materialize_bpe: cut the replayed doc-order token stream
+        # every 512 and hash each sequence's exact content
+        import hashlib as _hl
+
+        _ids_by_doc, _vocab = _bpe_oracle_ids()
+        _stream: list[int] = []
+        for _d in sorted(_ids_by_doc):
+            _stream.extend(_ids_by_doc[_d])
+        _seq_rows = []
+        for _sid in range((len(_stream) + 511) // 512):
+            _seg = _stream[_sid * 512 : (_sid + 1) * 512]
+            _seq_rows.append(
+                (
+                    _sid,
+                    len(_seg),
+                    sum(_seg),
+                    _hl.md5(",".join(map(str, _seg)).encode()).hexdigest(),
+                )
+            )
+        o["pack_materialize_bpe"] = (
+            "SELECT CAST(seq_id AS BIGINT) AS seq_id, "
+            "CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS id_sum, "
+            "m AS ids_md5 FROM (VALUES "
+            + ", ".join(f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _seq_rows)
+            + ") AS v(seq_id, n, s, m)"
+        )
+
+        # chunk_by_tokens: windows of 128 stride 112 per doc; chunk text
+        # decoded with the replay's own vocab table, hashed
+        _chunk_rows = []
+        for _d in sorted(_ids_by_doc):
+            _ids = _ids_by_doc[_d]
+            if not _ids:
+                continue
+            _pos = _cn = 0
+            while True:
+                _w = _ids[_pos : _pos + 128]
+                _text = b"".join(_vocab[i] for i in _w).decode(
+                    "utf-8", "replace"
+                )
+                _chunk_rows.append(
+                    (
+                        _d,
+                        _cn,
+                        len(_w),
+                        _hl.md5(_text.encode("utf-8")).hexdigest(),
+                    )
+                )
+                _cn += 1
+                if _pos + 128 >= len(_ids):
+                    break
+                _pos += 112
+        o["chunk_by_tokens"] = (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST(cn AS BIGINT) AS chunk_no, CAST(n AS BIGINT) AS n_tokens, "
+            "m AS chunk_md5 FROM (VALUES "
+            + ", ".join(
+                f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _chunk_rows
+            )
+            + ") AS v(doc_id, cn, n, m)"
+        )
     except Exception:
         # oracle replay unavailable (no sf0.01 parquet on this host):
         # omit the entries — the driver records the weaker rows-only check

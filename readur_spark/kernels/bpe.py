@@ -174,10 +174,15 @@ class BpeTokenizer:
         return cls(merges)
 
     def token_bytes(self) -> list[bytes]:
-        """Vocabulary id -> byte string (256 singles, then merges)."""
-        vocab = [bytes([i]) for i in range(256)]
-        for a, b in self.merges:
-            vocab.append(vocab[a] + vocab[b])
+        """Vocabulary id -> byte string (256 singles, then merges).
+        Cached: decode-heavy paths (token-boundary chunking) call this
+        per chunk."""
+        vocab = getattr(self, "_vocab", None)
+        if vocab is None:
+            vocab = [bytes([i]) for i in range(256)]
+            for a, b in self.merges:
+                vocab.append(vocab[a] + vocab[b])
+            self._vocab = vocab
         return vocab
 
     def _encode_word(self, word: bytes) -> tuple[int, ...]:

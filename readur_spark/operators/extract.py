@@ -459,3 +459,72 @@ def chunk_texts(
         "n_words",
     )
     return small.unionByName(big)
+
+
+def chunk_texts_by_tokens(
+    docs_df: DataFrame,
+    tokenizer,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-boundary chunking: split each document into windows of
+    ``chunk_tokens`` BPE tokens with ``overlap_tokens`` overlap, emitting
+    (id, chunk_no, chunk_text, n_tokens) where ``chunk_text`` is the
+    exact DECODE of the window's token ids — so a trainer re-encoding a
+    chunk gets back precisely its token slice. This is the
+    trainer-faithful sibling of :func:`chunk_texts` (word windows):
+    every real pipeline sizes context windows in tokens, not words.
+
+    Boundary semantics mirror chunk_texts: empty docs produce no chunks;
+    the last chunk is the final ≤chunk_tokens window; the stride walks
+    past the end at most once. Embarrassingly parallel (merges never
+    cross pre-token boundaries): one Arrow-batched mapInPandas, no
+    shuffle. ``tokenizer`` is a kernels.bpe.BpeTokenizer; its merge
+    table ships in the closure, the per-process instance is cached."""
+    import pandas as pd
+
+    from readur_spark.kernels.bpe import BpeTokenizer
+
+    assert 0 <= overlap_tokens < chunk_tokens
+    stride = chunk_tokens - overlap_tokens
+    merges = tokenizer.merges
+    holder: dict = {}
+    id_type = docs_df.schema[id_col].dataType.simpleString()
+
+    def run(batches):
+        tok = holder.get("tok")
+        if tok is None:
+            tok = holder["tok"] = BpeTokenizer(merges)
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ids = tok.encode(text or "")
+                n = len(ids)
+                if n == 0:
+                    continue
+                pos = 0
+                chunk_no = 0
+                while True:
+                    window = ids[pos : pos + chunk_tokens]
+                    rows.append(
+                        {
+                            id_col: doc_id,
+                            "chunk_no": chunk_no,
+                            "chunk_text": tok.decode(window),
+                            "n_tokens": len(window),
+                        }
+                    )
+                    chunk_no += 1
+                    if pos + chunk_tokens >= n:
+                        break
+                    pos += stride
+            yield pd.DataFrame(
+                rows, columns=[id_col, "chunk_no", "chunk_text", "n_tokens"]
+            )
+
+    return docs_df.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} {id_type}, chunk_no int, chunk_text string, n_tokens long",
+    )

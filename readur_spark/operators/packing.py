@@ -162,3 +162,57 @@ def packing_stats(manifest: DataFrame, seq_len: int) -> DataFrame:
         )
         .withColumn("fill_ratio", F.round(F.col("n_tokens") / seq_len, 6))
     )
+
+
+def materialize_sequences(
+    docs: DataFrame,
+    manifest: DataFrame,
+    encoder,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Turn a packing manifest into the ACTUAL training sequences —
+    (seq_id, ids array<int>, n_tokens) — the loader-side step the
+    manifest exists for, run engine-side so a trainer reads finished
+    fixed-length token arrays.
+
+    ``encoder`` is a Column -> Column function producing array<int>
+    token ids (:func:`readur_spark.operators.bpe.bpe_encode_udf`).
+
+    Plan: encode each document once (Arrow-batched, no shuffle), join
+    the manifest on the doc id (both sides shuffle on the uniform id
+    key), slice each document's token range per manifest row, then ONE
+    groupBy(seq_id) assembling pieces in stream order — the same
+    (key, id) order the packer cut the stream in, so concatenation is
+    exact. No driver materialization anywhere; sequences land
+    distributed, ready to write partitioned by seq range."""
+    import pyspark.sql.types as T
+
+    numeric_id = isinstance(docs.schema[id_col].dataType, T.NumericType)
+    key = F.col(id_col) if numeric_id else F.xxhash64(id_col)
+    enc = docs.select(
+        F.col(id_col),
+        key.alias("__key__"),
+        encoder(F.col(text_col)).alias("__ids__"),
+    )
+    pieces = manifest.join(enc, id_col).select(
+        "seq_id",
+        F.struct(
+            F.col("__key__").alias("k"),
+            F.col(id_col).cast("string").alias("id"),
+            F.slice(
+                "__ids__",
+                (F.col("tok_start") + 1).cast("int"),
+                F.col("n_tokens").cast("int"),
+            ).alias("piece"),
+        ).alias("part"),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list("part")), lambda s: s["piece"]
+            )
+        ).alias("ids"))
+        .select("seq_id", "ids", F.size("ids").cast("long").alias("n_tokens"))
+    )

@@ -276,3 +276,75 @@ def test_pack_sequences_with_bpe_counter(spark, corpus_df):
         per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
     last = max(per_seq)
     assert all(v == 16 for s, v in per_seq.items() if s != last)
+
+
+def test_materialize_sequences_reconstructs_token_stream(spark, corpus_df):
+    from readur_spark.operators.bpe import (
+        bpe_count_udf,
+        bpe_encode_udf,
+        train_bpe_distributed,
+    )
+    from readur_spark.operators.packing import (
+        materialize_sequences,
+        pack_sequences,
+    )
+
+    tok = train_bpe_distributed(corpus_df, num_merges=30)
+    manifest = pack_sequences(
+        corpus_df, seq_len=16, token_counter=bpe_count_udf(tok)
+    )
+    seqs = materialize_sequences(
+        corpus_df, manifest, bpe_encode_udf(tok)
+    ).collect()
+    # every sequence except the last is exactly full
+    by_id = {r["seq_id"]: list(r["ids"]) for r in seqs}
+    last = max(by_id)
+    for sid, ids in by_id.items():
+        if sid != last:
+            assert len(ids) == 16, sid
+    # concatenating sequences in order reproduces the doc-order stream
+    stream = [t for sid in sorted(by_id) for t in by_id[sid]]
+    want = []
+    for r in sorted(corpus_df.collect(), key=lambda r: r["doc_id"]):
+        want.extend(tok.encode(r["text"]))
+    assert stream == want
+
+
+def test_chunk_by_tokens_roundtrip_and_boundaries(spark, corpus_df):
+    from readur_spark.operators.bpe import train_bpe_distributed
+    from readur_spark.operators.extract import chunk_texts_by_tokens
+
+    tok = train_bpe_distributed(corpus_df, num_merges=30)
+    chunks = chunk_texts_by_tokens(
+        corpus_df, tok, chunk_tokens=8, overlap_tokens=2
+    ).collect()
+    docs = {r["doc_id"]: r["text"] for r in corpus_df.collect()}
+    per_doc: dict = {}
+    for r in chunks:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rows in per_doc.items():
+        ids = tok.encode(docs[doc_id])
+        rows.sort(key=lambda r: r["chunk_no"])
+        for i, r in enumerate(rows):
+            lo = i * 6  # stride = 8 - 2
+            window = ids[lo : lo + 8]
+            # the chunk text re-encodes to exactly its token slice
+            assert tok.encode(r["chunk_text"]) == window, (doc_id, i)
+            assert r["n_tokens"] == len(window)
+        # stride walks past the end at most once
+        assert (len(rows) - 1) * 6 < len(ids)
+    # every nonempty doc chunked
+    assert set(per_doc) == {d for d, t in docs.items() if tok.count(t) > 0}
+
+
+def test_chunk_by_tokens_empty_and_short_docs(spark):
+    from readur_spark.kernels.bpe import train_bpe_from_texts
+    from readur_spark.operators.extract import chunk_texts_by_tokens
+
+    tok = train_bpe_from_texts(["some training words here"] * 3, 10)
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "tiny"), (3, None)], "doc_id long, text string"
+    )
+    rows = chunk_texts_by_tokens(docs, tok, chunk_tokens=50).collect()
+    assert {r["doc_id"] for r in rows} == {2}
+    assert rows[0]["chunk_no"] == 0 and rows[0]["chunk_text"] == "tiny"
