@@ -870,6 +870,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["chunk_by_tokens"] = _q_chunk_by_tokens
 
+    def _q_quality_classifier(s, sf):
+        # the GPT-3/CCNet learned quality filter: logistic regression on
+        # md5-hashed unigram features, trained pos = lang=='en' vs the
+        # rest, deterministic to the bit (DECIMAL-summed gradients, fixed
+        # fold order) so the pure-Python replica in tools/expected.py IS
+        # the oracle. Scores every document.
+        from readur_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        docs_df = _docs(s, sf)
+        model = train_quality_classifier(
+            docs_df.filter(F.col("lang") == "en").select("doc_id", "text"),
+            docs_df.filter(F.col("lang") != "en").select("doc_id", "text"),
+            num_buckets=512,
+            iters=15,
+        )
+        return score_quality(docs_df, model)
+
+    q["quality_classifier_scores"] = _q_quality_classifier
+
     def _q_repetition(s, sf):
         from readur_spark.operators.repetition import repetition_metrics
 
@@ -1029,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_layout_roundtrip",  # XY-cut two-column reading order
         "pack_materialize_bpe",  # manifest -> actual token sequences
         "chunk_by_tokens",  # token-boundary chunk windows
+        "quality_classifier_scores",  # learned LR quality filter
         # --- implementation files changed this round (r5)
         "pack_sequences",  # packing.py: token_counter seam
         "pack_stats",  # same file
@@ -1907,6 +1930,11 @@ def oracle_sql() -> dict[str, str]:
             ["id_a", "id_b", "hamming"],
             ["BIGINT", "BIGINT", "INTEGER"],
             _exp.simhash_pairs_expected(_osf, max_hamming=3),
+        )
+        o["quality_classifier_scores"] = _exp.values_sql(
+            ["doc_id", "quality_prob"],
+            ["BIGINT", "DOUBLE"],
+            _exp.quality_classifier_expected(_osf)[0],
         )
         o["ann_topk_lsh"] = _exp.values_sql(
             ["vec_id", "cosine"],

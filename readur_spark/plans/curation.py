@@ -104,6 +104,8 @@ def curate(
     line_dedup_separator: str = "\n",
     lm_ref_df: DataFrame | None = None,
     max_perplexity: float | None = None,
+    quality_model: dict | None = None,
+    min_quality_prob: float = 0.5,
     scrub_pii: bool = False,
     embeddings_df: DataFrame | None = None,
     semantic_threshold: float = 0.95,
@@ -129,6 +131,8 @@ def curate(
     (C4/RefinedWeb) so every later stage sees clean text;
     ``lm_ref_df`` + ``max_perplexity`` add the CCNet LM filter (train a
     bigram LM on the reference frame, keep docs at/below the ceiling);
+    ``quality_model`` adds the learned logistic-regression quality
+    filter (operators/quality_classifier.py — train once, pass the dict);
     ``scrub_pii`` redacts contact identifiers just before chunking (late,
     so dedup hashes are computed on the original bytes);
     ``embeddings_df`` (vec_id aligned with doc_id) adds the SemDeDup
@@ -207,6 +211,17 @@ def curate(
             filtered, lm, max_perplexity, broadcast_model=True
         ))
         metrics["after_lm_filter"] = filtered.count()
+
+    if quality_model is not None:
+        # learned LR quality filter (GPT-3/CCNet recipe): the model is a
+        # plain dict trained once (train_quality_classifier) and reused
+        # across runs; scoring is a broadcast-weights linear pass
+        from readur_spark.operators.quality_classifier import quality_filter
+
+        filtered = _ckpt(
+            quality_filter(filtered, quality_model, min_quality_prob)
+        )
+        metrics["after_learned_quality"] = filtered.count()
 
     exact = _ckpt(dedup.dedup_keep_first(filtered))
     metrics["after_exact_dedup"] = exact.count()

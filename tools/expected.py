@@ -474,3 +474,98 @@ def semdedup_expected(
             kept_unit.append(u)
             kept.append(i)
     return sorted((i,) for i in kept)
+
+
+def quality_classifier_expected(
+    sf_dir: str,
+    num_buckets: int = 512,
+    iters: int = 15,
+    lr: float = 2.0,
+    l2: float = 1e-4,
+):
+    """Sequential replay of train_quality_classifier + score_quality with
+    pos = lang=='en', neg = others — the driver-oracle truth for
+    `quality_classifier_scores`. Mirrors the operator's determinism
+    contract exactly: md5-bucket features (DSIR construction), per-doc
+    probability folded over buckets ascending in float64, gradient
+    addends quantized to DECIMAL(30,15) HALF_UP and summed exactly,
+    float Python weight updates, final probability rounded half-up to
+    6 dp. Returns (rows, losses): rows = [(doc_id, quality_prob)]."""
+    import hashlib
+    import math
+    import re as _re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import duckdb
+
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text, lang FROM '{sf_dir}/documents.parquet' "
+        "ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    word_re = _re.compile(r"[^a-z0-9]+")
+
+    def feats(text):
+        words = [w for w in word_re.split((text or "").lower()) if w]
+        counts: dict[int, int] = {}
+        for w in words:
+            b = (
+                int(
+                    hashlib.md5((w + ":dsir-v1").encode()).hexdigest()[:8],
+                    16,
+                )
+                % num_buckets
+            )
+            counts[b] = counts.get(b, 0) + 1
+        return sorted(counts.items()), len(words)
+
+    data = []
+    for doc_id, text, lang in docs:
+        fs, total = feats(text)
+        if total == 0:
+            continue
+        data.append((int(doc_id), fs, total, 1.0 if lang == "en" else 0.0))
+
+    q15 = Decimal("1e-15")
+
+    def dec15(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+
+    w = [0.0] * num_buckets
+    bias = 0.0
+    n = len(data)
+    losses = []
+    for _ in range(iters):
+        grad = [Decimal(0)] * num_buckets
+        gb = Decimal(0)
+        loss = Decimal(0)
+        for _id, fs, total, y in data:
+            acc = bias
+            t = float(total)
+            for b, c in fs:
+                acc += (c / t) * w[b]
+            p = 1.0 / (1.0 + math.exp(-acc))
+            err = p - y
+            for b, c in fs:
+                grad[b] += dec15(err * c / t)
+            gb += dec15(err)
+            loss += dec15(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)))
+        losses.append(round(float(loss) / n, 9))
+        w = [
+            wi - lr * (float(gi) / n + l2 * wi) for wi, gi in zip(w, grad)
+        ]
+        bias -= lr * (float(gb) / n)
+
+    q6 = Decimal("1e-6")
+    rows = []
+    for _id, fs, total, _y in data:
+        acc = bias
+        t = float(total)
+        for b, c in fs:
+            acc += (c / t) * w[b]
+        p = 1.0 / (1.0 + math.exp(-acc))
+        rows.append(
+            (_id, float(Decimal(repr(p)).quantize(q6, rounding=ROUND_HALF_UP)))
+        )
+    return rows, losses
