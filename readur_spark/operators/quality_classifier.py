@@ -127,33 +127,43 @@ def train_quality_classifier(
     dec = "decimal(30,15)"
     for _ in range(iters):
         p = _score_udf(w, bias)(F.col("fs"), F.col("total"))
-        # persisted per iteration so the UDF pass runs once and feeds
-        # both the per-bucket gradient and the bias/loss totals
         scored = data.select(
             "fs", "total", (p - F.col("__y__")).alias("err"),
             (-(F.col("__y__") * F.log(p)
                + (1.0 - F.col("__y__")) * F.log(1.0 - p))).alias("nll"),
-        ).persist()
-        rows = (
+        )
+        # ONE action per iteration: per-bucket gradient rows unioned with
+        # two sentinel buckets (-1 = bias gradient, -2 = loss total) so
+        # the whole update is a single groupBy-collect
+        per_bucket = scored.select(
+            F.explode("fs").alias("f"),
+            (F.col("err") * F.col("f.cnt") / F.col("total"))
+            .cast(dec).alias("g"),
+        ).select(F.col("f.bucket").alias("bucket"), "g")
+        sentinels = scored.select(
+            F.lit(-1).alias("bucket"), F.col("err").cast(dec).alias("g")
+        ).unionByName(
             scored.select(
-                F.explode("fs").alias("f"),
-                (F.col("err") * F.col("f.cnt") / F.col("total"))
-                .cast(dec).alias("g"),
+                F.lit(-2).alias("bucket"), F.col("nll").cast(dec).alias("g")
             )
-            .groupBy(F.col("f.bucket").alias("bucket"))
+        )
+        rows = (
+            per_bucket.unionByName(sentinels)
+            .groupBy("bucket")
             .agg(F.sum("g").alias("g"))
             .collect()
         )
-        tot = scored.select(
-            F.sum(F.col("err").cast(dec)).alias("gb"),
-            F.sum(F.col("nll").cast(dec)).alias("l"),
-        ).collect()[0]
-        scored.unpersist()
         grad = [0.0] * num_buckets
+        gb = loss_tot = 0.0
         for r in rows:
-            grad[int(r["bucket"])] = float(r["g"])
-        gb = float(tot["gb"] or 0.0)
-        losses.append(round(float(tot["l"] or 0.0) / n, 9))
+            b = int(r["bucket"])
+            if b == -1:
+                gb = float(r["g"] or 0.0)
+            elif b == -2:
+                loss_tot = float(r["g"] or 0.0)
+            else:
+                grad[b] = float(r["g"])
+        losses.append(round(loss_tot / n, 9))
         w = [
             wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)
         ]
