@@ -83,6 +83,13 @@ def pack_sequences(
         key.alias("key"),
         token_counter(F.col(text_col)).cast("long").alias("n"),
     ).filter(F.col("n") > 0)
+    if token_counter is not token_count_col:
+        # custom counters are typically Arrow UDFs (BPE encode): persist
+        # the slim (id, key, n) projection so the three consumers below
+        # (min/max, bucket sums, the manifest itself) tokenize ONCE.
+        # Cache lifetime is session-scoped (24 bytes/row; ContextCleaner
+        # reclaims when the manifest is no longer referenced).
+        base = base.persist()
     if num_buckets is None:
         num_buckets = spark.sparkContext.defaultParallelism
     mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
