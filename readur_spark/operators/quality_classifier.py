@@ -89,6 +89,7 @@ def train_quality_classifier(
     l2: float = 1e-4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    driver_train_max: int = 100_000,
 ) -> dict:
     """Train the filter: ``positive`` = reference-quality docs,
     ``negative`` = raw/web sample. Returns
@@ -98,7 +99,16 @@ def train_quality_classifier(
     Determinism contract (what the oracle replays): per-doc probability
     folds (cnt/total)·w over buckets ascending in float64; per-bucket
     gradient addends are ``CAST((p - y) * cnt / total AS DECIMAL(30,15))``
-    summed exactly; updates ``w -= lr * (g / n + l2 * w)`` in Python."""
+    summed exactly; updates ``w -= lr * (g / n + l2 * w)`` in Python.
+
+    Size dispatch: labeled sets up to ``driver_train_max`` docs collect
+    their (bounded) feature rows once and run the identical loop on the
+    driver — iteration cost becomes microseconds instead of a Spark
+    action (quality-filter training sets are curated samples, usually
+    10^4–10^5 docs). Larger sets train distributed; BOTH paths implement
+    the same decimal-quantized arithmetic and are equality-tested
+    (tests/test_quality_classifier.py), so the dispatch never changes
+    the model."""
     labeled = positive.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col),
         F.lit(1.0).alias("__y__"),
@@ -121,6 +131,19 @@ def train_quality_classifier(
             "weights": [0.0] * num_buckets, "bias": 0.0,
             "num_buckets": num_buckets, "losses": [],
         }
+    if n <= driver_train_max:
+        rows = data.collect()
+        data.unpersist()
+        local = [
+            (
+                [(int(f["bucket"]), int(f["cnt"])) for f in r["fs"]],
+                float(r["total"]),
+                float(r["__y__"]),
+            )
+            for r in rows
+        ]
+        return _train_local(local, num_buckets, iters, lr, l2)
+
     w = [0.0] * num_buckets
     bias = 0.0
     losses: list[float] = []
@@ -169,6 +192,44 @@ def train_quality_classifier(
         ]
         bias -= lr * (gb / n)
     data.unpersist()
+    return {
+        "weights": w, "bias": bias,
+        "num_buckets": num_buckets, "losses": losses,
+    }
+
+
+def _train_local(data, num_buckets: int, iters: int, lr: float, l2: float) -> dict:
+    """Driver-side twin of the distributed loop — byte-for-byte the same
+    arithmetic (float64 ascending-bucket folds, DECIMAL(30,15) HALF_UP
+    quantized gradient addends summed exactly, Python float updates)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q15 = Decimal("1e-15")
+
+    def dec15(x: float) -> Decimal:
+        return Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+
+    w = [0.0] * num_buckets
+    bias = 0.0
+    n = len(data)
+    losses: list[float] = []
+    for _ in range(iters):
+        grad = [Decimal(0)] * num_buckets
+        gb = Decimal(0)
+        loss = Decimal(0)
+        for fs, total, y in data:
+            acc = bias
+            for b, c in fs:
+                acc += (c / total) * w[b]
+            p = 1.0 / (1.0 + math.exp(-acc))
+            err = p - y
+            for b, c in fs:
+                grad[b] += dec15(err * c / total)
+            gb += dec15(err)
+            loss += dec15(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)))
+        losses.append(round(float(loss) / n, 9))
+        w = [wi - lr * (float(gi) / n + l2 * wi) for wi, gi in zip(w, grad)]
+        bias -= lr * (float(gb) / n)
     return {
         "weights": w, "bias": bias,
         "num_buckets": num_buckets, "losses": losses,

@@ -76,25 +76,27 @@ def test_training_is_deterministic(spark, labeled):
     assert m1["losses"] == m2["losses"]
 
 
-def test_matches_sequential_replica(spark):
-    """The distributed training run must equal the pure-Python replay to
-    the last bit — the property the driver oracle depends on."""
+def test_matches_sequential_replica_both_paths(spark):
+    """Driver-side AND distributed training must equal the pure-Python
+    replay to the last bit — the property the driver oracle depends on,
+    and the guarantee that the size dispatch never changes the model."""
     from tools.expected import quality_classifier_expected
 
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     pos = docs.filter(F.col("lang") == "en").select("doc_id", "text")
     neg = docs.filter(F.col("lang") != "en").select("doc_id", "text")
-    model = train_quality_classifier(
-        pos, neg, num_buckets=512, iters=15
-    )
-    got = sorted(
-        (r["doc_id"], r["quality_prob"])
-        for r in score_quality(docs, model).collect()
-    )
     exp_rows, exp_losses = quality_classifier_expected(sf)
-    assert model["losses"] == exp_losses
-    assert got == sorted(exp_rows)
+    for cap in (10**9, 0):  # driver path, then forced distributed path
+        model = train_quality_classifier(
+            pos, neg, num_buckets=512, iters=15, driver_train_max=cap
+        )
+        got = sorted(
+            (r["doc_id"], r["quality_prob"])
+            for r in score_quality(docs, model).collect()
+        )
+        assert model["losses"] == exp_losses, cap
+        assert got == sorted(exp_rows), cap
 
 
 def test_funnel_learned_quality_stage(spark, labeled):
