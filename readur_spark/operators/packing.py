@@ -83,17 +83,22 @@ def pack_sequences(
         key.alias("key"),
         token_counter(F.col(text_col)).cast("long").alias("n"),
     ).filter(F.col("n") > 0)
-    if token_counter is not token_count_col:
+    custom_counter = token_counter is not token_count_col
+    if custom_counter:
         # custom counters are typically Arrow UDFs (BPE encode): persist
         # the slim (id, key, n) projection so the three consumers below
-        # (min/max, bucket sums, the manifest itself) tokenize ONCE.
-        # Cache lifetime is session-scoped (24 bytes/row; ContextCleaner
-        # reclaims when the manifest is no longer referenced).
+        # (min/max, bucket sums, the manifest itself) tokenize ONCE. The
+        # cache is RELEASED before returning (CacheManager holds caches
+        # until explicit unpersist — review r5) by eagerly checkpointing
+        # the manifest, which is itself slim (5 longs per doc-seq
+        # overlap, smaller than the text it indexes).
         base = base.persist()
     if num_buckets is None:
         num_buckets = spark.sparkContext.defaultParallelism
     mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
     if mm["lo"] is None:
+        if custom_counter:
+            base.unpersist()
         return spark.createDataFrame(
             [],
             f"seq_id long, {id_col} {id_type}, tok_start long, tok_end long, "
@@ -148,13 +153,18 @@ def pack_sequences(
     )
     seg_start = F.greatest(F.col("gstart"), F.col("seq_id") * seq_len)
     seg_end = F.least(F.col("gstart") + F.col("n"), (F.col("seq_id") + 1) * seq_len)
-    return exploded.select(
+    manifest = exploded.select(
         "seq_id",
         id_col,
         (seg_start - F.col("gstart")).alias("tok_start"),
         (seg_end - F.col("gstart")).alias("tok_end"),
         (seg_end - seg_start).alias("n_tokens"),
     )
+    if custom_counter:
+        from readur_spark.operators.dedup import _materialize_release
+
+        manifest = _materialize_release(manifest, base)
+    return manifest
 
 
 def packing_stats(manifest: DataFrame, seq_len: int) -> DataFrame:

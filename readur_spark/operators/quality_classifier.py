@@ -15,17 +15,29 @@ Shape:
   per document (count / total — the fastText mean-pooling analog).
 * **training** — full-batch logistic regression, fixed iteration count,
   learning rate, and L2 (no data-dependent stopping: determinism).
-  Each iteration is ONE Arrow-batched scoring pass (per-doc dot against
-  the broadcast weight vector, folded over buckets in ascending order —
-  a fixed float64 reduction order) + ONE groupBy(bucket) gradient
-  aggregation whose addends are cast to DECIMAL(30,15) so the shuffle's
-  summation order cannot perturb the result. The d+1 gradient values
-  come to the driver (bounded by num_buckets — metadata scale), the
-  weight update is plain Python. The labeled set is the small side (a
-  curated positive corpus vs a raw sample); corpus-wide SCORING is the
-  linear pass.
+  Size-dispatched: labeled sets up to ``driver_train_max`` docs stream
+  their bounded feature rows to the driver once and run the loop
+  in-process (curated filter-training sets are 10^4–10^5 docs; each
+  iteration is then microseconds); larger sets run each iteration as ONE
+  Arrow-batched pass — a single pandas UDF computes the per-document
+  probability, error, and loss and emits every gradient addend (plus
+  bias/loss sentinel buckets) in one array, so one explode + one
+  groupBy(bucket) finishes the iteration. Gradient addends are cast to
+  DECIMAL(30,15) before the shuffle sum so partitioning cannot perturb
+  the result; the d+2 summed values come to the driver (bounded by
+  num_buckets) and the weight update is plain Python. Both paths
+  implement identical arithmetic and are equality-tested — the dispatch
+  never changes the model.
 * **scoring** — one projection per document against the broadcast
   weights; no shuffle, no joins. At 10^12 docs this is scan-speed.
+
+Determinism contract (what the oracle replays): probabilities come from
+the numerically-stable sigmoid (``exp(acc)/(1+exp(acc))`` for negative
+``acc`` — no overflow at any weight scale) of a float64 fold over
+buckets in ASCENDING order; for the gradient/loss they are clamped to
+``[1e-12, 1 - 1e-12]`` so a saturated document never produces log(0)
+(both paths, same clamp); addends quantize to DECIMAL(30,15) HALF_UP
+and sum exactly; updates ``w -= lr * (g/n + l2*w)`` in Python floats.
 
 Why not spark.ml LogisticRegression: LBFGS's line search makes results
 depend on partitioning/threading — unverifiable by a value oracle. The
@@ -43,6 +55,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from readur_spark.operators.dsir import hashed_ngram_features
+
+#: probability clamp for log/gradient terms — keeps a fully-saturated
+#: document finite instead of log(0) (identical in every path + replica)
+P_EPS = 1e-12
+
+
+def _sigmoid(acc: float) -> float:
+    """Numerically-stable logistic — THE formula every path and the
+    oracle replica share (the two algebraic forms round differently, so
+    mixing them would break bit parity)."""
+    if acc >= 0.0:
+        return 1.0 / (1.0 + math.exp(-acc))
+    e = math.exp(acc)
+    return e / (1.0 + e)
 
 
 def _doc_features(
@@ -74,10 +100,42 @@ def _score_udf(weights: list[float], bias: float):
             t = float(tot)
             for item in row:  # ascending bucket order — fixed fold
                 acc += (item["cnt"] / t) * w[item["bucket"]]
-            out.append(1.0 / (1.0 + math.exp(-acc)))
+            out.append(_sigmoid(acc))
         return pd.Series(out)
 
     return score
+
+
+def _grad_udf(weights: list[float], bias: float):
+    """One pass per document: probability, clamped error/loss, and ALL
+    gradient addends (bucket -1 = bias, -2 = loss) as one array — the
+    iteration's only UDF evaluation."""
+    w = np.asarray(weights, dtype=np.float64)
+    b = float(bias)
+
+    @F.pandas_udf("array<struct<bucket:int,g:double>>")
+    def grad(fs: pd.Series, total: pd.Series, y: pd.Series) -> pd.Series:
+        rows = []
+        for row, tot, yy in zip(fs, total, y):
+            acc = b
+            t = float(tot)
+            for item in row:
+                acc += (item["cnt"] / t) * w[item["bucket"]]
+            p = min(max(_sigmoid(acc), P_EPS), 1.0 - P_EPS)
+            err = p - yy
+            out = [
+                {"bucket": int(item["bucket"]), "g": err * item["cnt"] / t}
+                for item in row
+            ]
+            out.append({"bucket": -1, "g": err})
+            out.append(
+                {"bucket": -2,
+                 "g": -(yy * math.log(p) + (1.0 - yy) * math.log(1.0 - p))}
+            )
+            rows.append(out)
+        return pd.Series(rows)
+
+    return grad
 
 
 def train_quality_classifier(
@@ -89,26 +147,18 @@ def train_quality_classifier(
     l2: float = 1e-4,
     id_col: str = "doc_id",
     text_col: str = "text",
-    driver_train_max: int = 100_000,
+    driver_train_max: int = 20_000,
 ) -> dict:
     """Train the filter: ``positive`` = reference-quality docs,
     ``negative`` = raw/web sample. Returns
     ``{"weights": [...], "bias": float, "num_buckets": int, "losses": [...]}``
     — plain Python, broadcastable, serializable.
 
-    Determinism contract (what the oracle replays): per-doc probability
-    folds (cnt/total)·w over buckets ascending in float64; per-bucket
-    gradient addends are ``CAST((p - y) * cnt / total AS DECIMAL(30,15))``
-    summed exactly; updates ``w -= lr * (g / n + l2 * w)`` in Python.
-
-    Size dispatch: labeled sets up to ``driver_train_max`` docs collect
-    their (bounded) feature rows once and run the identical loop on the
-    driver — iteration cost becomes microseconds instead of a Spark
-    action (quality-filter training sets are curated samples, usually
-    10^4–10^5 docs). Larger sets train distributed; BOTH paths implement
-    the same decimal-quantized arithmetic and are equality-tested
-    (tests/test_quality_classifier.py), so the dispatch never changes
-    the model."""
+    ``driver_train_max`` bounds the driver-path memory: 20k docs of
+    ordinary web text carry ~10^7 (bucket, cnt) pairs ≈ low hundreds of
+    MB materialized through ``toLocalIterator`` (one partition in flight,
+    rows converted to plain tuples as they stream). Above the bound the
+    distributed loop runs instead — same model either way."""
     labeled = positive.select(
         F.col(id_col).alias(id_col), F.col(text_col).alias(text_col),
         F.lit(1.0).alias("__y__"),
@@ -124,84 +174,66 @@ def train_quality_classifier(
         .select("id", "fs", "total", "__y__")
         .persist()
     )
-    n = data.count()
-    if n == 0:
-        data.unpersist()
-        return {
-            "weights": [0.0] * num_buckets, "bias": 0.0,
-            "num_buckets": num_buckets, "losses": [],
-        }
-    if n <= driver_train_max:
-        rows = data.collect()
-        data.unpersist()
-        local = [
-            (
-                [(int(f["bucket"]), int(f["cnt"])) for f in r["fs"]],
-                float(r["total"]),
-                float(r["__y__"]),
-            )
-            for r in rows
-        ]
-        return _train_local(local, num_buckets, iters, lr, l2)
+    try:
+        n = data.count()
+        if n == 0:
+            return {
+                "weights": [0.0] * num_buckets, "bias": 0.0,
+                "num_buckets": num_buckets, "losses": [],
+            }
+        if n <= driver_train_max:
+            local = [
+                (
+                    [(int(f["bucket"]), int(f["cnt"])) for f in r["fs"]],
+                    float(r["total"]),
+                    float(r["__y__"]),
+                )
+                for r in data.toLocalIterator()
+            ]
+            return _train_local(local, num_buckets, iters, lr, l2)
 
-    w = [0.0] * num_buckets
-    bias = 0.0
-    losses: list[float] = []
-    dec = "decimal(30,15)"
-    for _ in range(iters):
-        p = _score_udf(w, bias)(F.col("fs"), F.col("total"))
-        scored = data.select(
-            "fs", "total", (p - F.col("__y__")).alias("err"),
-            (-(F.col("__y__") * F.log(p)
-               + (1.0 - F.col("__y__")) * F.log(1.0 - p))).alias("nll"),
-        )
-        # ONE action per iteration: per-bucket gradient rows unioned with
-        # two sentinel buckets (-1 = bias gradient, -2 = loss total) so
-        # the whole update is a single groupBy-collect
-        per_bucket = scored.select(
-            F.explode("fs").alias("f"),
-            (F.col("err") * F.col("f.cnt") / F.col("total"))
-            .cast(dec).alias("g"),
-        ).select(F.col("f.bucket").alias("bucket"), "g")
-        sentinels = scored.select(
-            F.lit(-1).alias("bucket"), F.col("err").cast(dec).alias("g")
-        ).unionByName(
-            scored.select(
-                F.lit(-2).alias("bucket"), F.col("nll").cast(dec).alias("g")
+        w = [0.0] * num_buckets
+        bias = 0.0
+        losses: list[float] = []
+        dec = "decimal(30,15)"
+        for _ in range(iters):
+            items = _grad_udf(w, bias)(
+                F.col("fs"), F.col("total"), F.col("__y__")
             )
-        )
-        rows = (
-            per_bucket.unionByName(sentinels)
-            .groupBy("bucket")
-            .agg(F.sum("g").alias("g"))
-            .collect()
-        )
-        grad = [0.0] * num_buckets
-        gb = loss_tot = 0.0
-        for r in rows:
-            b = int(r["bucket"])
-            if b == -1:
-                gb = float(r["g"] or 0.0)
-            elif b == -2:
-                loss_tot = float(r["g"] or 0.0)
-            else:
-                grad[b] = float(r["g"])
-        losses.append(round(loss_tot / n, 9))
-        w = [
-            wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)
-        ]
-        bias -= lr * (gb / n)
-    data.unpersist()
-    return {
-        "weights": w, "bias": bias,
-        "num_buckets": num_buckets, "losses": losses,
-    }
+            rows = (
+                data.select(F.explode(items).alias("it"))
+                .groupBy(F.col("it.bucket").alias("bucket"))
+                .agg(F.sum(F.col("it.g").cast(dec)).alias("g"))
+                .collect()
+            )
+            grad = [0.0] * num_buckets
+            gb = loss_tot = 0.0
+            for r in rows:
+                b = int(r["bucket"])
+                if b == -1:
+                    gb = float(r["g"] or 0.0)
+                elif b == -2:
+                    loss_tot = float(r["g"] or 0.0)
+                else:
+                    grad[b] = float(r["g"])
+            losses.append(round(loss_tot / n, 9))
+            w = [
+                wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)
+            ]
+            bias -= lr * (gb / n)
+        return {
+            "weights": w, "bias": bias,
+            "num_buckets": num_buckets, "losses": losses,
+        }
+    finally:
+        data.unpersist()
 
 
 def _train_local(data, num_buckets: int, iters: int, lr: float, l2: float) -> dict:
     """Driver-side twin of the distributed loop — byte-for-byte the same
-    arithmetic (float64 ascending-bucket folds, DECIMAL(30,15) HALF_UP
-    quantized gradient addends summed exactly, Python float updates)."""
+    arithmetic (stable sigmoid, [P_EPS, 1-P_EPS] clamp, float64
+    ascending-bucket folds, DECIMAL(30,15) HALF_UP quantized gradient
+    addends summed exactly, Python float updates)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     q15 = Decimal("1e-15")
@@ -221,7 +253,7 @@ def _train_local(data, num_buckets: int, iters: int, lr: float, l2: float) -> di
             acc = bias
             for b, c in fs:
                 acc += (c / total) * w[b]
-            p = 1.0 / (1.0 + math.exp(-acc))
+            p = min(max(_sigmoid(acc), P_EPS), 1.0 - P_EPS)
             err = p - y
             for b, c in fs:
                 grad[b] += dec15(err * c / total)

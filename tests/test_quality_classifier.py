@@ -1,5 +1,6 @@
 """Learned quality classifier: separation, determinism, replica parity."""
 
+import math
 import sys
 
 import pytest
@@ -119,3 +120,19 @@ def test_funnel_learned_quality_stage(spark, labeled):
     )
     assert metrics["after_learned_quality"] == 1
     assert {r["doc_id"] for r in chunks.collect()} == {1}
+
+
+def test_saturated_probabilities_train_without_crash(spark, labeled):
+    """r5 review: a cleanly-separable corpus at high lr saturates p to
+    1.0/0.0 in float64 — the clamp must keep log finite in BOTH paths
+    and they must still agree."""
+    pos, neg = labeled
+    kwargs = dict(num_buckets=64, iters=60, lr=50.0, l2=0.0)
+    m_local = train_quality_classifier(pos, neg, **kwargs)
+    m_dist = train_quality_classifier(
+        pos, neg, driver_train_max=0, **kwargs
+    )
+    assert m_local["weights"] == m_dist["weights"]
+    assert m_local["losses"] == m_dist["losses"]
+    assert all(math.isfinite(x) for x in m_local["losses"])
+    assert math.isfinite(m_local["bias"])

@@ -527,6 +527,12 @@ def quality_classifier_expected(
             continue
         data.append((int(doc_id), fs, total, 1.0 if lang == "en" else 0.0))
 
+    def _stable_sigmoid(acc):
+        if acc >= 0.0:
+            return 1.0 / (1.0 + math.exp(-acc))
+        e = math.exp(acc)
+        return e / (1.0 + e)
+
     q15 = Decimal("1e-15")
 
     def dec15(x: float) -> Decimal:
@@ -545,7 +551,7 @@ def quality_classifier_expected(
             t = float(total)
             for b, c in fs:
                 acc += (c / t) * w[b]
-            p = 1.0 / (1.0 + math.exp(-acc))
+            p = min(max(_stable_sigmoid(acc), 1e-12), 1.0 - 1e-12)
             err = p - y
             for b, c in fs:
                 grad[b] += dec15(err * c / t)
@@ -564,7 +570,7 @@ def quality_classifier_expected(
         t = float(total)
         for b, c in fs:
             acc += (c / t) * w[b]
-        p = 1.0 / (1.0 + math.exp(-acc))
+        p = _stable_sigmoid(acc)
         rows.append(
             (_id, float(Decimal(repr(p)).quantize(q6, rounding=ROUND_HALF_UP)))
         )
