@@ -348,3 +348,67 @@ def test_chunk_by_tokens_empty_and_short_docs(spark):
     rows = chunk_texts_by_tokens(docs, tok, chunk_tokens=50).collect()
     assert {r["doc_id"] for r in rows} == {2}
     assert rows[0]["chunk_no"] == 0 and rows[0]["chunk_text"] == "tiny"
+
+
+# ------------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_prop_roundtrip_any_unicode(text):
+    tok = _PROP_TOK
+    assert tok.decode(tok.encode(text)) == text
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=400))
+def test_prop_count_equals_encode_len(text):
+    tok = _PROP_TOK
+    assert tok.count(text) == len(tok.encode(text))
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=300))
+def test_prop_pretokens_cover_input_losslessly(text):
+    assert b"".join(pretokenize(text)) == text.encode("utf-8")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abcdef \n.", max_size=200), st.integers(1, 30))
+def test_prop_trainer_matches_naive_on_random_corpora(text, n_merges):
+    wf = word_counts([text])
+    assert train_bpe(wf, n_merges) == naive_train(dict(wf), n_merges)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(alphabet="abc xyz.", max_size=300))
+def test_prop_greedy_equals_rank_order(text):
+    tok = _PROP_TOK
+    assert tok.encode(text) == rank_order_encode(text, tok.merges)
+
+
+_PROP_TOK = train_bpe_from_texts(
+    [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "pack my box with five dozen liquor jugs for the road trip",
+        "sphinx of black quartz judge my vow said the weary traveler",
+    ] * 3,
+    80,
+)
+
+
+def test_mega_word_encodes_in_linear_time():
+    """Rank progression is monotone (new pairs always involve the newly
+    created token, whose merges rank later), so a 200k-char single
+    pre-token costs O(merges x len), not O(len^2)."""
+    import time
+
+    tok = train_bpe_from_texts(["aaaa aaaa aaaaaaaa ab ab ab"] * 5, 40)
+    mega = "a" * 200_000
+    t0 = time.monotonic()
+    ids = tok.encode(mega)
+    elapsed = time.monotonic() - t0
+    assert tok.decode(ids) == mega
+    assert elapsed < 10.0, elapsed

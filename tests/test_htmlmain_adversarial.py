@@ -255,3 +255,32 @@ def test_warc_to_extraction_composition(spark, tmp_path):
             sum(s["kind"] == "media" for s in spans),
         )
         assert out[uri] == want, uri
+
+
+# ------------------------------------------------------------- properties
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_HTML_ATOMS = st.sampled_from(
+    _BOILER + _CONTENT + _GLITCH
+    + ["plain words in between ", "<p>", "</p>", "<div class='x'>", "</div>",
+       "<a href='/l'>link text</a>", "&amp;", "&#65;", "<![CDATA[x]]>",
+       "<!-- c -->", "<img src='m://h'>", "\n", "  "]
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(_HTML_ATOMS, max_size=12), st.integers(0, 10**6))
+def test_prop_fast_equals_reference_on_atom_soup(atoms, cut_seed):
+    page = "".join(atoms)
+    if atoms and cut_seed % 4 == 0:  # quarter of cases: truncated fetch
+        page = page[: cut_seed % max(len(page), 1)]
+    assert extract_main_content(page) == extract_main_content_reference(page), (
+        page[:200]
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=300))
+def test_prop_fast_equals_reference_on_arbitrary_text(text):
+    assert extract_main_content(text) == extract_main_content_reference(text)
