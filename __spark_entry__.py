@@ -791,17 +791,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             for pdf_b in batches:
                 rows = []
                 for doc_id, text in zip(pdf_b["doc_id"], pdf_b["text"]):
-                    words = (text or "").split()[:96]
+                    # drop non-latin-1 words (build_pdf writes latin-1
+                    # content streams); oracle applies the same codepoint
+                    # filter relationally
+                    words = [
+                        w for w in (text or "").split()
+                        if all(ord(c) <= 0xFF for c in w)
+                    ][:96]
                     lines = [
                         " ".join(words[i : i + 6])
                         for i in range(0, len(words), 6)
                     ]
                     half = (len(lines) + 1) // 2
+                    # right column starts past the WIDEST left line plus a
+                    # 48pt gutter (> min_col_gap at any line length) — a
+                    # fixed 330pt offset left a sub-24pt gutter for long
+                    # lines, collapsing the column split (r5 review,
+                    # reproduced at sf0.001/sf0.1)
+                    left_w = max(
+                        (6.0 * len(ln) for ln in lines[:half]), default=0.0
+                    )
+                    right_x = 50.0 + left_w + 48.0
                     page = [
                         (50.0, 740.0 - 14.0 * i, ln)
                         for i, ln in enumerate(lines[:half])
                     ] + [
-                        (330.0, 740.0 - 14.0 * i, ln)
+                        (right_x, 740.0 - 14.0 * i, ln)
                         for i, ln in enumerate(lines[half:])
                     ]
                     got = extract_text_layout(build_pdf([page]))[0]
@@ -1089,6 +1104,12 @@ _BPE_MERGES = 200
 _BPE_ORACLE_CACHE: dict[tuple, list] = {}
 
 
+def _bpe_oracle_key(num_merges: int) -> tuple:
+    """Single definition of the replay cache key — _bpe_oracle_rows and
+    _bpe_oracle_ids must never disagree on it."""
+    return ("sf0.01", num_merges)
+
+
 def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]]:
     """(doc_id, n_tokens, id_sum) per document of the sf0.01 corpus,
     computed by an INDEPENDENT sequential BPE: a naive full-recount
@@ -1103,7 +1124,7 @@ def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]
     reads that parquet directly; like the other corpus-keyed oracles
     (planted families, df thresholds) this entry is only meaningful at
     the gate's scale factor."""
-    key = ("sf0.01", num_merges)
+    key = _bpe_oracle_key(num_merges)
     if key not in _BPE_ORACLE_CACHE:
         import re
         from collections import Counter
@@ -1199,7 +1220,7 @@ def _bpe_oracle_ids(num_merges: int = _BPE_MERGES):
     """Per-doc token ids + vocab byte table from the same independent
     replay (memoized alongside _bpe_oracle_rows)."""
     _bpe_oracle_rows(num_merges)
-    key = ("sf0.01", num_merges)
+    key = _bpe_oracle_key(num_merges)
     return (
         _BPE_ORACLE_CACHE[key + ("ids",)],
         _BPE_ORACLE_CACHE[key + ("vocab",)],
@@ -2129,13 +2150,16 @@ def oracle_sql() -> dict[str, str]:
                     _hl.md5(",".join(map(str, _seg)).encode()).hexdigest(),
                 )
             )
-        o["pack_materialize_bpe"] = (
-            "SELECT CAST(seq_id AS BIGINT) AS seq_id, "
-            "CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS id_sum, "
-            "m AS ids_md5 FROM (VALUES "
-            + ", ".join(f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _seq_rows)
-            + ") AS v(seq_id, n, s, m)"
-        )
+        if _seq_rows:  # an empty stream would render invalid VALUES SQL
+            o["pack_materialize_bpe"] = (
+                "SELECT CAST(seq_id AS BIGINT) AS seq_id, "
+                "CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS id_sum, "
+                "m AS ids_md5 FROM (VALUES "
+                + ", ".join(
+                    f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _seq_rows
+                )
+                + ") AS v(seq_id, n, s, m)"
+            )
 
         # chunk_by_tokens: windows of 128 stride 112 per doc; chunk text
         # decoded with the replay's own vocab table, hashed
@@ -2162,15 +2186,16 @@ def oracle_sql() -> dict[str, str]:
                 if _pos + 128 >= len(_ids):
                     break
                 _pos += 112
-        o["chunk_by_tokens"] = (
-            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
-            "CAST(cn AS BIGINT) AS chunk_no, CAST(n AS BIGINT) AS n_tokens, "
-            "m AS chunk_md5 FROM (VALUES "
-            + ", ".join(
-                f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _chunk_rows
+        if _chunk_rows:  # same empty-VALUES guard
+            o["chunk_by_tokens"] = (
+                "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+                "CAST(cn AS BIGINT) AS chunk_no, CAST(n AS BIGINT) AS n_tokens, "
+                "m AS chunk_md5 FROM (VALUES "
+                + ", ".join(
+                    f"({a}, {b}, {c}, '{d}')" for a, b, c, d in _chunk_rows
+                )
+                + ") AS v(doc_id, cn, n, m)"
             )
-            + ") AS v(doc_id, cn, n, m)"
-        )
     except Exception:
         # oracle replay unavailable (no sf0.01 parquet on this host):
         # omit the entries — the driver records the weaker rows-only check
@@ -2183,7 +2208,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                array_to_string(
                  list_filter(regexp_split_to_array(trim(text), '\s+'),
-                             x -> x != '')[1:96], ' ') AS layout_text
+                             x -> x != ''
+                                  AND regexp_matches(x, '^[\x00-\xff]*$')
+                 )[1:96], ' ') AS layout_text
         FROM documents
     """
 

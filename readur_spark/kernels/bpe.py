@@ -173,16 +173,17 @@ class BpeTokenizer:
                 merges.append((int(a), int(b)))
         return cls(merges)
 
-    def token_bytes(self) -> list[bytes]:
+    def token_bytes(self) -> tuple[bytes, ...]:
         """Vocabulary id -> byte string (256 singles, then merges).
-        Cached: decode-heavy paths (token-boundary chunking) call this
-        per chunk."""
+        Cached and returned as an immutable tuple: decode-heavy paths
+        (token-boundary chunking) call this per chunk, and a mutable
+        shared list would let one caller corrupt every later decode."""
         vocab = getattr(self, "_vocab", None)
         if vocab is None:
-            vocab = [bytes([i]) for i in range(256)]
+            build = [bytes([i]) for i in range(256)]
             for a, b in self.merges:
-                vocab.append(vocab[a] + vocab[b])
-            self._vocab = vocab
+                build.append(build[a] + build[b])
+            vocab = self._vocab = tuple(build)
         return vocab
 
     def _encode_word(self, word: bytes) -> tuple[int, ...]:

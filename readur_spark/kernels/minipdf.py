@@ -445,10 +445,12 @@ def _xycut(boxes, min_col_gap: float, min_band_gap: float):
     assemble in the single-column line order. This is what fixes the
     naive y-sort interleaving two columns line-by-line.
 
-    ``boxes``: (x0, x1, y0, y1, run) tuples; returns runs reading-ordered.
+    ``boxes``: (x0, x1, y0, y1, run) tuples; returns the reading-ordered
+    LEAF BLOCKS (one list of runs per undividable region) so the caller
+    can line-assemble each block independently.
     """
     if len(boxes) <= 1:
-        return [b[4] for b in boxes]
+        return [[b[4] for b in boxes]] if boxes else []
 
     def gaps(intervals, min_gap):
         # maximal white gaps between merged occupied intervals
@@ -483,10 +485,8 @@ def _xycut(boxes, min_col_gap: float, min_band_gap: float):
             return _xycut(left, min_col_gap, min_band_gap) + _xycut(
                 right, min_col_gap, min_band_gap
             )
-    # 3) leaf: plain line order
-    return [
-        r for r in sorted((b[4] for b in boxes), key=lambda r: (-r[1], r[0]))
-    ]
+    # 3) leaf: emit as one block
+    return [[b[4] for b in boxes]]
 
 
 def _assemble_layout(runs, min_col_gap: float, min_band_gap: float) -> str:
@@ -496,18 +496,15 @@ def _assemble_layout(runs, min_col_gap: float, min_band_gap: float) -> str:
         (x, x + _CHAR_W * max(len(t), 1), y, y + _LINE_H, (x, y, t))
         for x, y, t in runs
     ]
-    ordered = _xycut(boxes, min_col_gap, min_band_gap)
-    # within the cut order, group consecutive runs sharing a baseline into
-    # lines (same tolerance as the single-column assembler)
-    lines: list[list[str]] = []
-    last_y = None
-    for x, y, t in ordered:
-        if last_y is not None and abs(last_y - y) <= 0.5:
-            lines[-1].append(t)
-        else:
-            lines.append([t])
-        last_y = y
-    return "\n".join(" ".join(parts) for parts in lines)
+    # each leaf assembles with EXACTLY the single-column line logic
+    # (anchored 0.5pt baseline tolerance, runs within a line resorted by
+    # x) — so a page with no qualifying cut equals extract_text_layer
+    # verbatim, and sub-tolerance baseline jitter can't drift lines
+    # apart (round-5 review)
+    leaves = _xycut(boxes, min_col_gap, min_band_gap)
+    return "\n".join(
+        _assemble_page(leaf) for leaf in leaves if leaf
+    )
 
 
 def extract_text_layout(

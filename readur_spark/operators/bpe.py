@@ -180,6 +180,16 @@ def train_bpe_spark_loop(
     return merges
 
 
+def process_tokenizer(merges, holder: dict) -> BpeTokenizer:
+    """Per-process tokenizer singleton: rebuild once per executor worker
+    and keep the zipfian per-word memo cache alive across Arrow batches.
+    ``holder`` is a closure-captured dict (pickled empty to each worker)."""
+    tok = holder.get("tok")
+    if tok is None:
+        tok = holder["tok"] = BpeTokenizer(merges)
+    return tok
+
+
 def bpe_count_udf(tokenizer: BpeTokenizer):
     """Factory: a Column -> Column pandas-UDF counting BPE tokens — the
     shape ``pack_sequences(token_counter=...)`` takes. Null text counts
@@ -187,15 +197,11 @@ def bpe_count_udf(tokenizer: BpeTokenizer):
     from pyspark.sql.types import LongType
 
     merges = tokenizer.merges
-    holder: dict = {}  # one tokenizer per executor process: the per-word
-    # memo cache survives across Arrow batches (round-5 review — a fresh
-    # tokenizer per batch discarded the zipfian cache every ~10k rows)
+    holder: dict = {}
 
     @F.pandas_udf(LongType())
     def count_tokens(texts: pd.Series) -> pd.Series:
-        tok = holder.get("tok")
-        if tok is None:
-            tok = holder["tok"] = BpeTokenizer(merges)
+        tok = process_tokenizer(merges, holder)
         return texts.map(lambda t: 0 if t is None else tok.count(t))
 
     return count_tokens
@@ -206,13 +212,11 @@ def bpe_encode_udf(tokenizer: BpeTokenizer):
     from pyspark.sql.types import ArrayType, IntegerType
 
     merges = tokenizer.merges
-    holder: dict = {}  # per-process singleton — see bpe_count_udf
+    holder: dict = {}
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def encode_tokens(texts: pd.Series) -> pd.Series:
-        tok = holder.get("tok")
-        if tok is None:
-            tok = holder["tok"] = BpeTokenizer(merges)
+        tok = process_tokenizer(merges, holder)
         return texts.map(lambda t: [] if t is None else tok.encode(t))
 
     return encode_tokens

@@ -485,7 +485,7 @@ def chunk_texts_by_tokens(
     table ships in the closure, the per-process instance is cached."""
     import pandas as pd
 
-    from readur_spark.kernels.bpe import BpeTokenizer
+    from readur_spark.operators.bpe import process_tokenizer
 
     assert 0 <= overlap_tokens < chunk_tokens
     stride = chunk_tokens - overlap_tokens
@@ -494,9 +494,7 @@ def chunk_texts_by_tokens(
     id_type = docs_df.schema[id_col].dataType.simpleString()
 
     def run(batches):
-        tok = holder.get("tok")
-        if tok is None:
-            tok = holder["tok"] = BpeTokenizer(merges)
+        tok = process_tokenizer(merges, holder)
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
