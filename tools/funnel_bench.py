@@ -58,6 +58,19 @@ def main() -> None:
     n_docs = docs.count()
     heldout = docs.limit(50).localCheckpoint(eager=True)
     lm_ref = docs.limit(500).localCheckpoint(eager=True)
+    # learned quality filter: trained once on the base corpus (en vs
+    # rest — the CCNet-style reference split), then applied in-funnel
+    from readur_spark.operators.quality_classifier import (
+        train_quality_classifier,
+    )
+
+    qbase = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    quality_model = train_quality_classifier(
+        qbase.filter(F.col("lang") == "en").select("doc_id", "text"),
+        qbase.filter(F.col("lang") != "en").select("doc_id", "text"),
+        num_buckets=512,
+        iters=15,
+    )
     rdds_before = sc._jsc.getPersistentRDDs().size()
 
     t0 = time.perf_counter()
@@ -72,6 +85,8 @@ def main() -> None:
         line_dedup_max_df=300,
         lm_ref_df=lm_ref,
         max_perplexity=1e6,
+        quality_model=quality_model,
+        min_quality_prob=0.05,
         scrub_pii=True,
         embeddings_df=embeddings,
         semantic_threshold=0.95,
