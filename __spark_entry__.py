@@ -632,6 +632,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_weights"] = _q_dsir
 
+    def _q_dsir_resample_largek(s, sf):
+        # the large-k THRESHOLD path (r5 verdict #4): driver_topk_max=0
+        # forces approxQuantile bracket + distributed filter — no k-row
+        # TakeOrdered anywhere; the selected set must still equal exact
+        # top-k by (gumbel key desc, id asc), which the oracle computes
+        # directly from the same salted-md5 uniform.
+        from readur_spark.operators.dsir import dsir_resample
+
+        docs_df = _docs(s, sf)
+        out = dsir_resample(
+            docs_df,
+            docs_df.filter(F.col("doc_id") % 5 == 0),
+            k=120,
+            temperature=1.0,
+            driver_topk_max=0,
+            n=2,
+            num_buckets=4096,
+        )
+        return out.select("doc_id")
+
+    q["dsir_resample_largek"] = _q_dsir_resample_largek
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -758,14 +780,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # end-to-end, so chunk ids, ordering, and token ranges are checked
         # as a composition (not just each operator alone). chunk_id packs
         # (doc_id, chunk_no) into one dense numeric key preserving
-        # doc-then-chunk order.
+        # doc-then-chunk order (a hash would scramble packing order, so
+        # the composite stays arithmetic). Base 2^20 = ~33M words/doc
+        # headroom at the 40-word window; the raise_error guard turns a
+        # beyond-bound document into a loud failure instead of a silent
+        # key collision (r5 verdict, what's-wrong #3).
         from readur_spark.operators.extract import chunk_texts
         from readur_spark.operators.packing import pack_sequences
 
         chunks = chunk_texts(
             _docs(s, sf), chunk_words=40, overlap_words=8
         ).select(
-            (F.col("doc_id") * 100000 + F.col("chunk_no")).alias("chunk_id"),
+            F.when(
+                F.col("chunk_no") < F.lit(1 << 20),
+                F.col("doc_id") * F.lit(1 << 20) + F.col("chunk_no"),
+            )
+            .otherwise(
+                F.raise_error("chunk_no exceeds composite-key bound 2^20")
+            )
+            .alias("chunk_id"),
             F.col("chunk_text").alias("text"),
         )
         return pack_sequences(
@@ -1200,11 +1233,15 @@ def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]
 
         rows = []
         ids_by_doc: dict[int, list[int]] = {}
+        starts_by_doc: dict[int, list[int]] = {}
         for doc_id, text in docs:
             doc_ids: list[int] = []
+            doc_starts: list[int] = []
             for w in words_of(text or ""):
+                doc_starts.append(len(doc_ids))
                 doc_ids.extend(encode_word(w))
             ids_by_doc[int(doc_id)] = doc_ids
+            starts_by_doc[int(doc_id)] = doc_starts
             rows.append((int(doc_id), len(doc_ids), sum(doc_ids)))
         # vocab bytes for chunk-decode replay (naive expansion of merges)
         vocab = [bytes([i]) for i in range(256)]
@@ -1212,8 +1249,18 @@ def _bpe_oracle_rows(num_merges: int = _BPE_MERGES) -> list[tuple[int, int, int]
             vocab.append(vocab[a] + vocab[b])
         _BPE_ORACLE_CACHE[key] = rows
         _BPE_ORACLE_CACHE[key + ("ids",)] = ids_by_doc
+        _BPE_ORACLE_CACHE[key + ("starts",)] = starts_by_doc
         _BPE_ORACLE_CACHE[key + ("vocab",)] = vocab
     return _BPE_ORACLE_CACHE[key]
+
+
+def _bpe_oracle_starts(num_merges: int = _BPE_MERGES):
+    """Per-doc pre-token start indices (token space) from the replay —
+    the chunk oracle snaps its window cuts to these, mirroring the
+    operator's boundary contract."""
+    _bpe_oracle_rows(num_merges)
+    key = _bpe_oracle_key(num_merges)
+    return _BPE_ORACLE_CACHE[key + ("starts",)]
 
 
 def _bpe_oracle_ids(num_merges: int = _BPE_MERGES):
@@ -1737,6 +1784,62 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY f.id
     """
 
+    # dsir_resample_largek: the threshold-selection path must equal exact
+    # top-k by (gumbel key desc, id asc). Same weight CTE as dsir_weights
+    # (UNROUNDED log_w — rounding could flip the rank-120 cut), gumbel
+    # key from the same salted-md5 uniform with the operator's exact
+    # clamp. k=120, temperature=1.
+    o["dsir_resample_largek"] = f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             x -> x != '') t
+          FROM documents
+        ),
+        grams AS (
+          SELECT id, t[i.i] || ' ' || t[i.i + 1] AS g
+          FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+          WHERE len(t) >= 2
+        ),
+        feats AS (
+          SELECT id,
+                 CAST(('0x' || substr(md5(g || ':dsir-v1'), 1, 8)) AS BIGINT)
+                   % 4096 AS bucket,
+                 count(*) cnt
+          FROM grams GROUP BY 1, 2
+        ),
+        tgt AS (SELECT bucket, sum(cnt) ct FROM feats
+                WHERE id % 5 = 0 GROUP BY 1),
+        rawc AS (SELECT bucket, sum(cnt) cr FROM feats GROUP BY 1),
+        tots AS (SELECT (SELECT sum(cr) FROM rawc) tr,
+                        (SELECT coalesce(sum(ct), 0) FROM tgt) tt),
+        ratio AS (
+          SELECT r.bucket,
+                 ln((coalesce(t.ct, 0) + 1.0)
+                    / (CAST((SELECT tt FROM tots) AS DOUBLE) + 1.0 * 4096))
+                 - ln((r.cr + 1.0)
+                      / (CAST((SELECT tr FROM tots) AS DOUBLE) + 1.0 * 4096))
+                   AS log_ratio
+          FROM rawc r LEFT JOIN tgt t USING (bucket)
+        ),
+        w AS (
+          SELECT f.id AS doc_id, sum(f.cnt * ratio.log_ratio) AS log_w
+          FROM feats f JOIN ratio USING (bucket)
+          GROUP BY f.id
+        ),
+        keyed AS (
+          SELECT doc_id,
+                 log_w - ln(-ln(least(greatest(
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || ':dsir-resample-v1'), 1, 8)) AS BIGINT)
+                     / 4294967296.0, 1e-12), 1.0 - 1e-12)))
+                   AS gk
+          FROM w
+        )
+        SELECT doc_id FROM keyed ORDER BY gk DESC, doc_id LIMIT 120
+    """
+
     # corpus_stats: one ROLLUP pass — the sum() must CAST to BIGINT (DuckDB
     # promotes to HUGEINT, which breaks the pandas-path hash; see the
     # pack_sequences lesson + tests/test_correctness_gate.py)
@@ -2161,16 +2264,63 @@ def oracle_sql() -> dict[str, str]:
                 + ") AS v(seq_id, n, s, m)"
             )
 
-        # chunk_by_tokens: windows of 128 stride 112 per doc; chunk text
-        # decoded with the replay's own vocab table, hashed
+        # chunk_by_tokens: windows of ≤128 tokens, overlap ≤16, every cut
+        # snapped to a pre-token boundary (char-boundary fallback inside
+        # mega-pre-tokens) per the operator's contract; chunk text
+        # decoded with the replay's own vocab table, hashed. The walk is
+        # an independent linear-scan formulation of the same spec the
+        # operator implements with bisect (kernels.bpe.token_windows).
+        _starts_by_doc = _bpe_oracle_starts()
         _chunk_rows = []
         for _d in sorted(_ids_by_doc):
             _ids = _ids_by_doc[_d]
             if not _ids:
                 continue
+            _nn = len(_ids)
+            _bnd = [False] * (_nn + 1)
+            for _s in _starts_by_doc[_d]:
+                _bnd[_s] = True
+
+            def _snap_back(lo, hi, _bnd=_bnd, _ids=_ids):
+                # largest cut in (lo, hi]: pre-token boundary preferred,
+                # else a UTF-8 character boundary, else None
+                for _c in range(hi, lo, -1):
+                    if _bnd[_c]:
+                        return _c
+                for _c in range(hi, lo, -1):
+                    if not 0x80 <= _vocab[_ids[_c]][0] < 0xC0:
+                        return _c
+                return None
+
+            def _snap_fwd(lo, hi, _bnd=_bnd, _ids=_ids):
+                # smallest cut in [lo, hi]: boundary preferred, else a
+                # character boundary, else None
+                for _c in range(lo, hi + 1):
+                    if _bnd[_c]:
+                        return _c
+                for _c in range(lo, hi + 1):
+                    if not 0x80 <= _vocab[_ids[_c]][0] < 0xC0:
+                        return _c
+                return None
+
+            def _char_fwd(lo, _ids=_ids):
+                # nearest character-safe cut ≥ lo (_nn at worst)
+                _c = lo
+                while _c < _nn and 0x80 <= _vocab[_ids[_c]][0] < 0xC0:
+                    _c += 1
+                return _c
+
             _pos = _cn = 0
             while True:
-                _w = _ids[_pos : _pos + 128]
+                _end = (
+                    _nn
+                    if _nn - _pos <= 128
+                    else (
+                        _snap_back(_pos, _pos + 128)
+                        or _char_fwd(_pos + 129)
+                    )
+                )
+                _w = _ids[_pos:_end]
                 _text = b"".join(_vocab[i] for i in _w).decode(
                     "utf-8", "replace"
                 )
@@ -2183,9 +2333,9 @@ def oracle_sql() -> dict[str, str]:
                     )
                 )
                 _cn += 1
-                if _pos + 128 >= len(_ids):
+                if _end >= _nn:
                     break
-                _pos += 112
+                _pos = _snap_fwd(max(_end - 16, _pos + 1), _end) or _end
         if _chunk_rows:  # same empty-VALUES guard
             o["chunk_by_tokens"] = (
                 "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
@@ -2217,7 +2367,7 @@ def oracle_sql() -> dict[str, str]:
     # chunk_pack_roundtrip: chunk (40/8) -> pack (256) composed
     # relationally: the chunk oracle's word windows feed the same regex
     # token counts + global packing window, keyed by the composite
-    # chunk_id = doc_id * 100000 + chunk_no
+    # chunk_id = doc_id * 2^20 + chunk_no
     o["chunk_pack_roundtrip"] = r"""
         WITH base AS (
           SELECT doc_id,
@@ -2233,7 +2383,7 @@ def oracle_sql() -> dict[str, str]:
           FROM base
         ),
         chunks AS (
-          SELECT doc_id * 100000 + i AS chunk_id,
+          SELECT doc_id * 1048576 + i AS chunk_id,
                  array_to_string(words[i * 32 + 1 : i * 32 + 40], ' ') AS chunk_text
           FROM nc, unnest(range(nc)) AS t(i)
           WHERE nc > 0

@@ -98,10 +98,18 @@ def train_bpe(
 
     Incremental pair-count maintenance: a global pair Counter plus an
     inverted index pair -> word ids, so each merge touches only the words
-    actually containing the chosen pair (Zipf makes that cheap). The
-    naive full-recount formulation lives in tests/test_bpe.py and must
-    produce identical rules. Stops early (shorter rule list) when no
-    pair repeats."""
+    actually containing the chosen pair (Zipf makes that cheap). Best-pair
+    selection is a LAZY MAX-HEAP keyed (-count, pair): a fresh entry is
+    pushed whenever a pair's count changes, stale entries are discarded on
+    pop (entry count != live count), so each merge costs O(touched·log)
+    instead of a full O(|pairs|) scan — the difference between minutes
+    and hours at a production 32k-merge vocab (round-5 verdict #1). The
+    (-count, pair) key pops highest count then smallest pair, exactly the
+    documented tie-break. The naive full-recount formulation lives in
+    tests/test_bpe.py and must produce identical rules. Stops early
+    (shorter rule list) when no pair repeats."""
+    import heapq
+
     words: list[tuple[int, ...]] = []
     freqs: list[int] = []
     for w, c in sorted(word_freqs.items()):
@@ -117,23 +125,33 @@ def train_bpe(
             pair_counts[p] += k * freqs[wi]
             where.setdefault(p, set()).add(wi)
 
+    heap = [(-c, p) for p, c in pair_counts.items() if c >= 2]
+    heapq.heapify(heap)
+
     merges: list[tuple[int, int]] = []
     for step in range(num_merges):
         best = None
         best_count = 0
-        for p, c in pair_counts.items():
-            if c > best_count or (c == best_count and best is not None and p < best):
-                best, best_count = p, c
+        while heap:
+            neg_c, p = heap[0]
+            live = pair_counts.get(p, 0)
+            if -neg_c != live or live < 2:
+                heapq.heappop(heap)  # stale (count changed) or below floor
+                continue
+            best, best_count = p, live
+            break
         if best is None or best_count < 2:
             break  # nothing repeats: further merges are vocabulary padding
         new_id = 256 + step
         merges.append(best)
+        touched: set[tuple[int, int]] = set()
         for wi in sorted(where.get(best, ())):
             old = words[wi]
             new = _merge_word(old, best, new_id)
             f = freqs[wi]
             for p, k in _pair_counter(old).items():
                 pair_counts[p] -= k * f
+                touched.add(p)
                 if pair_counts[p] <= 0:
                     del pair_counts[p]
                 s = where.get(p)
@@ -143,8 +161,13 @@ def train_bpe(
                         del where[p]
             for p, k in _pair_counter(new).items():
                 pair_counts[p] += k * f
+                touched.add(p)
                 where.setdefault(p, set()).add(wi)
             words[wi] = new
+        for p in touched:
+            live = pair_counts.get(p, 0)
+            if live >= 2:
+                heapq.heappush(heap, (-live, p))
     return merges
 
 
@@ -212,12 +235,110 @@ class BpeTokenizer:
             out.extend(self._encode_word(w))
         return out
 
+    def encode_with_starts(self, text: str) -> tuple[list[int], list[int]]:
+        """Encode, also returning the token indices at which each
+        pre-token begins. Token windows cut at these indices decode to
+        exact substrings (merges never cross pre-token boundaries, and a
+        pre-token boundary is always a UTF-8 character boundary), and
+        re-encoding such a window reproduces exactly its token ids —
+        the property token-boundary chunking needs to avoid injecting
+        U+FFFD or drifting on re-tokenization."""
+        out: list[int] = []
+        starts: list[int] = []
+        for w in pretokenize(text):
+            starts.append(len(out))
+            out.extend(self._encode_word(w))
+        return out, starts
+
     def decode(self, ids: Iterable[int]) -> str:
         vocab = self.token_bytes()
         return b"".join(vocab[i] for i in ids).decode("utf-8", "replace")
 
     def count(self, text: str) -> int:
         return sum(len(self._encode_word(w)) for w in pretokenize(text))
+
+
+def token_windows(
+    ids: list[int],
+    starts: list[int],
+    token_bytes: tuple[bytes, ...],
+    chunk_tokens: int,
+    overlap_tokens: int,
+) -> list[tuple[int, int]]:
+    """Compute chunk windows ``[(pos, end), ...]`` over a token sequence,
+    snapping every cut to a pre-token boundary (from ``starts``) so each
+    window decodes to an exact substring and re-encodes to exactly its
+    token slice. Window END: the largest pre-token start in
+    ``(pos, pos+chunk_tokens]``; if the current pre-token alone spans the
+    whole window (a mega-run), fall back to the largest UTF-8
+    *character* boundary in range (decode still exact — no U+FFFD — but
+    re-encoding may re-merge differently); if even that fails (every
+    token position in the window sits mid-character — possible when
+    merges run off-phase with char boundaries through a mega-run),
+    EXTEND the window forward to the nearest character-safe cut instead
+    of cutting raw: a window may then exceed ``chunk_tokens``, but no
+    cut ever splits a character, so decode NEVER injects U+FFFD.
+    Next window START: the SMALLEST safe cut in
+    ``[max(end - overlap_tokens, pos+1), end]`` (forward snap — backward
+    would grow the overlap past the bound), else ``end``. Invariants:
+    each window holds ≤ chunk_tokens tokens, consecutive windows overlap
+    ≤ overlap_tokens and leave no gap, and every start strictly
+    advances — termination is unconditional."""
+    from bisect import bisect_left, bisect_right
+
+    n = len(ids)
+    if n == 0:
+        return []
+
+    def char_safe(i: int) -> bool:
+        # a cut at i is mid-character iff the next token's bytes begin
+        # with a UTF-8 continuation byte (0x80..0xBF)
+        return i >= n or not 0x80 <= token_bytes[ids[i]][0] < 0xC0
+
+    def snap_back(pos: int, t: int) -> int | None:
+        # largest safe cut in (pos, t], preferring pre-token boundaries
+        j = bisect_right(starts, t) - 1
+        if j >= 0 and starts[j] > pos:
+            return starts[j]
+        c = min(t, n)
+        while c > pos:  # ≤3 live iterations: a char has ≤4 bytes
+            if char_safe(c):
+                return c
+            c -= 1
+        return None
+
+    def snap_fwd(lo: int, hi: int) -> int | None:
+        # smallest safe cut in [lo, hi], preferring pre-token boundaries
+        j = bisect_left(starts, lo)
+        if j < len(starts) and starts[j] <= hi:
+            return starts[j]
+        c = lo
+        while c <= hi:  # ≤3 live iterations, as above
+            if char_safe(c):
+                return c
+            c += 1
+        return None
+
+    def char_fwd(lo: int) -> int:
+        # nearest character-safe cut at or after lo (n at worst)
+        c = lo
+        while not char_safe(c):
+            c += 1
+        return c
+
+    out: list[tuple[int, int]] = []
+    pos = 0
+    while True:
+        if n - pos <= chunk_tokens:
+            out.append((pos, n))
+            return out
+        end = snap_back(pos, pos + chunk_tokens) or char_fwd(
+            pos + chunk_tokens + 1
+        )
+        out.append((pos, end))
+        if end >= n:
+            return out
+        pos = snap_fwd(max(end - overlap_tokens, pos + 1), end) or end
 
 
 def train_bpe_from_texts(texts: Iterable[str], num_merges: int) -> BpeTokenizer:

@@ -87,18 +87,41 @@ def train_bpe_spark_loop(
     word_table: DataFrame,
     num_merges: int,
     checkpoint_every: int = 8,
+    batch_merges: int = 64,
 ) -> list[tuple[int, int]]:
     """Merge loop entirely on executors, for word tables too large to
     TakeOrdered. ``word_table`` is (word binary, count long); each
-    iteration = one pair-count groupBy (all adjacent positions, overlaps
-    included, weighted by count) + one Arrow-batched merge application on
-    the rows containing the winning pair. Lineage is cut with eager
-    localCheckpoint every ``checkpoint_every`` merges so the plan stays
-    O(checkpoint interval), not O(num_merges).
+    counting pass = one pair-count groupBy (all adjacent positions,
+    overlaps included, weighted by count) + one Arrow-batched application
+    of up to ``batch_merges`` COMPATIBLE merges — so a production 50k-rule
+    vocab costs ~50k/batch_merges job barriers, not 50k (round-5 verdict
+    #1). Lineage is cut with eager localCheckpoint every
+    ``checkpoint_every`` passes so the plan stays O(interval).
 
-    Deterministic tie-break matches the sequential trainer: highest
-    count, then smallest (a, b). Stops early when the best pair count
-    drops below 2."""
+    The batch is provably sequential-exact, not merely heuristic. From
+    one ranked snapshot (count desc, then smallest (a, b) — the
+    sequential tie-break) accept the PREFIX of candidates whose token
+    ids are pairwise disjoint, stopping at the first overlap, the
+    ``batch_merges`` cap, the count-2 floor, or just after a SELF-PAIR
+    (a, a); then RETAIN only accepted pairs whose count is strictly
+    above the stopping candidate's count.
+    Why this equals the sequential trainer: applying id-disjoint merges
+    cannot change each other's counts (their adjacencies share no
+    positions), existing pair counts only ever decrease, and any pair a
+    merge CREATES is bridged by a snapshot adjacency that overlaps an
+    accepted pair — for distinct-id merges that bridge is a DIFFERENT
+    pair ((Z,Z) from "a b a b" is bridged by (b,a)), so it was not
+    accepted and ranks at or after the stopping candidate, hence
+    strictly below every retained pair (the strictness also settles
+    ties, where a created pair with a smaller id tuple could otherwise
+    win). A self-pair (a,a) is the one case where the bridge IS the
+    accepted pair itself, so it closes the batch. Thus at each retained
+    pair's sequential turn it is still the unique argmax. If truncation rejects
+    everything, the single top pair — definitionally the sequential step
+    — is applied alone. tests/test_bpe.py pins batched == sequential on
+    fixtures engineered to hit the overlap/tie edges.
+
+    Stops early when the best pair count drops below 2."""
     from pyspark.sql.types import ArrayType, IntegerType
 
     words = word_table.select(
@@ -115,7 +138,8 @@ def train_bpe_spark_loop(
     words = last_ckpt = words.localCheckpoint(eager=True)
 
     merges: list[tuple[int, int]] = []
-    for step in range(num_merges):
+    passes = 0
+    while len(merges) < num_merges:
         pairs = words.select(
             F.explode(
                 F.arrays_zip(
@@ -125,46 +149,71 @@ def train_bpe_spark_loop(
             ).alias("p"),
             "count",
         ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"), "count")
-        best = (
+        cand = (
             pairs.groupBy("a", "b")
             .agg(F.sum("count").alias("c"))
             .orderBy(F.desc("c"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            .limit(batch_merges * 4 + 64)
             .collect()
         )
-        if not best or int(best[0]["c"]) < 2:
+        if not cand or int(cand[0]["c"]) < 2:
             break
-        a, b = int(best[0]["a"]), int(best[0]["b"])
-        new_id = 256 + step
-        merges.append((a, b))
+        used: set[int] = set()
+        batch: list[tuple[int, int, int]] = []
+        count_stop = int(cand[-1]["c"])  # conservative when no stop in view
+        for i, r in enumerate(cand):
+            a, b, c = int(r["a"]), int(r["b"]), int(r["c"])
+            if c < 2 or a in used or b in used or len(batch) >= batch_merges:
+                count_stop = c
+                break
+            batch.append((a, b, c))
+            used.update((a, b))
+            if a == b:
+                # SELF-PAIR closes the batch: (a,a)->Z composes with
+                # itself — an occurrence "Z Z" is "a a a a", whose bridge
+                # adjacency is (a,a) ITSELF, so the created pair's count
+                # is bounded only by the accepted pair's own count and
+                # evades the overlap-rank argument (a (Z,Z) snapshot-
+                # invisible pair can out-rank later batch members, as the
+                # "aaaa..." fixture demonstrates). Stopping here keeps
+                # the proof airtight; count_stop = the next candidate.
+                count_stop = int(cand[i + 1]["c"]) if i + 1 < len(cand) else c
+                break
+        keep = [(a, b) for a, b, c in batch if c > count_stop]
+        if not keep:
+            keep = [batch[0][:2]]
+        keep = keep[: num_merges - len(merges)]
+        base_id = 256 + len(merges)
+        merges.extend(keep)
 
-        @F.pandas_udf(ArrayType(IntegerType()))
-        def apply_merge(col: pd.Series) -> pd.Series:
-            def one(ids):
-                out = []
-                i, n = 0, len(ids)
-                while i < n:
-                    if i + 1 < n and ids[i] == a and ids[i + 1] == b:
-                        out.append(new_id)
-                        i += 2
-                    else:
-                        out.append(int(ids[i]))
-                        i += 1
-                return out
+        def make_udf(keep_now, base_now):
+            # factory pins this pass's values: the plan executes lazily
+            # (often at the NEXT pass's collect), after the loop locals
+            # have been rebound — a plain closure would see the new batch
+            @F.pandas_udf(ArrayType(IntegerType()))
+            def apply_batch(col: pd.Series) -> pd.Series:
+                def one(ids):
+                    ids = [int(x) for x in ids]
+                    for j, (a, b) in enumerate(keep_now):
+                        new_id = base_now + j
+                        out, i, n = [], 0, len(ids)
+                        while i < n:
+                            if i + 1 < n and ids[i] == a and ids[i + 1] == b:
+                                out.append(new_id)
+                                i += 2
+                            else:
+                                out.append(ids[i])
+                                i += 1
+                        ids = out
+                    return ids
 
-            return col.map(one)
+                return col.map(one)
 
-        has_pair = F.exists(
-            F.arrays_zip(
-                F.slice("ids", 1, F.size("ids") - 1).alias("x"),
-                F.slice("ids", 2, F.size("ids") - 1).alias("y"),
-            ),
-            lambda s: (s["x"] == a) & (s["y"] == b),
-        )
-        words = words.withColumn(
-            "ids", F.when(has_pair, apply_merge("ids")).otherwise(F.col("ids"))
-        )
-        if (step + 1) % checkpoint_every == 0:
+            return apply_batch
+
+        words = words.withColumn("ids", make_udf(keep, base_id)("ids"))
+        passes += 1
+        if passes % checkpoint_every == 0:
             nxt = words.localCheckpoint(eager=True)
             # free the superseded checkpoint's executor blocks; nxt no
             # longer references them (its lineage was truncated)

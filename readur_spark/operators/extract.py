@@ -472,52 +472,56 @@ def chunk_texts_by_tokens(
     """Token-boundary chunking: split each document into windows of
     ``chunk_tokens`` BPE tokens with ``overlap_tokens`` overlap, emitting
     (id, chunk_no, chunk_text, n_tokens) where ``chunk_text`` is the
-    exact DECODE of the window's token ids — so a trainer re-encoding a
-    chunk gets back precisely its token slice. This is the
-    trainer-faithful sibling of :func:`chunk_texts` (word windows):
-    every real pipeline sizes context windows in tokens, not words.
+    exact DECODE of the window's token ids. Every window cut is SNAPPED
+    to a pre-token boundary (kernels.bpe.token_windows) — byte-level BPE
+    tokens need not align to character boundaries, so a raw fixed-stride
+    cut could split a multi-byte UTF-8 character (silent U+FFFD) or a
+    contraction/letter-digit pre-token (re-tokenization drift). With
+    snapped cuts a trainer re-encoding any chunk gets back precisely its
+    token slice; windows therefore hold *at most* ``chunk_tokens``
+    tokens and overlap *at most* ``overlap_tokens``. Inside a single
+    pre-token longer than ``chunk_tokens`` (a mega-run) the cut falls
+    back to a character boundary: decode stays exact, re-encode may
+    re-merge differently. This is the trainer-faithful sibling of
+    :func:`chunk_texts` (word windows): every real pipeline sizes
+    context windows in tokens, not words.
 
-    Boundary semantics mirror chunk_texts: empty docs produce no chunks;
-    the last chunk is the final ≤chunk_tokens window; the stride walks
-    past the end at most once. Embarrassingly parallel (merges never
-    cross pre-token boundaries): one Arrow-batched mapInPandas, no
-    shuffle. ``tokenizer`` is a kernels.bpe.BpeTokenizer; its merge
-    table ships in the closure, the per-process instance is cached."""
+    Empty docs produce no chunks; the last chunk is the final tail
+    window. Embarrassingly parallel (merges never cross pre-token
+    boundaries): one Arrow-batched mapInPandas, no shuffle.
+    ``tokenizer`` is a kernels.bpe.BpeTokenizer; its merge table ships
+    in the closure, the per-process instance is cached."""
     import pandas as pd
 
+    from readur_spark.kernels.bpe import token_windows
     from readur_spark.operators.bpe import process_tokenizer
 
     assert 0 <= overlap_tokens < chunk_tokens
-    stride = chunk_tokens - overlap_tokens
     merges = tokenizer.merges
     holder: dict = {}
     id_type = docs_df.schema[id_col].dataType.simpleString()
 
     def run(batches):
         tok = process_tokenizer(merges, holder)
+        vocab = tok.token_bytes()
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                ids = tok.encode(text or "")
-                n = len(ids)
-                if n == 0:
+                ids, starts = tok.encode_with_starts(text or "")
+                if not ids:
                     continue
-                pos = 0
-                chunk_no = 0
-                while True:
-                    window = ids[pos : pos + chunk_tokens]
+                windows = token_windows(
+                    ids, starts, vocab, chunk_tokens, overlap_tokens
+                )
+                for chunk_no, (pos, end) in enumerate(windows):
                     rows.append(
                         {
                             id_col: doc_id,
                             "chunk_no": chunk_no,
-                            "chunk_text": tok.decode(window),
-                            "n_tokens": len(window),
+                            "chunk_text": tok.decode(ids[pos:end]),
+                            "n_tokens": end - pos,
                         }
                     )
-                    chunk_no += 1
-                    if pos + chunk_tokens >= n:
-                        break
-                    pos += stride
             yield pd.DataFrame(
                 rows, columns=[id_col, "chunk_no", "chunk_text", "n_tokens"]
             )

@@ -168,6 +168,24 @@ def train_quality_classifier(
             F.lit(0.0).alias("__y__"),
         )
     )
+    # Guard: _doc_features groups the UNION by id, so a doc_id appearing
+    # in both sides (or twice in one) would silently merge two documents'
+    # features into one row and the label join would then emit that
+    # corrupted row once per label — double-counted gradient. Fail fast
+    # instead; the check is one metadata-scale aggregate.
+    dup = (
+        labeled.groupBy(id_col)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"train_quality_classifier: {id_col}={dup[0][id_col]!r} appears "
+            "more than once across positive+negative — ids must be unique "
+            "and the two sides disjoint"
+        )
     fs = _doc_features(labeled, num_buckets, id_col, text_col)
     data = (
         fs.join(labeled.select(F.col(id_col).alias("id"), "__y__"), "id")

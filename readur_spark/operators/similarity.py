@@ -360,10 +360,16 @@ def semdedup(
     import pandas as pd
     import pyspark.sql.types as T
 
+    # Empty input short-circuits BEFORE ivf_assign (whose centroid
+    # sampler np.vstack's a non-empty sample): curate()'s embeddings
+    # semi-join against survivors can legitimately come up empty.
     if n_clusters is None:
-        n_clusters = max(
-            1, math.ceil(embeddings.count() / target_cluster_size)
-        )
+        cnt = embeddings.count()
+        if cnt == 0:
+            return embeddings.withColumn("oversized_split", F.lit(False))
+        n_clusters = max(1, math.ceil(cnt / target_cluster_size))
+    elif not embeddings.take(1):
+        return embeddings.withColumn("oversized_split", F.lit(False))
 
     from readur_spark.operators.dedup import _materialize_release
     from readur_spark.plans.curation import _release_checkpoint

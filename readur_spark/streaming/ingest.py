@@ -83,11 +83,20 @@ def ingest_with_history_dedup(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         texts = _text_of(extract_spans(batch_df))
         sess = batch_df.sparkSession
-        try:
+        # Only the legitimately-missing case (first batch: the history
+        # table was never written) may fall back to empty history. Any
+        # other read failure — transient FS error, corrupt footer,
+        # permissions — MUST propagate so the batch retries: swallowing
+        # it would silently disable dedup-against-committed and commit
+        # duplicates, breaking the module's exactly-once contract.
+        jvm = sess._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(history_dir)
+        fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        if fs.exists(hpath):
             history = sess.read.parquet(history_dir).filter(
                 F.col("batch_id") < batch_id
             )
-        except Exception:  # first batch: no history yet
+        else:  # first batch: no history yet
             history = sess.createDataFrame([], "fingerprint string")
         fresh = dedup_against_history(texts, history).persist()
         try:

@@ -224,13 +224,51 @@ def test_train_bpe_spark_loop_equals_sequential(spark, corpus_df):
         word_count_table,
     )
 
-    merges = train_bpe_spark_loop(
-        word_count_table(corpus_df), num_merges=12, checkpoint_every=4
-    )
     seq = train_bpe(
         word_counts([r["text"] for r in corpus_df.collect()]), 12
     )
-    assert merges == seq
+    for bm in (1, 3, 64):
+        merges = train_bpe_spark_loop(
+            word_count_table(corpus_df),
+            num_merges=12,
+            checkpoint_every=4,
+            batch_merges=bm,
+        )
+        assert merges == seq, bm
+
+
+def test_train_bpe_spark_loop_batched_adversarial(spark):
+    """Fixtures engineered to hit the batch-acceptance edges: chained
+    shared-id pairs (overlap stop), merge-created pairs whose count TIES
+    lower-ranked snapshot pairs (the strict-> truncation case), and a
+    deep merge cascade where later rules consume earlier batch output."""
+    from readur_spark.operators.bpe import (
+        train_bpe_spark_loop,
+        word_count_table,
+    )
+
+    corpora = [
+        # cascade: 'aaaa...' makes (a,a)->Z then (Z,Z)->W etc.
+        ["a" * 17] * 5 + ["abab abab", "bcbc bc"] * 3,
+        # shared-id chain: ab, bc, cd all frequent — overlaps force stops
+        ["ab bc cd ab bc cd abcd"] * 7 + ["xxyyzz xyz"] * 4,
+        # created-pair tie bait: 'qrs' occurrences make (Z,s) after
+        # (q,r)->Z with count close to other rank-2 pairs
+        ["qrs qrs qrs tu tu tu vw vw vw"] * 5,
+    ]
+    for texts in corpora:
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        seq = train_bpe(word_counts(texts), 20)
+        for bm in (2, 8, 64):
+            got = train_bpe_spark_loop(
+                word_count_table(docs),
+                num_merges=20,
+                checkpoint_every=3,
+                batch_merges=bm,
+            )
+            assert got == seq, (texts[0][:20], bm)
 
 
 def test_bpe_udfs_match_kernel(spark, corpus_df):
@@ -311,6 +349,7 @@ def test_materialize_sequences_reconstructs_token_stream(spark, corpus_df):
 
 
 def test_chunk_by_tokens_roundtrip_and_boundaries(spark, corpus_df):
+    from readur_spark.kernels.bpe import token_windows
     from readur_spark.operators.bpe import train_bpe_distributed
     from readur_spark.operators.extract import chunk_texts_by_tokens
 
@@ -322,19 +361,58 @@ def test_chunk_by_tokens_roundtrip_and_boundaries(spark, corpus_df):
     per_doc: dict = {}
     for r in chunks:
         per_doc.setdefault(r["doc_id"], []).append(r)
+    vocab = tok.token_bytes()
     for doc_id, rows in per_doc.items():
-        ids = tok.encode(docs[doc_id])
+        ids, starts = tok.encode_with_starts(docs[doc_id])
+        windows = token_windows(ids, starts, vocab, 8, 2)
         rows.sort(key=lambda r: r["chunk_no"])
-        for i, r in enumerate(rows):
-            lo = i * 6  # stride = 8 - 2
-            window = ids[lo : lo + 8]
-            # the chunk text re-encodes to exactly its token slice
-            assert tok.encode(r["chunk_text"]) == window, (doc_id, i)
-            assert r["n_tokens"] == len(window)
-        # stride walks past the end at most once
-        assert (len(rows) - 1) * 6 < len(ids)
+        assert len(rows) == len(windows), doc_id
+        prev_end = 0
+        for r, (pos, end) in zip(rows, windows):
+            window = ids[pos:end]
+            # the chunk text re-encodes to EXACTLY its token slice (the
+            # boundary-snap guarantee — not true of raw fixed-stride cuts)
+            assert tok.encode(r["chunk_text"]) == window, (doc_id, r)
+            assert r["n_tokens"] == len(window) <= 8
+            # gapless coverage, overlap at most overlap_tokens
+            assert prev_end - 2 <= pos <= prev_end
+            prev_end = end
+        assert prev_end == len(ids)  # last chunk reaches the end
     # every nonempty doc chunked
     assert set(per_doc) == {d for d, t in docs.items() if tok.count(t) > 0}
+
+
+def test_chunk_by_tokens_multibyte_no_corruption(spark):
+    # Byte-level BPE token cuts need not align to character boundaries:
+    # a raw fixed-stride window can split a multi-byte UTF-8 character
+    # and inject U+FFFD. Snapped cuts must never do that.
+    from readur_spark.kernels.bpe import train_bpe_from_texts
+    from readur_spark.operators.extract import chunk_texts_by_tokens
+
+    texts = [
+        "naïve café résumé — déjà vu, 日本語のテキストです。絵文字 🙂🙂 ok",
+        "ελληνικά και русский текст вперемешку with ascii words",
+        "中文中文中文中文中文中文中文中文中文中文中文中文",  # one long CJK run
+    ] * 3
+    tok = train_bpe_from_texts(texts, 20)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    for ct, ov in [(5, 0), (8, 2), (3, 1)]:
+        rows = chunk_texts_by_tokens(
+            docs, tok, chunk_tokens=ct, overlap_tokens=ov
+        ).collect()
+        assert rows
+        per_doc: dict = {}
+        for r in rows:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rs in per_doc.items():
+            rs.sort(key=lambda r: r["chunk_no"])
+            for r in rs:
+                assert "�" not in r["chunk_text"], (ct, ov, doc_id, r)
+            # zero-overlap chunks concatenate back to the exact document
+            if ov == 0:
+                assert "".join(r["chunk_text"] for r in rs) == texts[doc_id]
 
 
 def test_chunk_by_tokens_empty_and_short_docs(spark):

@@ -136,3 +136,14 @@ def test_saturated_probabilities_train_without_crash(spark, labeled):
     assert m_local["losses"] == m_dist["losses"]
     assert all(math.isfinite(x) for x in m_local["losses"])
     assert math.isfinite(m_local["bias"])
+
+
+def test_duplicate_or_overlapping_ids_raise(spark, labeled):
+    """_doc_features groups the unioned frame by id — an id on both
+    sides (or twice in one) would silently merge two documents into one
+    feature row and double-count it through the label join. Fail fast."""
+    pos, neg = labeled
+    with pytest.raises(ValueError, match="more than once"):
+        train_quality_classifier(pos, neg.unionByName(pos.limit(1)))
+    with pytest.raises(ValueError, match="more than once"):
+        train_quality_classifier(pos.unionByName(pos.limit(1)), neg)

@@ -256,3 +256,18 @@ def test_semdedup_auto_n_clusters(spark):
     auto = semdedup(df, threshold=0.9, target_cluster_size=10).collect()
     explicit = semdedup(df, threshold=0.9, n_clusters=10).collect()
     assert {r["vec_id"] for r in auto} == {r["vec_id"] for r in explicit}
+
+
+def test_semdedup_empty_input_returns_empty(spark):
+    """curate()'s embeddings semi-join against survivors can come up
+    empty — semdedup must short-circuit (ivf_assign's centroid sampler
+    would np.vstack an empty sample) and still append the guard column."""
+    from readur_spark.operators.similarity import semdedup
+
+    empty = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    for kwargs in ({}, {"n_clusters": 4}):
+        out = semdedup(empty, threshold=0.9, **kwargs)
+        assert out.columns == ["vec_id", "embedding", "oversized_split"]
+        assert out.count() == 0

@@ -85,3 +85,22 @@ def test_batch_partitioned_commit_is_idempotent(spark, dirs):
 
     after = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert after == before  # identical survivors, no duplication, no loss
+
+
+def test_history_read_failure_propagates_not_swallowed(spark, dirs):
+    """Only a legitimately-missing history table may fall back to empty
+    history; any other read failure (corrupt footer here) must fail the
+    batch so it retries — swallowing it would silently disable
+    dedup-against-committed and commit duplicates."""
+    import os
+
+    in_dir, corpus, history, ckpt = dirs
+    _drop(spark, in_dir, generate_docs(5, seed=9))
+    os.makedirs(history, exist_ok=True)
+    with open(f"{history}/batch_id=0", "w") as f:
+        f.write("not a parquet partition")
+    from pyspark.errors import StreamingQueryException
+
+    q = ingest_with_history_dedup(spark, in_dir, corpus, history, ckpt)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
