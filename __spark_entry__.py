@@ -1057,66 +1057,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # The driver samples a bounded prefix of the registry (50 rows per
-    # round, insertion order). Rotation policy (r4 verdict #4): first the
-    # 27 entries whose last driver row is r03 — led by the two whose code
-    # changed since (dedup_embedding: force_path param;
-    # image_quality_stats: Adam7 branch) — then this round's new queries,
-    # then every query whose implementation files changed this round.
+    # round, insertion order). Rotation policy (no entry may go >2 rounds
+    # without a driver row — r5 verdict #2): first the 34 entries whose
+    # last driver row is r04, led by those whose implementation files
+    # changed this round (chunk_documents: extract.py chunk path;
+    # ann_topk_*: similarity.py); then this round's new query; then every
+    # non-stale query whose implementation files changed this round; then
+    # carried high-value rows up to the 50 cap.
     priority = [
-        # --- stale since r03, changed code first
-        "dedup_embedding",
-        "image_quality_stats",
-        # --- stale since r03, code untouched (dedup/search/facet family)
-        "dedup_exact",
-        "dedup_keep_first",
-        "dedup_ngram_jaccard",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "dedup_cluster",
-        "winnow_overlap",
-        "repetition_filters",
-        "split_assign",
-        "sample_weighted",
-        "mix_sources",
-        "facet_lang",
-        "filter_lang",
-        "filter_labels",
-        "facet_tags",
-        "filter_role",
-        "search_ranked_ts",
-        "snippets",
-        "snippets_full",
-        "list_documents",
-        "doc_stats",
-        "sql_search",
-        "extract_binary_roundtrip",
-        "image_ocr_fake",
-        "pdf_ocr_glyph",
-        # --- new this round (r5)
-        "bpe_token_counts",  # distributed BPE train+encode vs naive replay
-        "pack_sequences_bpe",  # trainer-faithful packing manifest
-        "chunk_pack_roundtrip",  # chunk -> pack composition oracle
-        "pdf_layout_roundtrip",  # XY-cut two-column reading order
-        "pack_materialize_bpe",  # manifest -> actual token sequences
-        "chunk_by_tokens",  # token-boundary chunk windows
-        "quality_classifier_scores",  # learned LR quality filter
-        # --- implementation files changed this round (r5)
-        "pack_sequences",  # packing.py: token_counter seam
-        "pack_stats",  # same file
-        "warc_roundtrip",  # warc.py: linear gzip-member parse
-        "dedup_incremental",  # dedup.py: internal fingerprint column
-        "dedup_minhash_incremental",  # dedup.py shared file
-        "semdedup",  # similarity.py: oversized-cluster guard
-        "dsir_weights",  # dsir.py: threshold-based large-k resample
-        "lm_perplexity",  # lm.py: one-pass training
-        "lm_backoff",  # lm.py shared file
+        # --- stale since r04, changed implementation files first
+        "chunk_documents",
+        "ann_topk_cosine",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        # --- stale since r04, code untouched (text/quality family)
+        "normalize_text",
+        "word_count_simple",
+        "token_count",
+        "lang_id",
+        "quality_score",
+        "fingerprint",
+        "fingerprint_sha256",
+        "quality_gopher",
+        "text_metadata",
+        "incremental_sync",
+        # --- stale since r04 (fts/search family)
+        "fts_simple",
+        "fts_phrase",
+        "fts_boolean",
+        "fuzzy_search",
+        "search_ranked",
+        "paginate",
+        "count_matching",
+        "facet_source",
+        # --- stale since r04 (pipeline/embedding family)
+        "decontaminate_ngrams",
+        "tfidf_top_terms",
+        "scrub_pii",
+        "embedding_quantize",
+        # --- stale since r04 (relational/event family)
+        "q1_pricing_summary",
+        "top_customers",
+        "customers_without_orders",
+        "customers_high_value",
+        "revenue_by_nation",
+        "event_type_stats",
+        "user_event_windows",
+        "sessionize",
+        # --- new this round (r6)
+        "dsir_resample_largek",  # threshold-selection path, exact-topk oracle
+        # --- implementation files changed this round (r6)
+        "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
+        "bpe_token_counts",  # heap trainer (kernels/bpe.py)
+        "pack_sequences_bpe",  # encode path shares the tokenizer
+        "pack_materialize_bpe",  # same
+        "chunk_pack_roundtrip",  # widened composite key + guard
+        "quality_classifier_scores",  # duplicate-id guard
+        "semdedup",  # empty-input short-circuit
         # --- carried high-value rows
-        "event_windowed_metrics",
-        "dup_spans",
-        "decontaminate",
+        "extract_binary_roundtrip",
+        "pdf_layout_roundtrip",
+        "warc_roundtrip",
         "dedup_ngram_capped",
         "dedup_lines",
-        "corpus_stats",
+        "dup_spans",
+        "decontaminate",
+        "lm_perplexity",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {

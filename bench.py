@@ -79,7 +79,29 @@ def main() -> None:
     docs.unpersist()
 
     # --- representative operator suite ---------------------------------
-    qs = entry.queries()
+    def _qc_distributed(s, sfd):
+        # learned-classifier DISTRIBUTED dispatch: driver_train_max=0
+        # forces the full-batch executor loop (the registry query
+        # quality_classifier_scores covers the driver path at this SF) —
+        # same model config, so a regression in the per-iteration shuffle
+        # shows here and nowhere else
+        from readur_spark.operators.quality_classifier import (
+            score_quality,
+            train_quality_classifier,
+        )
+
+        d = s.read.parquet(os.path.join(sfd, "documents.parquet"))
+        model = train_quality_classifier(
+            d.filter(F.col("lang") == "en").select("doc_id", "text"),
+            d.filter(F.col("lang") != "en").select("doc_id", "text"),
+            num_buckets=512,
+            iters=15,
+            driver_train_max=0,
+        )
+        return score_quality(d, model)
+
+    qs = dict(entry.queries())
+    qs["quality_classifier_distributed"] = _qc_distributed
     bench_set = [
         "extract_text_spans",
         "normalize_text",
@@ -98,7 +120,11 @@ def main() -> None:
         "bpe_token_counts",
         "chunk_pack_roundtrip",
         "semdedup",
+        "quality_classifier_scores",
+        "quality_classifier_distributed",
         "dsir_weights",
+        "dsir_resample_largek",
+        "chunk_by_tokens",
         "lm_perplexity",
         "dedup_lines",
         "tfidf_top_terms",

@@ -4,7 +4,8 @@
         jobs/run_curation.py --input <interleaved or documents parquet> \
         --output <chunks parquet> [--min-quality 0.3] [--no-gopher] \
         [--rep-filter] [--heldout <eval parquet>] [--splits train=0.98,val=0.01,test=0.01] \
-        [--chunk-words 128] [--overlap 32]
+        [--chunk-words 128] [--overlap 32] \
+        [--chunk-tokens 512 [--overlap-tokens 0] [--bpe-merges 16384]]
 
 Prints one JSON line with the funnel metrics (input → [decontamination]
 → quality/[repetition] filter → exact dedup → near-dup cluster dedup →
@@ -34,6 +35,13 @@ def main() -> None:
                     help="name=frac[,name=frac...] deterministic split column")
     ap.add_argument("--chunk-words", type=int, default=128)
     ap.add_argument("--overlap", type=int, default=32)
+    ap.add_argument("--chunk-tokens", type=int, default=None,
+                    help="chunk by BPE TOKEN windows of this size instead "
+                         "of word windows (trains a tokenizer in-run on "
+                         "the input corpus; the trainer-faithful layout)")
+    ap.add_argument("--overlap-tokens", type=int, default=0)
+    ap.add_argument("--bpe-merges", type=int, default=16384,
+                    help="merge-rule count for the in-run tokenizer")
     ap.add_argument("--line-dedup-max-df", type=int, default=None,
                     help="strip lines appearing in more than this many docs "
                          "(C4/RefinedWeb boilerplate removal)")
@@ -62,6 +70,20 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("readur_spark_curation").getOrCreate()
     docs = spark.read.parquet(args.input)
+    tokenizer = None
+    if args.chunk_tokens is not None:
+        from readur_spark.operators.bpe import train_bpe_distributed
+        from readur_spark.operators.extract import extract_spans
+        from readur_spark.streaming.ingest import _text_of
+
+        text_df = (
+            _text_of(extract_spans(docs))
+            if "spans" in docs.columns
+            else docs
+        )
+        tokenizer = train_bpe_distributed(
+            text_df, num_merges=args.bpe_merges
+        )
     splits = None
     if args.splits:
         splits = {
@@ -92,6 +114,9 @@ def main() -> None:
         semantic_clusters=args.semantic_clusters,
         chunk_words=args.chunk_words,
         overlap_words=args.overlap,
+        chunk_tokenizer=tokenizer,
+        chunk_tokens=args.chunk_tokens or 512,
+        overlap_tokens=args.overlap_tokens,
         split_fractions=splits,
     )
     print(json.dumps(metrics))

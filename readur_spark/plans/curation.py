@@ -116,6 +116,9 @@ def curate(
     shingle_n: int = 3,
     chunk_words: int = 128,
     overlap_words: int = 32,
+    chunk_tokenizer=None,
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 0,
     split_fractions: dict[str, float] | None = None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (chunks DataFrame, funnel metrics).
@@ -139,6 +142,11 @@ def curate(
     semantic stage after lexical near-dup dedup — paraphrase duplicates
     collapse to one exemplar per cosine ε-ball;
     ``heldout_df`` decontaminates against an eval set before dedup;
+    ``chunk_tokenizer`` (a kernels.bpe.BpeTokenizer) switches the final
+    chunking stage from word windows to TOKEN-boundary windows of
+    ``chunk_tokens``/``overlap_tokens`` — the trainer-faithful layout,
+    since real pipelines size context windows in tokens (chunk text
+    decodes exactly and re-encodes to its own token slice);
     ``split_fractions`` appends a deterministic ``split`` column.
     """
     # Stage boundaries use eager localCheckpoint, not bare persist: the
@@ -270,9 +278,20 @@ def curate(
         from readur_spark.functions.textstats import scrub_pii_col
 
         curated = curated.withColumn("text", scrub_pii_col(F.col("text")))
-    chunks = chunk_texts(
-        curated, chunk_words=chunk_words, overlap_words=overlap_words
-    ).join(curated.select("doc_id", "lang", "quality"), "doc_id")
+    if chunk_tokenizer is not None:
+        from readur_spark.operators.extract import chunk_texts_by_tokens
+
+        chunked = chunk_texts_by_tokens(
+            curated,
+            chunk_tokenizer,
+            chunk_tokens=chunk_tokens,
+            overlap_tokens=overlap_tokens,
+        )
+    else:
+        chunked = chunk_texts(
+            curated, chunk_words=chunk_words, overlap_words=overlap_words
+        )
+    chunks = chunked.join(curated.select("doc_id", "lang", "quality"), "doc_id")
     if split_fractions is not None:
         from readur_spark.operators.sampling import split_assign
 

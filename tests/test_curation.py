@@ -287,3 +287,33 @@ def test_release_checkpoint_frees_blocks_and_warns_on_foreign_plan(spark, caplog
     assert len(warnings) == 1
     assert "LogicalRDD" in warnings[0].message
     cur._release_warned = False  # leave global state clean for other tests
+
+
+def test_funnel_token_mode_chunks_decode_exact(spark, docs):
+    """curate(chunk_tokenizer=...) swaps word windows for token-boundary
+    windows: every chunk's text must re-encode to exactly its n_tokens
+    (the snapped-cut contract), windows respect the chunk_tokens cap on
+    this pre-token-dense corpus, and coverage stays gapless per doc."""
+    from readur_spark.operators.bpe import train_bpe_distributed
+
+    tok = train_bpe_distributed(docs, num_merges=200)
+    chunks, m = curate(
+        docs,
+        require_gopher=True,
+        gopher_stopwords=STOPS,
+        chunk_tokenizer=tok,
+        chunk_tokens=64,
+        overlap_tokens=8,
+    )
+    rows = chunks.select(
+        "doc_id", "chunk_no", "chunk_text", "n_tokens"
+    ).collect()
+    assert rows and m["chunks"] == len(rows)
+    per_doc: dict = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        enc = tok.encode(r["chunk_text"])
+        assert len(enc) == r["n_tokens"] <= 64, r["doc_id"]
+    for doc_id, rs in per_doc.items():
+        ns = sorted(r["chunk_no"] for r in rs)
+        assert ns == list(range(len(ns))), doc_id  # contiguous chunk_nos

@@ -95,3 +95,111 @@ def test_layout_nested_blocks_and_empty_page():
         "footer paragraph after the band",
     ]
     assert pages[1] == ""
+
+
+def test_layout_three_columns_read_left_to_right():
+    from readur_spark.kernels.minipdf import build_pdf, extract_text_layout
+
+    cols = [
+        [f"c{j}line{i}" for i in range(4)] for j in range(3)
+    ]
+    page = (
+        _col_lines(cols[0], x=50)
+        + _col_lines(cols[1], x=250)
+        + _col_lines(cols[2], x=450)
+    )
+    pdf = build_pdf([page])
+    lines = extract_text_layout(pdf)[0].splitlines()
+    assert lines == cols[0] + cols[1] + cols[2]
+
+
+def test_layout_nested_bands_of_unequal_columns():
+    # top band: THREE columns; middle band: TWO columns; bottom: full
+    # width — the recursive case a one-shot split cannot represent.
+    from readur_spark.kernels.minipdf import build_pdf, extract_text_layout
+
+    t = [[f"t{j}l{i}" for i in range(3)] for j in range(3)]
+    m = [[f"m{j}l{i}" for i in range(3)] for j in range(2)]
+    page = (
+        _col_lines(t[0], x=50, y0=740)
+        + _col_lines(t[1], x=250, y0=740)
+        + _col_lines(t[2], x=450, y0=740)
+        + _col_lines(m[0], x=50, y0=600)
+        + _col_lines(m[1], x=350, y0=600)
+        + _col_lines(["footer across the whole page width below"], x=50, y0=440)
+    )
+    pdf = build_pdf([page])
+    lines = extract_text_layout(pdf)[0].splitlines()
+    assert lines == (
+        t[0] + t[1] + t[2] + m[0] + m[1]
+        + ["footer across the whole page width below"]
+    )
+
+
+def test_layout_fuzz_random_nested_regions():
+    """Randomized band/column trees with a known reading order: bands
+    stack with ≥20pt gaps, columns sit side by side with ≥30pt gutters
+    and hold line-dense leaves (aligned baselines, so sibling columns
+    never share a spurious band gap). The XY cut must reproduce the
+    generation order exactly — 40 layouts, depth ≤ 3, 2-3 way splits."""
+    import random
+
+    from readur_spark.kernels.minipdf import build_pdf, extract_text_layout
+
+    CHAR_W, LINE_H, DY = 6.0, 10.0, 12.0
+
+    def leaf(rng, x0, x1, y0, y1, out, counter):
+        w = x1 - x0
+        n_chars = max(4, int((w - 6) / CHAR_W))
+        n_lines = max(1, int((y1 - y0 - LINE_H) // DY) + 1)
+        n_lines = min(n_lines, rng.randint(1, 6))
+        for i in range(n_lines):
+            tag = f"t{counter[0]:03d}"
+            counter[0] += 1
+            text = (tag + "x" * n_chars)[:n_chars]
+            out.append((x0, y1 - LINE_H - i * DY, text))
+
+    def gen(rng, x0, x1, y0, y1, depth, out, counter, in_column):
+        w, h = x1 - x0, y1 - y0
+        kinds = ["leaf"]
+        if depth > 0 and not in_column:
+            if h >= 120:
+                kinds.append("band")
+            if w >= 200:
+                kinds.append("col")
+        kind = rng.choice(kinds)
+        if kind == "leaf":
+            leaf(rng, x0, x1, y0, y1, out, counter)
+        elif kind == "band":
+            k = rng.choice([2, 3]) if h >= 220 else 2
+            gap = rng.uniform(22, 40)
+            usable = h - gap * (k - 1)
+            cuts = sorted(rng.uniform(0.25, 0.75) for _ in range(k - 1))
+            heights = []
+            prev = 0.0
+            for c in cuts + [1.0]:
+                heights.append(max(30.0, (c - prev) * usable))
+                prev = c
+            top = y1
+            for hh in heights:  # top band first = reading order
+                gen(rng, x0, x1, top - hh, top, depth - 1, out, counter, False)
+                top -= hh + gap
+        else:  # columns: children are dense aligned leaves only
+            k = rng.choice([2, 3]) if w >= 360 else 2
+            gut = rng.uniform(34, 60)
+            cw = (w - gut * (k - 1)) / k
+            left = x0
+            for _ in range(k):
+                gen(rng, left, left + cw, y0, y1, 0, out, counter, True)
+                left += cw + gut
+
+    rng = random.Random(616)
+    for trial in range(40):
+        out: list = []
+        gen(rng, 40, 572, 80, 760, 3, out, [0], False)
+        expected = [t for _, _, t in out]
+        shuffled = out[:]
+        rng.shuffle(shuffled)
+        pdf = build_pdf([shuffled])
+        lines = extract_text_layout(pdf)[0].splitlines()
+        assert lines == expected, (trial, lines[:6], expected[:6])

@@ -8,7 +8,12 @@ curation funnel, and prints one JSON line with per-stage survivors,
 wall time, and the persistent-RDD count after the run (the cache-leak
 steady-state check).
 
-Usage: python tools/funnel_bench.py [REP]   (default 10 -> 50k docs)
+Usage: python tools/funnel_bench.py [REP] [--chunk-by-tokens]
+(default REP=10 -> 50k docs). ``--chunk-by-tokens`` trains a BPE
+tokenizer IN-RUN on the base corpus and swaps the final word-window
+chunking for token-boundary windows (128 tokens, 16 overlap) — the
+trainer-faithful end-to-end layout; the JSON then carries the train
+stats and a decode-exactness spot check.
 """
 
 from __future__ import annotations
@@ -22,7 +27,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    rep = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    token_mode = "--chunk-by-tokens" in sys.argv[1:]
+    rep = int(args[0]) if args else 10
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -71,11 +78,25 @@ def main() -> None:
         num_buckets=512,
         iters=15,
     )
+    tok = None
+    tok_stats = None
+    if token_mode:
+        from readur_spark.operators.bpe import train_bpe_distributed
+
+        t_tok = time.perf_counter()
+        tok = train_bpe_distributed(qbase, num_merges=4096)
+        tok_stats = dict(tok.train_stats)
+        tok_stats["train_wall_s"] = round(time.perf_counter() - t_tok, 1)
+        tok_stats["rules_learned"] = len(tok.merges)
+
     rdds_before = sc._jsc.getPersistentRDDs().size()
 
     t0 = time.perf_counter()
     chunks, metrics = curate(
         docs,
+        chunk_tokenizer=tok,
+        chunk_tokens=128,
+        overlap_tokens=16,
         require_gopher=True,
         # the synthetic corpus's function words (the default English
         # Gopher list would zero it out — its docstring says to pass a
@@ -99,10 +120,22 @@ def main() -> None:
     wall = time.perf_counter() - t0
     rdds_after = sc._jsc.getPersistentRDDs().size()
 
+    decode_exact = None
+    if token_mode:
+        # spot-check the boundary contract end-to-end: re-encoding a
+        # chunk's text must count exactly its n_tokens
+        sample = chunks.select("chunk_text", "n_tokens").limit(50).collect()
+        decode_exact = all(
+            tok.count(r["chunk_text"]) == r["n_tokens"] for r in sample
+        )
+
     print(
         json.dumps(
             {
                 "rep": rep,
+                "chunk_mode": "tokens" if token_mode else "words",
+                "bpe_train": tok_stats,
+                "token_chunks_reencode_exact": decode_exact,
                 "n_docs": n_docs,
                 "n_chunks": n_chunks,
                 "wall_sec": round(wall, 1),
