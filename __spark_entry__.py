@@ -654,6 +654,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dsir_resample_largek"] = _q_dsir_resample_largek
 
+    def _q_url_dedup(s, sf):
+        # canonical-URL dedup (crawl-frontier hygiene): five deterministic
+        # messy spellings per logical page — case-shifted host + default
+        # port, tracking params, re-ordered query, fragments — must
+        # collapse to two canonical groups per page. The oracle mirrors
+        # BOTH the messy construction and the full canonicalization in
+        # DuckDB SQL (_canonical_url_sql), so every folding rule is
+        # value-checked, not just the row count.
+        from readur_spark.functions.urls import canonical_url_col
+
+        d = _docs(s, sf).select("doc_id")
+        page = (F.col("doc_id") % 97).cast("string")
+        v = F.col("doc_id") % 5
+        base = F.concat(F.lit("https://www.site.com/page/"), page)
+        url = (
+            F.when(v == 0, base)
+            .when(
+                v == 1,
+                F.concat(
+                    F.lit("HTTPS://WWW.SITE.COM:443/page/"),
+                    page,
+                    F.lit("#frag"),
+                ),
+            )
+            .when(
+                v == 2,
+                F.concat(base, F.lit("?utm_source=rss&utm_medium=feed")),
+            )
+            .when(v == 3, F.concat(base, F.lit("?b=2&a=1")))
+            .otherwise(F.concat(base, F.lit("?a=1&b=2#s")))
+        )
+        canon = d.select(
+            "doc_id", canonical_url_col(url).alias("canonical_url")
+        )
+        return canon.groupBy("canonical_url").agg(
+            F.min("doc_id").alias("keep_doc"),
+            F.count("*").alias("n_variants"),
+        )
+
+    q["url_canonical_dedup"] = _q_url_dedup
+
+    def _q_global_shuffle(s, sf):
+        # deterministic global shuffle with explicit positions (the
+        # every-epoch training-data ordering step). The operator computes
+        # ranks via the bucketed two-phase prefix scan (no SinglePartition
+        # exchange); the oracle is the definitionally-global
+        # row_number() OVER (ORDER BY md5(id||salt), id) — equality
+        # proves the distributed rank assembly exact.
+        from readur_spark.operators.sampling import global_shuffle
+
+        return global_shuffle(
+            _docs(s, sf).select("doc_id"), num_buckets=64
+        ).select("doc_id", "shuffle_pos")
+
+    q["global_shuffle"] = _q_global_shuffle
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1106,6 +1162,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize",
         # --- new this round (r6)
         "dsir_resample_largek",  # threshold-selection path, exact-topk oracle
+        "url_canonical_dedup",  # crawl-frontier canonical-URL dedup
+        "global_shuffle",  # bucketed global rank vs definitional oracle
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
@@ -1120,8 +1178,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_roundtrip",
         "dedup_ngram_capped",
         "dedup_lines",
-        "dup_spans",
-        "decontaminate",
         "lm_perplexity",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
@@ -1139,6 +1195,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 #: on the sf0.01 corpus, small enough that the naive oracle replay stays
 #: sub-second
 _BPE_MERGES = 200
+
+
+def _canonical_url_sql(url: str) -> str:
+    """DuckDB scalar expression mirroring
+    readur_spark.functions.urls.canonical_url_col byte-for-byte (same
+    anchored regexes — Spark's replace-all equals DuckDB's replace-first
+    on anchored patterns — same tracking-param list, same sort/join).
+    Built programmatically so each sub-step is written once;
+    tests/test_urls.py pins the two engines equal on a messy battery."""
+    track = (
+        "^(utm_[A-Za-z0-9_]*|fbclid|gclid|yclid|msclkid|igshid|mc_eid)(=|$)"
+    )
+    s = f"regexp_replace(trim({url}), '#.*', '')"
+    scheme = f"lower(regexp_extract({s}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
+    after = f"regexp_replace({s}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
+    auth0 = f"lower(regexp_extract({after}, '^([^/?]*)', 1))"
+    auth = (
+        f"CASE WHEN {scheme} = 'http' THEN regexp_replace({auth0}, ':80$', '') "
+        f"WHEN {scheme} = 'https' THEN regexp_replace({auth0}, ':443$', '') "
+        f"ELSE {auth0} END"
+    )
+    pathq = f"regexp_replace({after}, '^[^/?]*', '')"
+    path = f"regexp_extract({pathq}, '^([^?]*)', 1)"
+    query = f"regexp_replace({pathq}, '^[^?]*\\??', '')"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT regexp_matches(p, '{track}')))"
+    )
+    # DuckDB's array_to_string returns NULL for an empty list (Spark's
+    # array_join returns '') — coalesce, or the final || nulls the row
+    qcanon = f"coalesce(array_to_string({params}, '&'), '')"
+    return (
+        f"(CASE WHEN {scheme} = '' THEN '' ELSE {scheme} || '://' END) "
+        f"|| ({auth}) "
+        f"|| (CASE WHEN {path} = '/' THEN '' ELSE {path} END) "
+        f"|| (CASE WHEN {qcanon} = '' THEN '' ELSE '?' || {qcanon} END)"
+    )
+
+
+#: template with an {url} placeholder (tests format it directly)
+_CANONICAL_URL_SQL = _canonical_url_sql("{url}")
 
 _BPE_ORACLE_CACHE: dict[tuple, list] = {}
 
@@ -1844,6 +1941,43 @@ def oracle_sql() -> dict[str, str]:
           FROM w
         )
         SELECT doc_id FROM keyed ORDER BY gk DESC, doc_id LIMIT 120
+    """
+
+    # url_canonical_dedup: the messy construction AND the canonicalization
+    # both mirrored (same regexes/case-folds/sort — _canonical_url_sql);
+    # count(*) CAST to BIGINT for the pandas-path hash
+    o["url_canonical_dedup"] = f"""
+        WITH urls AS (
+          SELECT doc_id,
+                 CASE doc_id % 5
+                   WHEN 0 THEN 'https://www.site.com/page/'
+                     || CAST(doc_id % 97 AS VARCHAR)
+                   WHEN 1 THEN 'HTTPS://WWW.SITE.COM:443/page/'
+                     || CAST(doc_id % 97 AS VARCHAR) || '#frag'
+                   WHEN 2 THEN 'https://www.site.com/page/'
+                     || CAST(doc_id % 97 AS VARCHAR)
+                     || '?utm_source=rss&utm_medium=feed'
+                   WHEN 3 THEN 'https://www.site.com/page/'
+                     || CAST(doc_id % 97 AS VARCHAR) || '?b=2&a=1'
+                   ELSE 'https://www.site.com/page/'
+                     || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2#s'
+                 END AS url
+          FROM documents
+        )
+        SELECT {_canonical_url_sql('url')} AS canonical_url,
+               min(doc_id) AS keep_doc,
+               CAST(count(*) AS BIGINT) AS n_variants
+        FROM urls GROUP BY 1
+    """
+
+    # global_shuffle: the oracle is the definitionally-global rank the
+    # distributed two-phase prefix scan must reproduce exactly
+    o["global_shuffle"] = """
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1'),
+                          doc_id) - 1 AS shuffle_pos
+        FROM documents
     """
 
     # corpus_stats: one ROLLUP pass — the sum() must CAST to BIGINT (DuckDB

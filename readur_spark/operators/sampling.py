@@ -112,3 +112,58 @@ def sample_by_weight(
     u = hash_uniform_col(F.col(id_col), salt)
     p = F.lit(rate) * (F.col(weight_col) if weight_col else F.lit(1.0))
     return docs.filter(u < F.least(F.greatest(p, F.lit(0.0)), F.lit(1.0)))
+
+
+def global_shuffle(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    salt: str = "shuffle-v1",
+    num_buckets: int = 1024,
+    pos_col: str = "shuffle_pos",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle with explicit positions: append
+    ``pos_col`` holding each row's 0-based rank in the order
+    ``(md5(id || ':' || salt), id)`` — the training-data ordering step
+    (every epoch pipeline shuffles its packed sequences; a different
+    ``salt`` is a different epoch's permutation). The permutation is a
+    pure function of (id, salt): reproducible across runs, engines, and
+    partitionings, and stable enough to resume mid-epoch.
+
+    Scale shape (mirrors pack_sequences' two-phase prefix scan): a naive
+    ``row_number() OVER (ORDER BY key)`` funnels the corpus through ONE
+    partition. Here the first 16 key bits bucket rows MONOTONICALLY in
+    key order, per-bucket counts (≤``num_buckets`` rows) prefix-sum on
+    the driver and broadcast back, and ranks are bucket base + local
+    row_number — the window partitions by bucket, so no Exchange
+    SinglePartition appears anywhere in the plan (pinned by
+    tests/test_plan_quality.py)."""
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    num_buckets = max(1, min(int(num_buckets), 1 << 16))
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    u16 = F.conv(F.substring("__h", 1, 4), 16, 10).cast("long")
+    keyed = docs.withColumn("__h", h).withColumn(
+        # floor(u16 * B / 2^16) is monotone in u16, hence in the key —
+        # cross-bucket prefix order equals global key order
+        "__b",
+        ((u16 * F.lit(num_buckets)) / F.lit(1 << 16)).cast("int"),
+    )
+    sums = {
+        r["__b"]: r["c"]
+        for r in keyed.groupBy("__b").agg(F.count("*").alias("c")).collect()
+    }
+    bases = []
+    acc = 0
+    for b in sorted(sums):
+        bases.append((int(b), int(acc)))
+        acc += int(sums[b])
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, "__b int, __base long")
+    )
+    w = Window.partitionBy("__b").orderBy("__h", id_col)
+    return (
+        keyed.join(base_df, "__b")
+        .withColumn(pos_col, F.col("__base") + F.row_number().over(w) - 1)
+        .drop("__b", "__h", "__base")
+    )

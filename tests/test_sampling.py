@@ -95,3 +95,60 @@ def test_mix_sources_rejects_missing_source(spark):
     df = spark.createDataFrame([(1, "a")], "doc_id long, source string")
     with pytest.raises(ValueError):
         mix_sources(df, {"a": 0.5, "zzz": 0.5})
+
+
+def test_global_shuffle_is_exact_permutation(spark):
+    import hashlib
+
+    from readur_spark.operators.sampling import global_shuffle
+
+    n = 5000
+    df = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in global_shuffle(df, num_buckets=64).collect()
+    }
+    # exact 0..n-1 permutation
+    assert sorted(out.values()) == list(range(n))
+    # equals the naive global sort by (md5(id || ':shuffle-v1'), id)
+    naive = sorted(
+        range(n),
+        key=lambda i: (
+            hashlib.md5(f"{i}:shuffle-v1".encode()).hexdigest(),
+            i,
+        ),
+    )
+    assert all(out[doc] == pos for pos, doc in enumerate(naive))
+    # looks shuffled, not sorted
+    assert [out[i] for i in range(10)] != list(range(10))
+
+
+def test_global_shuffle_partitioning_invariant_and_salted(spark):
+    from readur_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    a = {tuple(r) for r in global_shuffle(df.repartition(3)).collect()}
+    b = {tuple(r) for r in global_shuffle(df.repartition(17)).collect()}
+    assert a == b
+    # a different salt is a different (but still exact) permutation
+    c = {
+        r["doc_id"]: r["shuffle_pos"]
+        for r in global_shuffle(df, salt="epoch-2").collect()
+    }
+    assert sorted(c.values()) == list(range(2000))
+    assert c != {k: v for k, v in a}
+
+
+def test_global_shuffle_plan_has_no_single_partition_exchange(spark):
+    from readur_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    plan = global_shuffle(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_global_shuffle_empty_frame(spark):
+    from readur_spark.operators.sampling import global_shuffle
+
+    df = spark.createDataFrame([], "doc_id long")
+    assert global_shuffle(df).collect() == []

@@ -270,6 +270,50 @@ def test_warc_member_larger_than_chunk():
     assert parsed[1]["payload"] == b"tail record"
 
 
+def test_warc_malformed_middle_record_resyncs():
+    # one garbage record header in a healthy file must cost ONE record,
+    # not the rest of the file: the parser resyncs to the next
+    # "\r\nWARC/" marker (matters even more now that the gzip fast path
+    # hands parse_warc the whole file as a single buffer)
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    def one(uri):
+        return build_warc(
+            [{"warc_type": "resource", "target_uri": uri,
+              "payload": b"body " + uri.encode()}],
+            gzip_per_record=False,
+        )
+
+    garbage = b"NOT-A-WARC-HEADER junk\r\nX: y\r\n\r\nleftover bytes\r\n"
+    badlen = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"Content-Length: banana\r\n\r\n"
+    )
+    data = one("https://e.com/1") + garbage + one("https://e.com/2") \
+        + badlen + one("https://e.com/3")
+    recs = list(parse_warc(data))
+    assert [r["target_uri"] for r in recs] == [
+        "https://e.com/1", "https://e.com/2", "https://e.com/3"]
+
+
+def test_warc_gzip_fast_path_equals_member_loop(monkeypatch):
+    # the whole-buffer C-level inflate (fast path) and the per-member
+    # recovery loop must parse identical records from the same bytes
+    import readur_spark.sources.warc as W
+
+    recs = [
+        {"warc_type": "resource", "target_uri": f"https://e.com/{i}",
+         "payload": (f"payload {i} " * 9).encode()}
+        for i in range(250)
+    ]
+    data = W.build_warc(recs, gzip_per_record=True)
+    fast = list(W.parse_warc(data))
+    monkeypatch.setattr(W, "_WHOLE_DECOMPRESS_LIMIT", 0)
+    slow = list(W.parse_warc(data))
+    assert fast == slow
+    assert [r["target_uri"] for r in fast] == [r["target_uri"] for r in recs]
+
+
 def test_warc_rebuild_from_parsed_records():
     # ADVICE r4: parse_warc emits http_content_type=None for resource
     # records; feeding those dicts back to build_warc must not raise.

@@ -13,7 +13,9 @@ file-batch scale. Prints one JSON line with shard count/bytes, docs/s
 for both paths, and the partition counts proving file-level parallelism
 held. Run quiet (no concurrent Spark).
 
-Usage: python tools/warc_bench.py [REP]   (default 20 → 100k pages)
+Usage: python tools/warc_bench.py [REP] [FATTEN]
+(default REP=20 → 100k pages; FATTEN=60 sha2-hex paragraphs ≈ +4 KB of
+~half-compressible body text per page → a multi-hundred-MB crawl)
 """
 
 from __future__ import annotations
@@ -31,6 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     rep = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+    FATTEN = int(sys.argv[2]) if len(sys.argv) > 2 else 60
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -53,6 +56,21 @@ def main() -> None:
         "doc_id",
         F.expr("filter(spans, s -> s.kind = 'html')")[0]["text"].alias("html"),
     ).filter(F.col("html").isNotNull())
+    # Fatten each page toward real-web weight (10-100 KB; the fixture
+    # html span is ~2 KB): append FATTEN sha2-chain paragraphs of
+    # per-page-unique hex words inside <body>. Hex hashes are ~50%
+    # gzip-compressible (vs ~95% for repeated text), so the landed
+    # .warc.gz bytes are an honest multi-hundred-MB crawl weight and the
+    # per-record parse overhead is measured against realistic payloads.
+    filler = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(FATTEN)),
+            lambda i: F.sha2(
+                F.concat_ws("#", F.col("doc_id"), F.col("r"), i), 256
+            ),
+        ),
+    )
     pages = (
         base.select(
             F.explode(F.sequence(F.lit(1), F.lit(rep))).alias("r"),
@@ -61,7 +79,12 @@ def main() -> None:
         )
         .select(
             F.concat_ws("-", "doc_id", "r").alias("doc_id"),
-            "html",
+            F.concat(
+                F.regexp_replace("html", "</body></html>$", ""),
+                F.lit('<div id="detail"><p>'),
+                filler,
+                F.lit("</p></div></body></html>"),
+            ).alias("html"),
         )
         .repartition(2 * n_cores)
     )
@@ -137,6 +160,7 @@ def main() -> None:
         json.dumps(
             {
                 "rep": rep,
+                "fatten": FATTEN,
                 "n_pages": n_pages,
                 "landed_records": int(landed),
                 "shards": len(shards),
@@ -145,6 +169,7 @@ def main() -> None:
                 "warc_path": {
                     "wall_s": round(t_warc, 1),
                     "docs_per_s": round(n_pages / t_warc, 1),
+                    "warc_mb_per_s": round(total_bytes / t_warc / 1e6, 1),
                     "total_words": words_warc,
                 },
                 "parquet_path": {
