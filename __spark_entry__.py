@@ -710,6 +710,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["global_shuffle"] = _q_global_shuffle
 
+    def _q_outlink_domains(s, sf):
+        # outlink extraction as curation statistics: three deterministic
+        # hrefs per document (a messy absolute one that exercises the
+        # whole canonicalization, a relative one attributed to the
+        # page's own domain, a clean cross-site one), extracted with
+        # regexp_extract_all + explode, aggregated per target domain.
+        # The oracle rebuilds the SAME markup in SQL and unnests the
+        # same regex — extraction, canonicalization, attribution, and
+        # aggregation are all value-checked.
+        from readur_spark.operators.linkgraph import extract_outlinks
+
+        d = _docs(s, sf).select("doc_id")
+        html = F.concat(
+            F.lit('<p>x</p><a href="https://Site'),
+            (F.col("doc_id") % 23).cast("string"),
+            F.lit(".COM:443/p/"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('?utm_source=x&b=2&a=1">t</a><a href="/rel/'),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">r</a><a href="http://c'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit('.org/q#frag">u</a>'),
+        )
+        base_dom = F.concat(
+            F.lit("host"), (F.col("doc_id") % 11).cast("string"),
+            F.lit(".net"),
+        )
+        pages = d.select(
+            "doc_id", html.alias("html"), base_dom.alias("dom")
+        )
+        links = extract_outlinks(pages, base_domain_col="dom")
+        return links.groupBy("dst_domain").agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("target_url").alias("sample_url"),
+        )
+
+    q["outlink_domains"] = _q_outlink_domains
+
+    def _q_domain_pagerank(s, sf):
+        # distributed PageRank over a deterministic host graph derived
+        # from doc_id: src = d(id % 53), dst = d((13·id + 5) % 97) in a
+        # SHARED d0..d96 namespace — so d53..d96 never emit edges
+        # (real dangling mass, redistributed uniformly each step) while
+        # d0..d52 form cycles. 5 power iterations at damping 0.85; the
+        # oracle replays the identical iteration as five chained CTEs
+        # (see _pagerank_sql), value-checking mass conservation,
+        # dangling handling, and the join+groupBy contribution sums.
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            pagerank,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        edges = build_domain_graph(raw)
+        return pagerank(edges, damping=0.85, iters=5).select(
+            "node", "rank"
+        )
+
+    q["domain_pagerank"] = _q_domain_pagerank
+
+    def _q_domain_blocklist(s, sf):
+        # UT1-style curated-blocklist filter: the broadcast anti-join
+        # must drop exactly the residue classes on the list,
+        # case-insensitively
+        from readur_spark.operators.linkgraph import (
+            filter_by_domain_blocklist,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        docs = d.select(
+            "doc_id",
+            F.concat(
+                F.when(F.col("doc_id") % 2 == 0, F.lit("Host"))
+                .otherwise(F.lit("host")),
+                (F.col("doc_id") % 19).cast("string"),
+                F.lit(".example"),
+            ).alias("domain"),
+        )
+        out = filter_by_domain_blocklist(
+            docs, ["host3.example", "HOST7.example", "host11.example"]
+        )
+        return out.select("doc_id", "domain")
+
+    q["domain_blocklist_filter"] = _q_domain_blocklist
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1164,6 +1258,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample_largek",  # threshold-selection path, exact-topk oracle
         "url_canonical_dedup",  # crawl-frontier canonical-URL dedup
         "global_shuffle",  # bucketed global rank vs definitional oracle
+        "outlink_domains",  # href extract + canonicalize + attribute
+        "domain_pagerank",  # power iteration vs chained-CTE replay
+        "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
@@ -1236,6 +1333,50 @@ def _canonical_url_sql(url: str) -> str:
 
 #: template with an {url} placeholder (tests format it directly)
 _CANONICAL_URL_SQL = _canonical_url_sql("{url}")
+
+#: DuckDB mirror of operators.linkgraph.domain_of (same regex; both
+#: engines return '' when the reference is relative / has no scheme)
+_DOMAIN_OF_SQL = (
+    "lower(regexp_extract({url}, "
+    "'^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1))"
+)
+
+
+def _pagerank_sql(edges_cte: str, damping: float, iters: int) -> str:
+    """DuckDB replay of operators.linkgraph.pagerank as ``iters``
+    chained CTEs — the identical power iteration (per-src contribution
+    = rank/outdeg, dangling mass redistributed uniformly, (1-d)/N
+    teleport), so the distributed join+groupBy assembly is
+    value-checked against the definitional recurrence. ``edges_cte``
+    must select columns (src, dst), already distinct / self-loop-free.
+    Float note: per-node fan-in sums differ from Spark's only by
+    addition order (≤1e-15 at these magnitudes), far inside the
+    gate's round-to-9 normalization."""
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS c "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p, r = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f"{r} AS (SELECT no.node, (1.0 - {d})/(SELECT n FROM nn) "
+            f"+ {d} * (coalesce(m.inmass, 0.0) "
+            f"+ (SELECT coalesce(sum(pr.rank), 0.0) FROM {p} pr "
+            f"LEFT JOIN outdeg o ON pr.node = o.src "
+            f"WHERE o.src IS NULL)/(SELECT n FROM nn)) AS rank "
+            f"FROM nodes no LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(pr.rank / o.c) AS inmass "
+            f"FROM edges e JOIN {p} pr ON e.src = pr.node "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst"
+            f") m ON no.node = m.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
 
 _BPE_ORACLE_CACHE: dict[tuple, list] = {}
 
@@ -1754,7 +1895,7 @@ def oracle_sql() -> dict[str, str]:
     # dedup_lines: corpus-wide boilerplate-line removal with the planted
     # footer (df = corpus size > 10) and per-doc unique tails; the oracle
     # matches lines by string where the operator joins on xxhash64(line)
-    o["dedup_lines"] = """
+    o["dedup_lines"] = r"""
         WITH docs2 AS (
           SELECT doc_id,
                  text || chr(10) ||
@@ -1978,6 +2119,66 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':shuffle-v1'),
                           doc_id) - 1 AS shuffle_pos
         FROM documents
+    """
+
+    # outlink_domains: the SAME markup rebuilt in SQL, hrefs unnested
+    # with the same regex, canonicalized + domain-attributed by the
+    # mirrored expressions, aggregated identically
+    o["outlink_domains"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 '<p>x</p><a href="https://Site' || CAST(doc_id % 23 AS VARCHAR)
+                 || '.COM:443/p/' || CAST(doc_id % 7 AS VARCHAR)
+                 || '?utm_source=x&b=2&a=1">t</a><a href="/rel/'
+                 || CAST(doc_id % 5 AS VARCHAR)
+                 || '">r</a><a href="http://c' || CAST(doc_id % 13 AS VARCHAR)
+                 || '.org/q#frag">u</a>' AS html,
+                 'host' || CAST(doc_id % 11 AS VARCHAR) || '.net' AS dom
+          FROM documents
+        ),
+        links AS (
+          SELECT doc_id, dom,
+                 unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+          FROM pages
+        ),
+        canon AS (
+          SELECT doc_id,
+                 {_canonical_url_sql('href')} AS target_url,
+                 CASE WHEN {_DOMAIN_OF_SQL.format(url='href')} = ''
+                      THEN lower(dom)
+                      ELSE {_DOMAIN_OF_SQL.format(url='href')}
+                 END AS dst_domain
+          FROM links
+        )
+        SELECT dst_domain,
+               CAST(count(*) AS BIGINT) AS n_links,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               min(target_url) AS sample_url
+        FROM canon GROUP BY dst_domain
+    """
+
+    # domain_pagerank: five chained-CTE power iterations replaying the
+    # operator's exact recurrence (see _pagerank_sql)
+    o["domain_pagerank"] = _pagerank_sql(
+        """SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                  'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+           FROM documents
+           WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                 <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)""",
+        damping=0.85,
+        iters=5,
+    )
+
+    # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
+    # lowercased domain
+    o["domain_blocklist_filter"] = """
+        SELECT doc_id,
+               (CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END)
+               || CAST(doc_id % 19 AS VARCHAR) || '.example' AS domain
+        FROM documents
+        WHERE lower((CASE WHEN doc_id % 2 = 0 THEN 'Host' ELSE 'host' END)
+              || CAST(doc_id % 19 AS VARCHAR) || '.example')
+              NOT IN ('host3.example', 'host7.example', 'host11.example')
     """
 
     # corpus_stats: one ROLLUP pass — the sum() must CAST to BIGINT (DuckDB

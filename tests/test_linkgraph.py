@@ -1,0 +1,155 @@
+"""Link-graph operators: outlink extraction, domain graph, PageRank
+(pinned against an exact pure-Python power-iteration replay), and the
+broadcast blocklist anti-join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _pagerank_naive(edges, nodes, damping=0.85, iters=5):
+    """Reference power iteration — same formulation the operator
+    documents (dangling mass redistributed uniformly)."""
+    n = len(nodes)
+    outdeg = {}
+    adj = {}
+    for s, d in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+        adj.setdefault(s, []).append(d)
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        dangling = sum(r for v, r in ranks.items() if v not in outdeg)
+        inmass = {v: 0.0 for v in nodes}
+        for s, ds in adj.items():
+            share = ranks[s] / outdeg[s]
+            for d in ds:
+                inmass[d] += share
+        ranks = {
+            v: (1 - damping) / n
+            + damping * (inmass[v] + dangling / n)
+            for v in nodes
+        }
+    return ranks
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"), ("d", "a"),
+    # e is dangling (no outlinks), only receives
+    ("a", "e"),
+]
+NODES = ["a", "b", "c", "d", "e"]
+
+
+def test_pagerank_matches_naive_replay(spark):
+    from readur_spark.operators.linkgraph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=7).collect()}
+    want = _pagerank_naive(EDGES, NODES, iters=7)
+    assert set(got) == set(want)
+    for v in NODES:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # mass conserved: a probability distribution
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_zero_iters_is_uniform_and_empty_graph(spark):
+    from readur_spark.operators.linkgraph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=0).collect()}
+    assert all(v == pytest.approx(1 / 5) for v in got.values())
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty, iters=3).collect() == []
+    with pytest.raises(ValueError):
+        pagerank(df, iters=-1)
+
+
+def test_pagerank_releases_its_checkpoints(spark):
+    from readur_spark.operators.linkgraph import pagerank
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    out = pagerank(df, iters=4)
+    out.count()
+    after = sc._jsc.getPersistentRDDs().size()
+    # only the returned frame's checkpoint may remain
+    assert after - before <= 1
+
+
+def test_extract_outlinks_and_domains(spark):
+    from readur_spark.operators.linkgraph import extract_outlinks
+
+    rows = [
+        (1, 'x <a href="https://B.com:443/p?utm_source=x&k=1">t</a> '
+            'y <a href="/relative/page">r</a> '
+            '<a href="http://c.org/q#frag">u</a>', "a.com"),
+        (2, "no links here", "d.net"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, html string, dom string")
+    got = extract_outlinks(df, base_domain_col="dom").collect()
+    by = {(r["doc_id"], r["target_url"]): r["dst_domain"] for r in got}
+    assert by[(1, "https://b.com/p?k=1")] == "b.com"
+    # relative link attributed to the page's own domain
+    assert by[(1, "/relative/page")] == "a.com"
+    assert by[(1, "http://c.org/q")] == "c.org"
+    assert not [r for r in got if r["doc_id"] == 2]
+
+
+def test_domain_of_handles_ports_userinfo_relative(spark):
+    from readur_spark.operators.linkgraph import domain_of
+
+    rows = [
+        ("https://User:pw@Host.COM:8443/x",),
+        ("http://plain.org/y",),
+        ("/relative",),
+        ("mailto:someone@example.com",),
+    ]
+    df = spark.createDataFrame(rows, "u string")
+    got = [r["d"] for r in df.select(domain_of(F.col("u")).alias("d")).collect()]
+    assert got[0] == "host.com"
+    assert got[1] == "plain.org"
+    assert got[2] == ""
+    # mailto: has no ://, treated as relative (empty domain)
+    assert got[3] == ""
+
+
+def test_build_domain_graph_drops_self_loops_and_dups(spark):
+    from readur_spark.operators.linkgraph import build_domain_graph
+
+    rows = [
+        ("a.com", "b.com"), ("a.com", "b.com"), ("a.com", "a.com"),
+        ("", "b.com"), ("b.com", ""), ("b.com", "c.com"),
+    ]
+    df = spark.createDataFrame(rows, "src_domain string, dst_domain string")
+    got = {(r["src"], r["dst"]) for r in build_domain_graph(df).collect()}
+    assert got == {("a.com", "b.com"), ("b.com", "c.com")}
+
+
+def test_filter_by_domain_blocklist(spark):
+    from readur_spark.operators.linkgraph import filter_by_domain_blocklist
+
+    docs = spark.createDataFrame(
+        [(1, "Spam.BIZ"), (2, "ok.org"), (3, "ads.example")],
+        "doc_id long, domain string",
+    )
+    got = filter_by_domain_blocklist(docs, ["spam.biz", "ads.example"])
+    assert [r["doc_id"] for r in got.collect()] == [2]
+    # DataFrame-typed blocklist, and the plan broadcasts it
+    bl = spark.createDataFrame([("SPAM.biz",)], "host string")
+    out = filter_by_domain_blocklist(docs, bl)
+    assert sorted(r["doc_id"] for r in out.collect()) == [2, 3]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan, plan
+
+
+def test_pagerank_plan_stays_bounded_across_iters(spark):
+    # the eager localCheckpoint must keep the returned plan O(1) in
+    # iteration count — a growing plan means lineage was not truncated
+    from readur_spark.operators.linkgraph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    p2 = pagerank(df, iters=2)._jdf.queryExecution().executedPlan().toString()
+    p6 = pagerank(df, iters=6)._jdf.queryExecution().executedPlan().toString()
+    assert abs(len(p6) - len(p2)) < 200, (len(p2), len(p6))
