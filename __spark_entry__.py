@@ -883,6 +883,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_sequences"] = _q_pack_sequences
 
+    def _interleaved_docs(s, sf):
+        # deterministic interleaved table in the north-rule shape
+        # (doc_id, spans: array<struct<kind,text,media_ref,offset>>):
+        # first half of the document text, an image every 3rd doc
+        # (media_ref repeats mod 50), the second half, an audio clip
+        # every 7th doc — so text spans split at boundaries AND media
+        # blocks land mid-sequence, and the oracle rebuilds the exact
+        # same spans in SQL.
+        d = _docs(s, sf)
+        mk = lambda kind, text, ref, off: F.struct(  # noqa: E731
+            F.lit(kind).alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            F.lit(off).alias("offset"),
+        )
+        spans = F.filter(
+            F.array(
+                mk("text", F.expr("substring(text, 1, CAST(length(text)/2 AS INT))"), F.lit(""), 0),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    mk(
+                        "image",
+                        F.lit(""),
+                        F.concat(F.lit("img://"), (F.col("doc_id") % 50).cast("string")),
+                        1,
+                    ),
+                ),
+                mk("text", F.expr("substring(text, CAST(length(text)/2 AS INT) + 1)"), F.lit(""), 2),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    mk(
+                        "audio",
+                        F.lit(""),
+                        F.concat(F.lit("aud://"), F.col("doc_id").cast("string")),
+                        3,
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return d.select("doc_id", spans.alias("spans"))
+
+    def _q_interleave_pack(s, sf):
+        # multimodal interleaved packing manifest: text spans counted by
+        # the regex pre-tokenizer, image=64 / audio=128 token blocks,
+        # GPT-style stream cut at 512 with straddle flags — the whole
+        # span-stream prefix scan value-checked against a windowed-SQL
+        # replay of the same stream
+        from readur_spark.operators.interleave import (
+            build_interleaved_sequences,
+        )
+
+        return build_interleaved_sequences(
+            _interleaved_docs(s, sf),
+            seq_len=512,
+            media_token_cost={"image": 64, "audio": 128},
+        )
+
+    q["interleave_pack"] = _q_interleave_pack
+
+    def _q_interleave_fill_stats(s, sf):
+        # per-sequence multimodal fill report over the same manifest
+        from readur_spark.operators.interleave import (
+            build_interleaved_sequences,
+            interleave_stats,
+        )
+
+        man = build_interleaved_sequences(
+            _interleaved_docs(s, sf),
+            seq_len=512,
+            media_token_cost={"image": 64, "audio": 128},
+        )
+        st = interleave_stats(man, 512)
+        return st.select(
+            "seq_id",
+            "n_docs",
+            "n_spans",
+            "n_text_tokens",
+            "n_media_tokens",
+            "n_media",
+            "n_cut_media",
+            F.round("fill", 6).alias("fill"),
+        )
+
+    q["interleave_fill_stats"] = _q_interleave_fill_stats
+
     def _q_bpe_token_counts(s, sf):
         # distributed BPE train (word-count shuffle + driver merge loop)
         # + Arrow-batched encode; id_sum checks the actual token ids, not
@@ -1261,6 +1347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_domains",  # href extract + canonicalize + attribute
         "domain_pagerank",  # power iteration vs chained-CTE replay
         "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
+        "interleave_pack",  # multimodal span-stream prefix scan
+        "interleave_fill_stats",  # per-sequence multimodal fill report
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
@@ -2531,6 +2619,91 @@ def oracle_sql() -> dict[str, str]:
         "SELECT seq_id, CAST(count(*) AS BIGINT) AS n_docs, "
         "CAST(sum(n_tokens) AS BIGINT) AS n_tokens, "
         "round(sum(n_tokens) * 1.0 / 512, 6) AS fill_ratio "
+        "FROM manifest GROUP BY seq_id"
+    )
+
+    # interleave_pack: the SAME deterministic span construction rebuilt
+    # in SQL (halved text, image every 3rd doc at 64 tokens, audio every
+    # 7th at 128), then the definitional stream cut — cumulative sum over
+    # (doc_id, span_idx) and a generate_series explode per crossing.
+    # Integer-division note: Spark's CAST(length/2 AS INT) truncates,
+    # DuckDB's CAST(double AS INT) ROUNDS — use // on the DuckDB side.
+    o["interleave_pack"] = r"""
+        WITH spans AS (
+          SELECT doc_id, 0 AS span_idx, 'text' AS kind, '' AS media_ref,
+                 CAST(len(regexp_extract_all(
+                     substr(text, 1, CAST(length(text) // 2 AS INT)),
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'image',
+                 'img://' || CAST(doc_id % 50 AS VARCHAR), 64
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 2, 'text', '',
+                 CAST(len(regexp_extract_all(
+                     substr(text, CAST(length(text) // 2 AS INT) + 1),
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3, 'audio',
+                 'aud://' || CAST(doc_id AS VARCHAR), 128
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        renum AS (
+          -- Spark's posexplode numbers the PRESENT spans 0..k-1 (the
+          -- array is built with absent image/audio slots filtered out),
+          -- so renumber before the zero-cost drop
+          SELECT doc_id, kind, media_ref, n,
+                 CAST(row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY span_idx) - 1
+                      AS INT) AS span_idx
+          FROM spans
+        ),
+        c AS (
+          SELECT doc_id, span_idx, kind, media_ref, n,
+                 sum(n) OVER (ORDER BY doc_id, span_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS gstart
+          FROM renum WHERE n > 0
+        )
+        SELECT s.seq AS seq_id,
+               c.doc_id,
+               c.span_idx AS span_idx,
+               c.kind,
+               c.media_ref,
+               CAST(greatest(c.gstart, s.seq * 512) - c.gstart
+                    AS BIGINT) AS tok_start,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart
+                    AS BIGINT) AS tok_end,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512)
+                    - greatest(c.gstart, s.seq * 512) AS BIGINT) AS n_tokens,
+               CAST(greatest(c.gstart, s.seq * 512) - s.seq * 512
+                    AS BIGINT) AS seq_pos,
+               (c.gstart // 512) <> ((c.gstart + c.n - 1) // 512)
+                 AS straddles
+        FROM c, LATERAL (
+          SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
+                                        CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
+        ) s
+    """
+
+    # interleave_fill_stats: per-sequence multimodal rollup of the same
+    # manifest (BIGINT casts per the HUGEINT rule)
+    o["interleave_fill_stats"] = (
+        "WITH manifest AS (" + o["interleave_pack"] + ") "
+        "SELECT seq_id, "
+        "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(count(*) AS BIGINT) AS n_spans, "
+        "CAST(sum(CASE WHEN kind = 'text' THEN n_tokens ELSE 0 END) "
+        "  AS BIGINT) AS n_text_tokens, "
+        "CAST(sum(CASE WHEN kind <> 'text' THEN n_tokens ELSE 0 END) "
+        "  AS BIGINT) AS n_media_tokens, "
+        "CAST(sum(CASE WHEN kind <> 'text' THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_media, "
+        "CAST(sum(CASE WHEN kind <> 'text' AND straddles THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_cut_media, "
+        "round(sum(n_tokens) * 1.0 / 512, 6) AS fill "
         "FROM manifest GROUP BY seq_id"
     )
 

@@ -1,0 +1,180 @@
+"""Interleaved multimodal sequence packing: span-stream prefix scan."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from readur_spark.corpus import docs_dataframe
+from readur_spark.operators.interleave import (
+    build_interleaved_sequences,
+    explode_spans,
+    interleave_stats,
+)
+
+TOK = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+
+COSTS = {"media": 64}
+TEXT_KINDS = ("text", "html")
+
+
+def _naive_manifest(rows, seq_len, costs=COSTS, text_kinds=TEXT_KINDS):
+    """Definitional replay: walk the global span stream in
+    (xxhash-free) ascending doc order — the fixture uses doc-%012d ids,
+    so plain string sort equals the hash-order packing only if we feed
+    the operator's own stream order.  Instead we replay in the
+    OPERATOR's order: ascending (xxhash64(id), id, span_idx), fetched
+    from Spark so the two runs share one definition of the key."""
+    out = []
+    gstart = 0
+    for doc_id, span_idx, kind, n in rows:
+        first, last = gstart // seq_len, (gstart + n - 1) // seq_len
+        for seq in range(first, last + 1):
+            s = max(gstart, seq * seq_len)
+            e = min(gstart + n, (seq + 1) * seq_len)
+            out.append(
+                (
+                    seq,
+                    doc_id,
+                    span_idx,
+                    s - gstart,
+                    e - gstart,
+                    e - s,
+                    s - seq * seq_len,
+                    first != last,
+                )
+            )
+        gstart += n
+    return sorted(out)
+
+
+def _stream_rows(spark, docs):
+    """The operator's stream: (doc_id, span_idx, kind, cost) in
+    ascending (xxhash64(doc_id), doc_id, span_idx)."""
+    sp = explode_spans(docs)
+    rows = (
+        sp.withColumn("key", F.xxhash64("doc_id"))
+        .orderBy("key", "doc_id", "span_idx")
+        .collect()
+    )
+    out = []
+    for r in rows:
+        if r["kind"] in TEXT_KINDS:
+            n = len(TOK.findall(r["text"] or ""))
+        else:
+            n = COSTS.get(r["kind"], 0)
+        if n > 0:
+            out.append((r["doc_id"], r["span_idx"], r["kind"], n))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return docs_dataframe(spark, 120, seed=11, num_partitions=8).cache()
+
+
+def test_matches_naive_replay(spark, docs):
+    L = 256
+    got = sorted(
+        (
+            r["seq_id"],
+            r["doc_id"],
+            r["span_idx"],
+            r["tok_start"],
+            r["tok_end"],
+            r["n_tokens"],
+            r["seq_pos"],
+            r["straddles"],
+        )
+        for r in build_interleaved_sequences(
+            docs, seq_len=L, media_token_cost=COSTS, text_kinds=TEXT_KINDS
+        ).collect()
+    )
+    want = _naive_manifest(_stream_rows(spark, docs), L)
+    assert got == want
+
+
+def test_conservation_and_fill(spark, docs):
+    """Every sequence but the last is exactly full; totals conserve."""
+    L = 512
+    man = build_interleaved_sequences(
+        docs, seq_len=L, media_token_cost=COSTS, text_kinds=TEXT_KINDS
+    ).cache()
+    stats = interleave_stats(man, L, text_kinds=TEXT_KINDS).collect()
+    last = max(r["seq_id"] for r in stats)
+    for r in stats:
+        total = r["n_text_tokens"] + r["n_media_tokens"]
+        if r["seq_id"] != last:
+            assert total == L, r
+        else:
+            assert 0 < total <= L
+    stream = _stream_rows(spark, docs)
+    assert man.agg(F.sum("n_tokens")).collect()[0][0] == sum(
+        n for *_x, n in stream
+    )
+    # media accounting: every media span appears, block total preserved
+    media_tok = man.filter(F.col("kind") == "media").agg(
+        F.sum("n_tokens")
+    ).collect()[0][0]
+    assert media_tok == sum(n for _d, _i, k, n in stream if k == "media")
+    man.unpersist()
+
+
+def test_media_cut_flag(spark):
+    """A media block crossing a boundary is split into two rows, both
+    flagged straddles, partial costs summing to the block."""
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                {"kind": "text", "text": "w " * 60, "media_ref": "", "offset": 0},
+                {"kind": "media", "text": "", "media_ref": "m1", "offset": 1},
+            ],
+        }
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, spans array<struct<"
+                                       "kind string, text string, media_ref string, offset int>>")
+    man = build_interleaved_sequences(
+        docs, seq_len=64, media_token_cost=16
+    ).collect()
+    media = sorted(
+        (r["seq_id"], r["tok_start"], r["tok_end"], r["straddles"], r["seq_pos"])
+        for r in man
+        if r["kind"] == "media"
+    )
+    # 60 text tokens then a 16-token block: cut at 64 -> [60,64) + [64,76)
+    assert media == [(0, 0, 4, True, 60), (1, 4, 16, True, 0)]
+
+
+def test_empty_and_dropped_kinds(spark):
+    rows = [
+        {
+            "doc_id": "a",
+            "spans": [
+                {"kind": "text", "text": "", "media_ref": "", "offset": 0},
+                {"kind": "hologram", "text": "", "media_ref": "h", "offset": 1},
+            ],
+        }
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, spans array<struct<"
+                                       "kind string, text string, media_ref string, offset int>>")
+    # empty text and an unbudgeted kind both drop -> empty manifest
+    assert build_interleaved_sequences(docs, seq_len=64).count() == 0
+    assert build_interleaved_sequences(
+        docs.filter(F.lit(False)), seq_len=64
+    ).count() == 0
+
+
+def test_numeric_id_stream_order(spark):
+    """Numeric ids pack in ascending id order (no hashing)."""
+    rows = [
+        (2, [{"kind": "text", "text": "b b b", "media_ref": "", "offset": 0}]),
+        (1, [{"kind": "text", "text": "a a", "media_ref": "", "offset": 0}]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, spans array<struct<"
+                                       "kind string, text string, media_ref string, offset int>>")
+    man = {
+        r["doc_id"]: r["seq_pos"]
+        for r in build_interleaved_sequences(docs, seq_len=100).collect()
+    }
+    assert man == {1: 0, 2: 2}

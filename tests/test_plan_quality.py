@@ -243,3 +243,21 @@ def test_lm_scoring_plan_no_python_no_cartesian(spark, docs):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Cartesian" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_interleave_pack_no_single_partition(spark):
+    """The span-stream prefix scan windows PARTITION BY bucket and the
+    bases arrive broadcast — no Exchange SinglePartition (the failure
+    mode of a naive global ORDER BY window over the span stream)."""
+    from readur_spark.corpus import docs_dataframe
+    from readur_spark.operators.interleave import build_interleaved_sequences
+
+    man = build_interleaved_sequences(
+        docs_dataframe(spark, 40, seed=3),
+        seq_len=128,
+        media_token_cost={"media": 64},
+        text_kinds=("text", "html"),
+    )
+    plan = plan_of(man)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
