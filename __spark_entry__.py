@@ -969,6 +969,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["interleave_fill_stats"] = _q_interleave_fill_stats
 
+    def _q_interleave_materialize(s, sf):
+        # the COMPLETE multimodal layout path: span-stream manifest ->
+        # materialized element sequences (token-id slices for text,
+        # placeholders for media), verified per sequence by element
+        # count, token total, and an md5 over the ordered canonical
+        # rendering kind|media_ref|ids. The encoder is Catalyst-only
+        # (one id per regex token = its character length) so the oracle
+        # can replay the exact slices in SQL.
+        from readur_spark.operators.interleave import (
+            build_interleaved_sequences,
+            materialize_interleaved,
+        )
+
+        docs_df = _interleaved_docs(s, sf)
+        man = build_interleaved_sequences(
+            docs_df,
+            seq_len=512,
+            media_token_cost={"image": 64, "audio": 128},
+        )
+
+        def enc(c):
+            return F.transform(
+                F.regexp_extract_all(
+                    c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0
+                ),
+                lambda t: F.length(t),
+            )
+
+        seqs = materialize_interleaved(docs_df, man, enc)
+        render = F.transform(
+            "elements",
+            lambda el: F.concat_ws(
+                "|",
+                el["kind"],
+                el["media_ref"],
+                F.concat_ws(
+                    ",",
+                    F.coalesce(
+                        el["ids"].cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    ),
+                ),
+            ),
+        )
+        return seqs.select(
+            "seq_id",
+            F.size("elements").cast("long").alias("n_elements"),
+            "n_tokens",
+            F.md5(F.concat_ws(";", render)).alias("sig"),
+        )
+
+    q["interleave_materialize"] = _q_interleave_materialize
+
+    def _q_anchor_profile(s, sf):
+        # anchor-text aggregation per link target: two same-target
+        # anchors with different texts per doc (plus a relative one)
+        # so frequency ranking, whitespace collapse, dedup counts, and
+        # the bounded top-k window all carry signal. The oracle
+        # re-extracts with the same regex via positional zip in SQL.
+        from readur_spark.operators.linkgraph import (
+            anchor_text_stats,
+            extract_anchor_texts,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        html = F.concat(
+            F.lit('<a href="https://t'),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit('.com/p">Anchor  '),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('</a><a id="x" href="https://t'),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit('.com/p">Anchor '),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('</a><a href="/l/'),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('">Rel '),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("</a>"),
+        )
+        a = extract_anchor_texts(d.select("doc_id", html.alias("html")))
+        st = anchor_text_stats(a, top_k=2)
+        return st.select(
+            "target_url",
+            "n_anchors",
+            "n_doc_anchor_pairs",
+            "n_unique_texts",
+            F.concat_ws("|", "top_anchors").alias("top2"),
+        )
+
+    q["anchor_profile"] = _q_anchor_profile
+
     def _q_bpe_token_counts(s, sf):
         # distributed BPE train (word-count shuffle + driver merge loop)
         # + Arrow-batched encode; id_sum checks the actual token ids, not
@@ -1349,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
         "interleave_pack",  # multimodal span-stream prefix scan
         "interleave_fill_stats",  # per-sequence multimodal fill report
+        "interleave_materialize",  # element sequences, md5 content check
+        "anchor_profile",  # anchor-text aggregation per link target
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
@@ -2706,6 +2800,132 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(n_tokens) * 1.0 / 512, 6) AS fill "
         "FROM manifest GROUP BY seq_id"
     )
+
+    # interleave_materialize: replay the whole span stream WITH text
+    # carried through, slice each segment's token-length ids in SQL
+    # (DuckDB list slicing l[a:b] is 1-based inclusive — [tok_start+1 :
+    # tok_end] is exactly the half-open segment), assemble per sequence
+    # ordered by seq_pos, md5 the same canonical rendering
+    o["interleave_materialize"] = r"""
+        WITH spans0 AS (
+          SELECT doc_id, 0 AS i0, 'text' AS kind, '' AS media_ref,
+                 substr(text, 1, CAST(length(text) // 2 AS INT)) AS sptext
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 1, 'image',
+                 'img://' || CAST(doc_id % 50 AS VARCHAR), ''
+          FROM documents WHERE doc_id % 3 = 0
+          UNION ALL
+          SELECT doc_id, 2, 'text', '',
+                 substr(text, CAST(length(text) // 2 AS INT) + 1)
+          FROM documents
+          UNION ALL
+          SELECT doc_id, 3, 'audio',
+                 'aud://' || CAST(doc_id AS VARCHAR), ''
+          FROM documents WHERE doc_id % 7 = 0
+        ),
+        renum AS (
+          SELECT doc_id, kind, media_ref, sptext,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY i0) - 1
+                   AS span_idx
+          FROM spans0
+        ),
+        cost AS (
+          SELECT *,
+                 CASE WHEN kind = 'text'
+                      THEN CAST(len(regexp_extract_all(sptext,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+                      WHEN kind = 'image' THEN 64
+                      WHEN kind = 'audio' THEN 128 END AS n
+          FROM renum
+        ),
+        c AS (
+          SELECT *,
+                 sum(n) OVER (ORDER BY doc_id, span_idx
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS gstart
+          FROM cost WHERE n > 0
+        ),
+        seg AS (
+          SELECT s.seq AS seq_id,
+                 greatest(c.gstart, s.seq * 512) - s.seq * 512 AS seq_pos,
+                 c.kind, c.media_ref,
+                 least(c.gstart + c.n, (s.seq + 1) * 512)
+                   - greatest(c.gstart, s.seq * 512) AS seg_len,
+                 CASE WHEN c.kind = 'text'
+                   THEN array_to_string(
+                     (list_transform(regexp_extract_all(c.sptext,
+                          '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'),
+                        t -> CAST(length(t) AS VARCHAR))
+                     )[CAST(greatest(c.gstart, s.seq * 512) - c.gstart + 1 AS BIGINT)
+                       : CAST(least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart AS BIGINT)],
+                     ',')
+                   ELSE '' END AS ids_str
+          FROM c, LATERAL (
+            SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
+                                          CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
+          ) s
+        )
+        SELECT seq_id,
+               CAST(count(*) AS BIGINT) AS n_elements,
+               CAST(sum(seg_len) AS BIGINT) AS n_tokens,
+               md5(string_agg(kind || '|' || media_ref || '|' || ids_str,
+                              ';' ORDER BY seq_pos)) AS sig
+        FROM seg GROUP BY seq_id
+    """
+
+    # anchor_profile: same markup rebuilt in SQL, anchors re-extracted
+    # with the SAME regex via positional zip (two regexp_extract_all
+    # passes indexed together), whitespace-collapsed, counted, top-2 by
+    # (freq DESC, text ASC)
+    o["anchor_profile"] = f"""
+        WITH pages AS (
+          SELECT doc_id,
+                 '<a href="https://t' || CAST(doc_id % 17 AS VARCHAR)
+                 || '.com/p">Anchor  ' || CAST(doc_id % 3 AS VARCHAR)
+                 || '</a><a id="x" href="https://t' || CAST(doc_id % 17 AS VARCHAR)
+                 || '.com/p">Anchor ' || CAST(doc_id % 5 AS VARCHAR)
+                 || '</a><a href="/l/' || CAST(doc_id % 4 AS VARCHAR)
+                 || '">Rel ' || CAST(doc_id % 2 AS VARCHAR) || '</a>' AS html
+          FROM documents
+        ),
+        ext AS (
+          SELECT doc_id,
+                 regexp_extract_all(html,
+                     '<a\\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>', 1) AS hrefs,
+                 regexp_extract_all(html,
+                     '<a\\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>', 2) AS txts
+          FROM pages
+        ),
+        pairs AS (
+          SELECT doc_id, hrefs[g.i] AS href,
+                 trim(regexp_replace(txts[g.i], '\\s+', ' ', 'g')) AS anchor
+          FROM ext, LATERAL (
+            SELECT unnest(generate_series(1, len(hrefs))) AS i
+          ) g
+        ),
+        canon AS (
+          SELECT doc_id, {_canonical_url_sql('href')} AS target_url, anchor
+          FROM pairs WHERE anchor <> ''
+        ),
+        counts AS (
+          SELECT target_url, anchor,
+                 count(*) AS c, count(DISTINCT doc_id) AS d
+          FROM canon GROUP BY target_url, anchor
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY target_url
+                                       ORDER BY c DESC, anchor ASC) AS rn
+          FROM counts
+        )
+        SELECT target_url,
+               CAST(sum(c) AS BIGINT) AS n_anchors,
+               CAST(sum(d) AS BIGINT) AS n_doc_anchor_pairs,
+               CAST(count(*) AS BIGINT) AS n_unique_texts,
+               string_agg(CASE WHEN rn <= 2 THEN anchor END, '|'
+                          ORDER BY rn) AS top2
+        FROM ranked GROUP BY target_url
+    """
 
     # bpe_token_counts / pack_sequences_bpe: BPE is not SQL-expressible,
     # so the oracle replays an INDEPENDENT sequential implementation

@@ -125,6 +125,8 @@ def main() -> None:
         "dsir_weights",
         "dsir_resample_largek",
         "chunk_by_tokens",
+        "interleave_pack",
+        "domain_pagerank",
         "lm_perplexity",
         "dedup_lines",
         "tfidf_top_terms",

@@ -240,3 +240,72 @@ def interleave_stats(
         ),
         (F.sum("n_tokens") / F.lit(float(seq_len))).alias("fill"),
     )
+
+
+def materialize_interleaved(
+    docs: DataFrame,
+    manifest: DataFrame,
+    encoder,
+    id_col: str = "doc_id",
+    spans_col: str = "spans",
+    text_kinds: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Turn an interleave manifest into the ACTUAL multimodal training
+    sequences: ``(seq_id, elements, n_tokens)`` where ``elements`` is
+    the in-sequence-order array of
+    ``struct(pos, kind, media_ref, ids, n_tokens)`` — token-id slices
+    for text segments, media placeholders (``ids`` NULL, ``n_tokens``
+    positions to reserve) for media blocks.  The loader-side step the
+    manifest exists for, run engine-side.
+
+    ``encoder`` is a Column -> Column function producing ``array<int>``
+    token ids for text spans and MUST agree with the ``token_counter``
+    the manifest was built with (same contract as
+    :func:`readur_spark.operators.packing.materialize_sequences`).
+
+    Plan: encode each span once (Arrow-batched when the encoder is a
+    pandas UDF, no shuffle), join the manifest on the uniform
+    ``(id, span_idx)`` key, slice each span's within-span token range,
+    then ONE ``groupBy(seq_id)`` assembling elements by ``seq_pos`` via
+    ``array_sort`` — order comes from the data, not shuffle arrival.
+    No driver materialization; sequences land distributed."""
+    is_text = F.col("kind").isin(*text_kinds)
+    enc = explode_spans(docs, id_col=id_col, spans_col=spans_col).select(
+        id_col,
+        "span_idx",
+        F.when(
+            is_text, encoder(F.coalesce(F.col("text"), F.lit("")))
+        ).alias("__ids__"),
+    )
+    pieces = manifest.join(enc, [id_col, "span_idx"]).select(
+        "seq_id",
+        F.struct(
+            F.col("seq_pos").cast("long").alias("pos"),
+            F.col("kind"),
+            F.col("media_ref"),
+            F.when(
+                is_text,
+                F.slice(
+                    "__ids__",
+                    (F.col("tok_start") + 1).cast("int"),
+                    (F.col("tok_end") - F.col("tok_start")).cast("int"),
+                ),
+            ).alias("ids"),
+            (F.col("tok_end") - F.col("tok_start"))
+            .cast("int")
+            .alias("n_tokens"),
+        ).alias("el"),
+    )
+    return (
+        pieces.groupBy("seq_id")
+        .agg(F.array_sort(F.collect_list("el")).alias("elements"))
+        .select(
+            "seq_id",
+            "elements",
+            F.aggregate(
+                "elements",
+                F.lit(0).cast("long"),
+                lambda a, el: a + el["n_tokens"],
+            ).alias("n_tokens"),
+        )
+    )

@@ -224,3 +224,92 @@ def filter_by_domain_blocklist(
         F.lower(F.col(domain_col)) == F.col("__blocked"),
         "left_anti",
     )
+
+
+#: anchor elements whose text is a single run of non-markup characters —
+#: same corpus-statistics scope line as HREF_RE (nested markup inside
+#: the anchor is a non-goal for the statistics pass)
+ANCHOR_RE = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>'
+
+
+def extract_anchor_texts(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One row per (document, anchor): the canonical target URL, its
+    domain, and the whitespace-collapsed anchor text — the classic
+    relevance signal (anchor text describes the TARGET document, so
+    aggregating it per target yields training-quality labels the target
+    page itself can't fake).
+
+    Pure Catalyst: TWO ``regexp_extract_all`` passes over the same
+    pattern (Spark extracts one group index per call), zipped
+    positionally — still a single codegen'd scan, no UDF, no shuffle."""
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1).alias(
+                    "href"
+                ),
+                F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2).alias(
+                    "anchor"
+                ),
+            )
+        ).alias("z"),
+    )
+    anchor = F.trim(F.regexp_replace(F.col("z.anchor"), r"\s+", " "))
+    return pairs.select(
+        F.col(id_col),
+        canonical_url_col(F.col("z.href")).alias("target_url"),
+        domain_of(F.col("z.href")).alias("dst_domain"),
+        anchor.alias("anchor_text"),
+    ).filter(F.col("anchor_text") != "")
+
+
+def anchor_text_stats(anchors: DataFrame, top_k: int = 3) -> DataFrame:
+    """Per-target anchor profile: ``(target_url, n_anchors, n_docs,
+    n_unique_texts, top_anchors)`` with ``top_anchors`` the ``top_k``
+    most frequent anchor texts (ties broken lexicographically — 
+    deterministic across runs and engines).
+
+    Two shuffles, both on uniform keys: (target, text) counts, then a
+    per-target window for the top-k cut — rank ≤ k keeps the state
+    bounded per target regardless of in-degree (a mega-hub with 10^7
+    anchors never collects more than k rows past the window)."""
+    from pyspark.sql.window import Window
+
+    counts = anchors.groupBy("target_url", "anchor_text").agg(
+        F.count("*").alias("c"),
+        F.countDistinct(anchors.columns[0]).alias("d"),
+    )
+    w = Window.partitionBy("target_url").orderBy(
+        F.desc("c"), F.asc("anchor_text")
+    )
+    ranked = counts.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("target_url")
+        .agg(
+            F.sum("c").cast("long").alias("n_anchors"),
+            F.sum("d").cast("long").alias("n_doc_anchor_pairs"),
+            F.count("*").cast("long").alias("n_unique_texts"),
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= top_k,
+                        F.struct("rn", F.col("anchor_text").alias("t")),
+                    )
+                )
+            ).alias("__top__"),
+        )
+        .select(
+            "target_url",
+            "n_anchors",
+            "n_doc_anchor_pairs",
+            "n_unique_texts",
+            F.transform(F.col("__top__"), lambda s: s["t"]).alias(
+                "top_anchors"
+            ),
+        )
+    )

@@ -178,3 +178,69 @@ def test_numeric_id_stream_order(spark):
         for r in build_interleaved_sequences(docs, seq_len=100).collect()
     }
     assert man == {1: 0, 2: 2}
+
+
+def _len_encoder(c):
+    # deterministic fake tokenizer: one id per regex token = its length
+    return F.transform(
+        F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0),
+        lambda t: F.length(t),
+    )
+
+
+def test_materialize_roundtrip(spark, docs):
+    """Element streams reassemble exactly: per sequence, elements tile
+    [0, seq_len) in pos order, text ids match the encoder slice replay,
+    media placeholders reserve their manifest block."""
+    from readur_spark.operators.interleave import materialize_interleaved
+
+    L = 256
+    man = build_interleaved_sequences(
+        docs, seq_len=L, media_token_cost=COSTS, text_kinds=TEXT_KINDS
+    ).cache()
+    seqs = {
+        r["seq_id"]: r
+        for r in materialize_interleaved(
+            docs, man, _len_encoder, text_kinds=TEXT_KINDS
+        ).collect()
+    }
+    # replay from the stream definition
+    stream = _stream_rows(spark, docs)
+    span_text = {
+        (r["doc_id"], r["span_idx"]): r["text"]
+        for r in explode_spans(docs).collect()
+    }
+    want_tok = {}
+    gstart = 0
+    for doc_id, span_idx, kind, n in stream:
+        for t in range(n):
+            g = gstart + t
+            seq, pos = g // L, g % L
+            if kind in TEXT_KINDS:
+                toks = TOK.findall(span_text[(doc_id, span_idx)] or "")
+                want_tok.setdefault(seq, {})[pos] = len(toks[t])
+            else:
+                want_tok.setdefault(seq, {})[pos] = ("media", doc_id, span_idx)
+        gstart += n
+    for seq_id, row in seqs.items():
+        got = {}
+        for el in row["elements"]:
+            p = el["pos"]
+            if el["ids"] is not None:
+                for j, tid in enumerate(el["ids"]):
+                    got[p + j] = tid
+            else:
+                for j in range(el["n_tokens"]):
+                    got[p + j] = "M"
+        want = {
+            p: ("M" if isinstance(v, tuple) else v)
+            for p, v in want_tok[seq_id].items()
+        }
+        assert got == want, seq_id
+        assert row["n_tokens"] == len(want)
+        # elements tile contiguously in pos order
+        pos = [(el["pos"], el["n_tokens"]) for el in row["elements"]]
+        assert pos == sorted(pos)
+        for (p1, n1), (p2, _n2) in zip(pos, pos[1:]):
+            assert p1 + n1 == p2
+    man.unpersist()

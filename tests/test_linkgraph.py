@@ -153,3 +153,39 @@ def test_pagerank_plan_stays_bounded_across_iters(spark):
     p2 = pagerank(df, iters=2)._jdf.queryExecution().executedPlan().toString()
     p6 = pagerank(df, iters=6)._jdf.queryExecution().executedPlan().toString()
     assert abs(len(p6) - len(p2)) < 200, (len(p2), len(p6))
+
+
+def test_extract_anchor_texts(spark):
+    from readur_spark.operators.linkgraph import (
+        anchor_text_stats,
+        extract_anchor_texts,
+    )
+
+    rows = [
+        (1, '<a class="x" href="https://E.com/a?utm_source=z">  Click\n here </a>'
+            '<a href="https://e.com/a">click here</a>'
+            '<a href="https://e.com/a"><b>nested skipped</b></a>'
+            '<a href="/rel">rel text</a>'),
+        (2, '<a href="https://e.com/a">Click here</a>'
+            '<a href="https://other.org/b">Other</a>'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    a = extract_anchor_texts(docs)
+    got = sorted(
+        (r["doc_id"], r["target_url"], r["dst_domain"], r["anchor_text"])
+        for r in a.collect()
+    )
+    assert got == [
+        (1, "/rel", "", "rel text"),
+        (1, "https://e.com/a", "e.com", "Click here"),
+        (1, "https://e.com/a", "e.com", "click here"),
+        (2, "https://e.com/a", "e.com", "Click here"),
+        (2, "https://other.org/b", "other.org", "Other"),
+    ]
+    st = {
+        r["target_url"]: r
+        for r in anchor_text_stats(a, top_k=1).collect()
+    }
+    e = st["https://e.com/a"]
+    assert e["n_anchors"] == 3 and e["n_unique_texts"] == 2
+    assert e["top_anchors"] == ["Click here"]  # freq 2 beats 1
