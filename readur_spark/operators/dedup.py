@@ -328,6 +328,7 @@ def minhash_lsh_pairs(
     n: int = 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs, verified with exact Jaccard.
 
@@ -336,6 +337,22 @@ def minhash_lsh_pairs(
     hash — shuffle is on band keys, uniformly distributed by hashing).
     Candidates are then verified against the *exact* shingle Jaccard so the
     output contains no false positives; LSH only bounds recall.
+
+    ``max_bucket_size`` is the mass-duplication guard: a band bucket of
+    ``m`` colliding docs emits ``m·(m-1)/2`` candidate pairs, so a corpus
+    where one page has 10^4 near-copies (the web-crawl reality: mirrors,
+    spam farms, boilerplate) turns a single bucket into 5·10^7
+    verification pairs — quadratic work no cluster size saves you from.
+    With the cap set, buckets over the cap emit STAR pairs instead
+    (bucket-minimum id as hub vs every other member — linear in bucket
+    size); buckets at/below the cap keep exact all-pairs semantics.
+    For the downstream connected-components cluster dedup the collapse
+    is unchanged whenever bucket members genuinely match the hub (the
+    replica case the cap exists for); what star expansion gives up is
+    direct pair edges between two members that both FAIL verification
+    against the hub yet match each other — accepted and documented
+    recall trade on pathological buckets, not silent truncation (the
+    all-pairs default is unchanged).
     """
     assert num_hashes % bands == 0
     rows_per_band = num_hashes // bands
@@ -356,14 +373,46 @@ def minhash_lsh_pairs(
             F.array(*[F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("v")) for b in range(bands)])
         ).alias("bk"),
     ).select("id", F.col("bk.b").alias("band_no"), F.col("bk.v").alias("band_val"))
-    x = stacked.alias("x")
-    y = stacked.alias("y")
-    candidates = (
-        x.join(y, ["band_no", "band_val"])
-        .where(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    ).cache()
+    if max_bucket_size is not None:
+        # one window pass tags every (band, bucket) with its size and
+        # hub (min id); oversized buckets contribute star pairs with NO
+        # join at all — the quadratic self-join only ever sees buckets
+        # the cap admits
+        wb = Window.partitionBy("band_no", "band_val")
+        tagged = (
+            stacked.withColumn("bsz", F.count("*").over(wb))
+            .withColumn("bmin", F.min("id").over(wb))
+            .persist()
+        )
+        small = tagged.filter(F.col("bsz") <= max_bucket_size).select(
+            "id", "band_no", "band_val"
+        )
+        x = small.alias("x")
+        y = small.alias("y")
+        pair_small = (
+            x.join(y, ["band_no", "band_val"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        )
+        pair_star = (
+            tagged.filter(
+                (F.col("bsz") > max_bucket_size) & (F.col("id") != F.col("bmin"))
+            )
+            # hub = bucket min, so id_a < id_b holds by construction
+            .select(F.col("bmin").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        candidates = pair_small.union(pair_star).distinct().cache()
+        candidates.count()  # materialize before releasing the window pass
+        tagged.unpersist()
+    else:
+        x = stacked.alias("x")
+        y = stacked.alias("y")
+        candidates = (
+            x.join(y, ["band_no", "band_val"])
+            .where(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        ).cache()
     # exact verification restricted to candidate DOCUMENTS only: semi-join
     # the corpus down to candidate ids and shingle JUST those (the LSH is
     # selective, so this explodes a few hundred docs instead of the whole

@@ -114,12 +114,15 @@ def curate(
     decontam_min_len: int = 50,
     near_dup_threshold: float = 0.5,
     shingle_n: int = 3,
+    lsh_max_bucket_size: int | None = None,
     chunk_words: int = 128,
     overlap_words: int = 32,
     chunk_tokenizer=None,
     chunk_tokens: int = 512,
     overlap_tokens: int = 0,
     split_fractions: dict[str, float] | None = None,
+    url_col: str | None = None,
+    domain_blocklist=None,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (chunks DataFrame, funnel metrics).
 
@@ -147,7 +150,14 @@ def curate(
     ``chunk_tokens``/``overlap_tokens`` — the trainer-faithful layout,
     since real pipelines size context windows in tokens (chunk text
     decodes exactly and re-encodes to its own token slice);
-    ``split_fractions`` appends a deterministic ``split`` column.
+    ``split_fractions`` appends a deterministic ``split`` column;
+    ``lsh_max_bucket_size`` caps LSH band buckets via star expansion
+    (operators/dedup.minhash_lsh_pairs) — set it when the corpus carries
+    mass duplication (10^2+ near-copies of single pages), where
+    all-pairs candidates grow quadratically per duplicate group;
+    ``url_col`` prepends the crawl-frontier stage — canonical-URL
+    keep-first dedup (functions/urls) and, with ``domain_blocklist``,
+    the UT1-style broadcast host filter — before any text stage runs.
     """
     # Stage boundaries use eager localCheckpoint, not bare persist: the
     # funnel composes a dozen operators, several of which reference their
@@ -165,6 +175,32 @@ def curate(
         out = df.localCheckpoint(eager=True)
         stage_frames.append(out)
         return out
+
+    if url_col is not None:
+        # crawl-frontier discipline FIRST — it is the cheapest stage
+        # (one window shuffle + a broadcast anti-join) and every later
+        # stage then works on the smaller frontier. Requires docs_df to
+        # carry ``url_col``; the blocklist is UT1-style curated hosts.
+        from readur_spark.functions.urls import dedup_by_canonical_url
+        from readur_spark.operators.linkgraph import (
+            domain_of,
+            filter_by_domain_blocklist,
+        )
+
+        urled = docs_df
+        if domain_blocklist is not None:
+            urled = filter_by_domain_blocklist(
+                urled.withColumn("__dom", domain_of(F.col(url_col))),
+                domain_blocklist,
+                domain_col="__dom",
+            ).drop("__dom")
+        urled = _ckpt(
+            dedup_by_canonical_url(urled, url_col=url_col).drop(
+                "canonical_url"
+            )
+        )
+        metrics["after_url_stage"] = urled.count()
+        docs_df = urled
 
     text_df = _ckpt(_to_text(docs_df))
     metrics["input_docs"] = text_df.count()
@@ -235,7 +271,10 @@ def curate(
     metrics["after_exact_dedup"] = exact.count()
 
     pairs = dedup.minhash_lsh_pairs(
-        exact, threshold=near_dup_threshold, n=shingle_n
+        exact,
+        threshold=near_dup_threshold,
+        n=shingle_n,
+        max_bucket_size=lsh_max_bucket_size,
     )
     curated = _ckpt(dedup.dedup_cluster_keep_first(exact, pairs))
     metrics["after_near_dedup"] = curated.count()

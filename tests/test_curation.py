@@ -317,3 +317,37 @@ def test_funnel_token_mode_chunks_decode_exact(spark, docs):
     for doc_id, rs in per_doc.items():
         ns = sorted(r["chunk_no"] for r in rs)
         assert ns == list(range(len(ns))), doc_id  # contiguous chunk_nos
+
+
+def test_curate_url_stage(spark):
+    """Crawl-frontier stage: blocked domains drop first, canonical-URL
+    duplicates collapse keep-first, and only then does the text funnel
+    run — metrics expose the frontier delta."""
+    base = "The quick brown fox jumps over the lazy dog near the river bank. " * 8
+    rows = [
+        # two urls that canonicalize identically (tracking param + port)
+        (1, "https://keep.com:443/p?utm_source=a", base + "one"),
+        (2, "https://KEEP.com/p", base + "one dup"),
+        # a blocked domain
+        (3, "https://spam.bad/x", base + "two"),
+        # distinct survivor (different text, or near-dup would collapse
+        # it with doc 1 downstream)
+        (4, "https://keep.com/q",
+         "Completely different second document content about sailing "
+         "ships and maritime navigation across the winter ocean. " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    chunks, m = curate(
+        docs,
+        require_gopher=False,
+        chunk_words=40,
+        overlap_words=8,
+        url_col="url",
+        domain_blocklist=["SPAM.bad"],
+    )
+    # 4 docs -> blocklist drops doc 3 -> canonical dedup collapses 1&2
+    # (keep-first: doc 1) -> 2 enter the text funnel
+    assert m["after_url_stage"] == 2
+    assert m["input_docs"] == 2
+    ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert ids == {1, 4}

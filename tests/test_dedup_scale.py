@@ -612,3 +612,51 @@ def test_dedup_lines_paragraph_mode(spark):
     assert out["4"]["text"].startswith("repeated disclaimer paragraph\n")
     assert all(out[d]["n_lines_removed"] == 1 for d in ("1", "2", "3"))
     assert out["4"]["n_lines_removed"] == 0
+
+
+def test_minhash_bucket_cap_star_expansion(spark):
+    """Mass-dup guard: with max_bucket_size set, a 60-replica group still
+    collapses to ONE survivor through cluster dedup (every replica
+    verifies against the hub), while candidate pairs stay linear in the
+    group size instead of 60*59/2; small buckets keep exact all-pairs
+    behavior (capped run == uncapped run on a normal corpus)."""
+    base = (
+        "the quick brown fox jumps over the lazy dog while the clever "
+        "raven watches from a pine tree beside the frozen river "
+    ) * 3
+    rows = [(i, base + f"replica marker {i}") for i in range(60)]
+    # plus two unrelated singletons
+    rows += [
+        (100, "completely different content about maritime navigation "
+              "and sailing ships crossing the winter ocean at night " * 3),
+        (101, "a third unrelated document describing mountain trail "
+              "maintenance and alpine weather observation routines " * 3),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.minhash_lsh_pairs(
+        docs, threshold=0.5, max_bucket_size=8
+    ).cache()
+    n_capped = capped.count()
+    # linear: hub-star pairs per band, dedup'd across bands -> 59 pairs,
+    # far below the 1770 all-pairs count
+    assert n_capped <= 8 * 59
+    assert n_capped >= 59
+    survivors = dedup.dedup_cluster_keep_first(docs, capped)
+    ids = sorted(r["doc_id"] for r in survivors.select("doc_id").collect())
+    assert ids == [0, 100, 101]
+    capped.unpersist()
+
+    # no oversized buckets -> capped == uncapped, pair for pair
+    small = spark.createDataFrame(rows[55:], "doc_id long, text string")
+    a = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(small, threshold=0.5).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            small, threshold=0.5, max_bucket_size=8
+        ).collect()
+    )
+    assert a == b

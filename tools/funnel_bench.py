@@ -114,6 +114,13 @@ def main() -> None:
         semantic_clusters=16,
         heldout_df=heldout,
         near_dup_threshold=0.5,
+        # mass-dup guard: REP replicas of every doc collide in the same
+        # LSH buckets, so all-pairs candidates grow O(REP^2) per group —
+        # the REP=100 run generates ~25M verification pairs without the
+        # cap and does not finish in an hour. Star expansion on buckets
+        # beyond 32 keeps the replica collapse exact (every replica
+        # verifies against the hub replica) with linear pair counts.
+        lsh_max_bucket_size=32,
         split_fractions={"train": 0.98, "val": 0.02},
     )
     n_chunks = chunks.count()
