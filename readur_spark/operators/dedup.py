@@ -146,6 +146,48 @@ def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def _jaccard_for_pairs(
+    sh: DataFrame, pairs: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard restricted to an EXPLICIT (id_a, id_b) pair list —
+    the verifier for capped candidate generation. Instead of the
+    postings self-join (which regenerates every co-occurring pair from
+    each shingle's postings list, O(group^2) per shingle on
+    mass-duplicated corpora), explode each pair to its left side's
+    shingles and count matches on the uniform (id_b, shingle) key:
+    linear in pairs × shingles-per-doc. Pairs with zero intersection
+    fall out of the count join — they cannot pass any threshold > 0."""
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    left = pairs.join(sh.withColumnRenamed("id", "id_a"), "id_a")
+    inter = (
+        left.join(
+            sh.select(F.col("id").alias("id_b"), "shingle"),
+            ["id_b", "shingle"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _jaccard_from_shingles(
     sh: DataFrame, threshold: float, sizes: DataFrame | None = None
 ) -> DataFrame:
@@ -427,8 +469,22 @@ def minhash_lsh_pairs(
         F.broadcast(cand_ids.withColumnRenamed("id", id_col)), id_col, "left_semi"
     )
     sh = _shingles(cand_docs, id_col, text_col, n)
-    exact = _jaccard_from_shingles(sh, threshold)
-    result = candidates.join(exact, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    if max_bucket_size is not None:
+        # pair-restricted verification: the postings self-join inside
+        # _jaccard_from_shingles regenerates ALL co-occurring pairs from
+        # each shingle's postings list — O(replicas^2) rows per shingle
+        # on a mass-duplicated corpus, which is exactly the blow-up the
+        # bucket cap removed from candidate generation (measured: the
+        # 500k-doc funnel spends >25 min there after the cap without
+        # this). Instead, explode each CANDIDATE pair to its left-side
+        # shingles and count matches on the (id_b, shingle) join —
+        # linear in pairs x shingles-per-doc.
+        result = _jaccard_for_pairs(sh, candidates, threshold)
+    else:
+        exact = _jaccard_from_shingles(sh, threshold)
+        result = candidates.join(exact, ["id_a", "id_b"]).select(
+            "id_a", "id_b", "jaccard"
+        )
     # eager-materialize the (small) pair list and release the cached
     # intermediates — without this, repeated calls in one session leak
     # storage blocks and pin shuffle files (round-2 judge: 4.75→9.47→13.2 s
