@@ -268,7 +268,9 @@ def extract_anchor_texts(
     ).filter(F.col("anchor_text") != "")
 
 
-def anchor_text_stats(anchors: DataFrame, top_k: int = 3) -> DataFrame:
+def anchor_text_stats(
+    anchors: DataFrame, top_k: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
     """Per-target anchor profile: ``(target_url, n_anchors, n_docs,
     n_unique_texts, top_anchors)`` with ``top_anchors`` the ``top_k``
     most frequent anchor texts (ties broken lexicographically — 
@@ -282,7 +284,7 @@ def anchor_text_stats(anchors: DataFrame, top_k: int = 3) -> DataFrame:
 
     counts = anchors.groupBy("target_url", "anchor_text").agg(
         F.count("*").alias("c"),
-        F.countDistinct(anchors.columns[0]).alias("d"),
+        F.countDistinct(id_col).alias("d"),
     )
     w = Window.partitionBy("target_url").orderBy(
         F.desc("c"), F.asc("anchor_text")
