@@ -804,6 +804,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_blocklist_filter"] = _q_domain_blocklist
 
+    def _q_domain_degrees(s, sf):
+        # degree profile over the SAME deterministic host graph as
+        # domain_pagerank — out/in/reciprocal degree, with the
+        # reciprocal count exercising the edge-reversal semi-join
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            domain_degree_stats,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        return domain_degree_stats(build_domain_graph(raw))
+
+    q["domain_degrees"] = _q_domain_degrees
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1439,6 +1461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_domains",  # href extract + canonicalize + attribute
         "domain_pagerank",  # power iteration vs chained-CTE replay
         "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
+        "domain_degrees",  # degree profile + reciprocal semi-join
         "interleave_pack",  # multimodal span-stream prefix scan
         "interleave_fill_stats",  # per-sequence multimodal fill report
         "interleave_materialize",  # element sequences, md5 content check
@@ -1446,14 +1469,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
-        "pack_sequences_bpe",  # encode path shares the tokenizer
         "chunk_pack_roundtrip",  # widened composite key + guard
         "quality_classifier_scores",  # duplicate-id guard
         "semdedup",  # empty-input short-circuit
         # --- past the 50-query window cut (driver caps 50/round):
-        # pack_materialize_bpe's changed code path (the heap trainer) is
-        # already re-checked by the two BPE rows above; its assembly leg
-        # is r5-green on unchanged code
+        # the two rows below changed only via the heap trainer / encode
+        # UDF, both re-checked by bpe_token_counts above; their packing
+        # and assembly legs are r5-green on unchanged code (the word-
+        # count prefix scan itself is re-checked by pack_sequences in
+        # the stale-34 block)
+        "pack_sequences_bpe",
         "pack_materialize_bpe",
         # --- carried high-value rows
         "extract_binary_roundtrip",
@@ -2354,6 +2379,36 @@ def oracle_sql() -> dict[str, str]:
         damping=0.85,
         iters=5,
     )
+
+    # domain_degrees: same edge construction, degrees in SQL; the
+    # reciprocal count is an EXISTS against the reversed edge set
+    o["domain_degrees"] = """
+        WITH edges AS (
+          SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+          FROM documents
+          WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)
+        ),
+        nodes AS (SELECT src AS domain FROM edges
+                  UNION SELECT dst FROM edges),
+        outd AS (SELECT src AS domain, count(*) AS c FROM edges GROUP BY src),
+        ind AS (SELECT dst AS domain, count(*) AS c FROM edges GROUP BY dst),
+        recip AS (
+          SELECT e.src AS domain, count(*) AS c FROM edges e
+          WHERE EXISTS (SELECT 1 FROM edges r
+                        WHERE r.src = e.dst AND r.dst = e.src)
+          GROUP BY e.src
+        )
+        SELECT n.domain,
+               CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+               CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+               CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal_degree
+        FROM nodes n
+        LEFT JOIN outd o ON n.domain = o.domain
+        LEFT JOIN ind i ON n.domain = i.domain
+        LEFT JOIN recip r ON n.domain = r.domain
+    """
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
     # lowercased domain

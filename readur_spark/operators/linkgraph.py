@@ -315,3 +315,42 @@ def anchor_text_stats(
             ),
         )
     )
+
+
+def domain_degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-domain degree profile over a distinct (src, dst) edge table:
+    ``(domain, out_degree, in_degree, reciprocal_degree)`` —
+    ``reciprocal_degree`` counting neighbors linked in BOTH directions
+    (the mutual-link signal link farms inflate; Common Crawl's host
+    ranks publish exactly this family of columns).
+
+    Scale shape: two groupBy passes on uniform domain keys plus one
+    self-join of the edge table against its own reversal for the
+    reciprocal count — all shuffles on the same key family, no
+    broadcast needed, no driver materialization."""
+    out_d = edges.groupBy(F.col("src").alias("domain")).agg(
+        F.count("*").alias("out_degree")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("domain")).agg(
+        F.count("*").alias("in_degree")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .groupBy(F.col("src").alias("domain"))
+        .agg(F.count("*").alias("reciprocal_degree"))
+    )
+    return (
+        out_d.join(in_d, "domain", "full")
+        .join(recip, "domain", "left")
+        .select(
+            "domain",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("reciprocal_degree", F.lit(0)).alias(
+                "reciprocal_degree"
+            ),
+        )
+    )

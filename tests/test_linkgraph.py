@@ -189,3 +189,23 @@ def test_extract_anchor_texts(spark):
     e = st["https://e.com/a"]
     assert e["n_anchors"] == 3 and e["n_unique_texts"] == 2
     assert e["top_anchors"] == ["Click here"]  # freq 2 beats 1
+
+
+def test_domain_degree_stats(spark):
+    from readur_spark.operators.linkgraph import domain_degree_stats
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("a", "c"), ("d", "a")],
+        "src string, dst string",
+    )
+    got = {
+        r["domain"]: (r["out_degree"], r["in_degree"], r["reciprocal_degree"])
+        for r in domain_degree_stats(edges).collect()
+    }
+    # a: out {b,c}, in {b,d}, reciprocal {b}; c: sink; d: source
+    assert got == {
+        "a": (2, 2, 1),
+        "b": (1, 1, 1),
+        "c": (0, 1, 0),
+        "d": (1, 0, 0),
+    }
