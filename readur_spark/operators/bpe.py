@@ -123,6 +123,12 @@ def train_bpe_spark_loop(
     fixtures engineered to hit the overlap/tie edges.
 
     Stops early when the best pair count drops below 2."""
+    if batch_merges < 1:
+        raise ValueError(f"batch_merges must be >= 1, got {batch_merges}")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1, got {checkpoint_every}"
+        )
     from pyspark.sql.types import ArrayType, IntegerType
 
     words = word_table.select(

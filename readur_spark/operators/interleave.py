@@ -39,11 +39,9 @@ anywhere (asserted in tests/test_plan_quality.py).
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from readur_spark.functions.textstats import token_count_col
 
@@ -140,49 +138,21 @@ def build_interleaved_sequences(
         # Arrow-UDF counters (BPE) tokenize once into a slim persisted
         # projection; released via the eager-checkpoint pattern below.
         base = base.persist()
-    if num_buckets is None:
-        num_buckets = spark.sparkContext.defaultParallelism
-    mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
+    # the shared bucketed prefix scan (packing.bucketed_stream_offsets):
+    # bucketing on the DOC key alone keeps a document's spans in one
+    # bucket; the within-bucket order extends to (key, id, span_idx)
+    from readur_spark.operators.packing import bucketed_stream_offsets
+
+    offs = bucketed_stream_offsets(base, ("id", "span_idx"), num_buckets)
     empty_schema = (
         f"seq_id long, {id_col} {id_type}, span_idx int, kind string, "
         "media_ref string, tok_start long, tok_end long, n_tokens long, "
         "seq_pos long, straddles boolean"
     )
-    if mm["lo"] is None:
+    if offs is None:
         if custom_counter:
             base.unpersist()
         return spark.createDataFrame([], empty_schema)
-    lo, hi = int(mm["lo"]), int(mm["hi"])
-    step = max(1, math.ceil((hi - lo + 1) / num_buckets))
-    if hi - lo < 2**53:
-        pid = ((F.col("key") - F.lit(lo)) / F.lit(step)).cast("int")
-    else:
-        # xxhash64 keys span ~2^64: divide in double; floor stays
-        # monotone in key, which is all prefix correctness needs.
-        pid = F.floor(
-            (F.col("key").cast("double") - F.lit(float(lo))) / F.lit(float(step))
-        ).cast("int")
-    bucketed = base.withColumn("pid", pid)
-    sums = {
-        r["pid"]: r["s"]
-        for r in bucketed.groupBy("pid").agg(F.sum("n").alias("s")).collect()
-    }
-    bases = []
-    acc = 0
-    for p in sorted(sums):
-        bases.append((int(p), int(acc)))
-        acc += int(sums[p])
-    base_df = F.broadcast(spark.createDataFrame(bases, "pid int, base long"))
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("key", "id", "span_idx")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offs = (
-        bucketed.join(base_df, "pid")
-        .withColumn("local_end", F.sum("n").over(w))
-        .withColumn("gstart", F.col("base") + F.col("local_end") - F.col("n"))
-    )
     first_seq = F.floor(F.col("gstart") / seq_len)
     last_seq = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)
     exploded = offs.select(

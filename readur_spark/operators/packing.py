@@ -39,6 +39,64 @@ from pyspark.sql.window import Window
 from readur_spark.functions.textstats import token_count_col
 
 
+def bucketed_stream_offsets(
+    base: DataFrame,
+    order_cols: tuple[str, ...] = ("id",),
+    num_buckets: int | None = None,
+) -> DataFrame | None:
+    """The shared two-phase distributed prefix scan (pack_sequences,
+    interleave.build_interleaved_sequences): given a frame with a
+    NUMERIC ``key`` column and a positive ``n`` weight column, append
+    ``gstart`` = the global running-sum offset of each row in ascending
+    ``(key, *order_cols)`` order — without any Exchange SinglePartition.
+
+    Phases: bucket rows into contiguous key ranges with a pure function
+    of the key (re-run-stable, unlike spark_partition_id over
+    repartitionByRange); collect ONE row per bucket of weight sums;
+    prefix-sum on the driver; broadcast the bases; window PARTITIONED by
+    bucket for the exact local running sum. Keys spanning ≥2^53 bucket
+    in double precision — floor((key-lo)/step) stays MONOTONE in key
+    under rounding, which is all cross-bucket prefix correctness needs.
+
+    Returns None when ``base`` is empty (callers return their own empty
+    schema). Any extra columns on ``base`` ride along untouched."""
+    spark = base.sparkSession
+    if num_buckets is None:
+        num_buckets = spark.sparkContext.defaultParallelism
+    mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
+    if mm["lo"] is None:
+        return None
+    lo, hi = int(mm["lo"]), int(mm["hi"])
+    step = max(1, math.ceil((hi - lo + 1) / num_buckets))
+    if hi - lo < 2**53:
+        pid = ((F.col("key") - F.lit(lo)) / F.lit(step)).cast("int")
+    else:
+        pid = F.floor(
+            (F.col("key").cast("double") - F.lit(float(lo))) / F.lit(float(step))
+        ).cast("int")
+    bucketed = base.withColumn("pid", pid)
+    sums = {
+        r["pid"]: r["s"]
+        for r in bucketed.groupBy("pid").agg(F.sum("n").alias("s")).collect()
+    }
+    bases = []
+    acc = 0
+    for p in sorted(sums):
+        bases.append((int(p), int(acc)))
+        acc += int(sums[p])
+    base_df = F.broadcast(spark.createDataFrame(bases, "pid int, base long"))
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("key", *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        bucketed.join(base_df, "pid")
+        .withColumn("local_end", F.sum("n").over(w))
+        .withColumn("gstart", F.col("base") + F.col("local_end") - F.col("n"))
+    )
+
+
 def pack_sequences(
     docs: DataFrame,
     seq_len: int = 2048,
@@ -93,10 +151,11 @@ def pack_sequences(
         # the manifest, which is itself slim (5 longs per doc-seq
         # overlap, smaller than the text it indexes).
         base = base.persist()
-    if num_buckets is None:
-        num_buckets = spark.sparkContext.defaultParallelism
-    mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
-    if mm["lo"] is None:
+    # phases 1-3: the shared bucketed prefix scan (one collect per
+    # bucket, broadcast bases, per-bucket window — no Exchange
+    # SinglePartition anywhere in this plan)
+    offs = bucketed_stream_offsets(base, ("id",), num_buckets)
+    if offs is None:
         if custom_counter:
             base.unpersist()
         return spark.createDataFrame(
@@ -104,44 +163,6 @@ def pack_sequences(
             f"seq_id long, {id_col} {id_type}, tok_start long, tok_end long, "
             "n_tokens long",
         )
-    lo, hi = int(mm["lo"]), int(mm["hi"])
-    step = max(1, math.ceil((hi - lo + 1) / num_buckets))
-    if hi - lo < 2**53:
-        # exact integer bucketing (dense numeric ids — the common case)
-        pid = ((F.col("key") - F.lit(lo)) / F.lit(step)).cast("int")
-    else:
-        # xxhash64 keys span ~2^64: subtract in double to avoid int64
-        # overflow. floor((key-lo)/step) stays MONOTONE in key under
-        # rounding, which is all cross-bucket prefix correctness needs.
-        pid = F.floor(
-            (F.col("key").cast("double") - F.lit(float(lo))) / F.lit(float(step))
-        ).cast("int")
-    bucketed = base.withColumn("pid", pid)
-    # phases 1+2: per-bucket totals → driver prefix sum → broadcast bases.
-    # The collect is one row PER BUCKET, not per document.
-    sums = {
-        r["pid"]: r["s"]
-        for r in bucketed.groupBy("pid").agg(F.sum("n").alias("s")).collect()
-    }
-    bases = []
-    acc = 0
-    for pid in sorted(sums):
-        bases.append((int(pid), int(acc)))
-        acc += int(sums[pid])
-    base_df = F.broadcast(spark.createDataFrame(bases, "pid int, base long"))
-    # phase 3: exact global start = bucket base + local running sum. The
-    # window partitions by pid, so it parallelizes across buckets — no
-    # Exchange SinglePartition anywhere in this plan.
-    w = (
-        Window.partitionBy("pid")
-        .orderBy("key", "id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    offs = (
-        bucketed.join(base_df, "pid")
-        .withColumn("local_end", F.sum("n").over(w))
-        .withColumn("gstart", F.col("base") + F.col("local_end") - F.col("n"))
-    )
     # phase 4: explode boundary crossings
     first_seq = F.floor(F.col("gstart") / seq_len)
     last_seq = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)

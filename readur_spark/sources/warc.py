@@ -41,19 +41,28 @@ WARC_SCHEMA = (
 # which keeps memory O(member) and recovers the intact prefix precisely.
 _WHOLE_DECOMPRESS_LIMIT = 64 << 20
 
+#: inflation caps — gzip's worst-case expansion is ~1032:1, so an input
+#: cap alone admits multi-GB allocations from a 64 MB bomb. The fast
+#: path's probe is bounded by max_length; the member loop counts total
+#: output and ends iteration at the cap (the keep-the-prefix contract —
+#: no partial member is ever emitted).
+_WHOLE_INFLATED_LIMIT = 1 << 30
+_MEMBER_INFLATED_LIMIT = 512 << 20
+
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
     """Decompress a concatenation of gzip members (the per-record layout
     of .warc.gz) — or yield the input unchanged when it isn't gzip.
 
-    FAST PATH: ``gzip.decompress`` inflates the whole multi-member
-    concatenation in one C call. Per-member Python decompressors cost a
-    state allocation plus an ``unused_data`` tail copy PER MEMBER —
-    measured 10× slower than the parquet scan on a 100k-record crawl
-    (500-byte members: each member's decompress sliced back the whole
-    remaining feed chunk). The fast path is all-or-nothing, so it is
-    attempted only when the buffer is small enough to hold decompressed
-    (≤64 MB compressed) and any error falls through to the loop below.
+    FAST PATH: one OUTPUT-BOUNDED ``decompressobj`` probe
+    (``max_length = _WHOLE_INFLATED_LIMIT + 1``) inflates a whole
+    single-member file in one C call — the plain-gzipped-WARC shape.
+    An earlier revision used bare ``gzip.decompress`` (covering
+    multi-member files too) but that bounds only the INPUT: gzip
+    expands up to ~1032:1, so a compressible 64 MB buffer could
+    allocate gigabytes in a single call (review finding). Multi-member
+    per-record files now always take the loop below, whose adaptive
+    feed keeps per-member overhead bounded.
 
     RECOVERY/LARGE PATH: member-by-member zlib with an adaptive feed
     (16 KiB doubling to 1 MiB, reset per member) so the ``unused_data``
@@ -66,28 +75,54 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         yield data
         return
     if len(data) <= _WHOLE_DECOMPRESS_LIMIT:
+        # bounded single-call probe: max_length caps the OUTPUT (the
+        # former bare gzip.decompress bounded only the input, letting a
+        # highly-compressible 64 MB buffer allocate gigabytes in one
+        # call). If the whole file is one gzip member inside the cap,
+        # we are done at C speed; multi-member (per-record .warc.gz)
+        # and over-cap cases fall to the capped member loop below.
         try:
-            yield gzip.decompress(data)
-            return
-        except (OSError, EOFError, zlib.error):
+            d = zlib.decompressobj(wbits=31)
+            probe = d.decompress(data, _WHOLE_INFLATED_LIMIT + 1)
+            if (
+                len(probe) <= _WHOLE_INFLATED_LIMIT
+                and d.eof
+                and not d.unused_data
+                and not d.unconsumed_tail
+            ):
+                yield probe
+                return
+        except zlib.error:
             pass  # corrupt/truncated somewhere: recover the prefix below
     mv = memoryview(data)
     n = len(data)
     pos = 0
+    total = 0
     while pos < n and data[pos : pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         out = []
+        member_total = 0
         chunk = 1 << 14
         try:
             while pos < n and not d.eof:
                 fed = mv[pos : pos + chunk]
-                out.append(d.decompress(fed))
+                piece = d.decompress(fed)
+                out.append(piece)
+                member_total += len(piece)
+                if (
+                    member_total > _MEMBER_INFLATED_LIMIT
+                    or total + member_total > _WHOLE_INFLATED_LIMIT
+                ):
+                    # inflation bomb: stop the file here, keep the
+                    # already-yielded prefix (no partial member emitted)
+                    return
                 pos += len(fed)
                 chunk = min(chunk << 1, 1 << 20)
         except zlib.error:
             return  # corrupt member: end this file's iteration, keep prefix
         if not d.eof:
             return  # truncated final member: drop it, keep the prefix
+        total += member_total
         yield b"".join(out)
         # the last chunk fed may overrun the member's end; unused_data is
         # at most one chunk here — rewind to the next member's start.
@@ -143,9 +178,40 @@ def parse_warc(data: bytes) -> Iterator[dict]:
                 continue
             body_start = head_end + 4
             if body_start + length > n:
-                break  # payload truncated mid-record: drop it, keep the prefix
-            block = member[body_start : body_start + length]
-            pos = body_start + length
+                # payload extends beyond the buffer: a truncated tail —
+                # or a Content-Length overstated past EOF. Drop this
+                # record but RESYNC instead of breaking: on a real
+                # truncation the scan finds nothing and ends identically,
+                # while an overstated length no longer takes the rest of
+                # the file down with it.
+                pos = resync(body_start)
+                continue
+            # boundary validation: a record ends with CRLFs and either
+            # EOF or the next "WARC/" header. When that does not hold,
+            # the Content-Length is mis-stated (an OVERSTATED one
+            # swallows the following records' bytes into this payload)
+            # or garbage follows a valid record — locally
+            # indistinguishable. Either way, continue from
+            # resync(body_start) rather than end-of-claimed-payload, so
+            # records a bad length would have swallowed are RECOVERED
+            # (in the per-member gzip layout the member boundary caught
+            # this implicitly; in a plain multi-record buffer nothing
+            # did — review finding). The record itself is still
+            # yielded: a valid-record-then-garbage drop would lose good
+            # data, and a truly corrupt payload is the downstream
+            # quality funnel's bread and butter. (Scope line: a payload
+            # legitimately CONTAINING "\r\nWARC/" — warc-in-warc — can
+            # resync early; corpus-statistics scope, same family as the
+            # HREF_RE note in operators/linkgraph.)
+            end = body_start + length
+            q = end
+            while member[q : q + 2] == b"\r\n":
+                q += 2
+            if q < n and member[q : q + 5] != b"WARC/":
+                pos = resync(body_start)
+            else:
+                pos = end
+            block = member[body_start:end]
             payload = block
             http_ct = None
             if hdrs.get("warc-type") == "response" and block.startswith(b"HTTP/"):

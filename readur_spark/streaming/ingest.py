@@ -83,20 +83,34 @@ def ingest_with_history_dedup(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         texts = _text_of(extract_spans(batch_df))
         sess = batch_df.sparkSession
-        # Only the legitimately-missing case (first batch: the history
-        # table was never written) may fall back to empty history. Any
-        # other read failure — transient FS error, corrupt footer,
-        # permissions — MUST propagate so the batch retries: swallowing
-        # it would silently disable dedup-against-committed and commit
-        # duplicates, breaking the module's exactly-once contract.
+        # Only the legitimately-empty cases may fall back to empty
+        # history: (a) the history table was never written (first
+        # batch), or (b) the directory exists but holds no readable
+        # parquet — a crash during the first batch's history write
+        # leaves batch_id=0/_temporary with zero part-files, and the
+        # replayed batch must RECOVER, not wedge on 'unable to infer
+        # schema' forever (that batch's filter empties the frame
+        # anyway). Both surface as AnalysisException at read-plan time.
+        # Anything else — transient FS error at action time, corrupt
+        # footer, permissions — propagates so the batch retries:
+        # swallowing it would silently disable dedup-against-committed
+        # and commit duplicates, breaking the exactly-once contract.
+        from pyspark.errors import AnalysisException
+
         jvm = sess._jvm
         hpath = jvm.org.apache.hadoop.fs.Path(history_dir)
         fs = hpath.getFileSystem(sess._jsc.hadoopConfiguration())
+        history = None
         if fs.exists(hpath):
-            history = sess.read.parquet(history_dir).filter(
-                F.col("batch_id") < batch_id
-            )
-        else:  # first batch: no history yet
+            try:
+                history = sess.read.parquet(history_dir).filter(
+                    F.col("batch_id") < batch_id
+                )
+            except AnalysisException:
+                # exists-but-no-readable-parquet: schema inference has
+                # nothing to read — same recovery as missing
+                history = None
+        if history is None:
             history = sess.createDataFrame([], "fingerprint string")
         fresh = dedup_against_history(texts, history).persist()
         try:

@@ -326,3 +326,78 @@ def test_warc_rebuild_from_parsed_records():
     second = list(parse_warc(rebuilt))
     assert [r["target_uri"] for r in second] == [r["target_uri"] for r in first]
     assert [r["payload"] for r in second] == [r["payload"] for r in first]
+
+
+def test_warc_overstated_length_recovers_swallowed_records():
+    """A record whose Content-Length overruns into the next records:
+    the following records are recovered via the boundary resync instead
+    of being silently swallowed into the bad record's payload."""
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    def one(uri):
+        return build_warc(
+            [{"warc_type": "resource", "target_uri": uri,
+              "payload": b"body of " + uri.encode()}],
+            gzip_per_record=False,
+        )
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://e.com/bad\r\n"
+        b"Content-Length: 500\r\n\r\n"  # claims 500, actual payload ~10
+        b"short body\r\n\r\n"
+    )
+    data = bad + one("https://e.com/2") + one("https://e.com/3")
+    uris = [r["target_uri"] for r in parse_warc(data)]
+    # /2 and /3 MUST both survive; the bad record may appear (with its
+    # overrun payload) but must not eat its successors
+    assert uris[-2:] == ["https://e.com/2", "https://e.com/3"]
+
+
+def test_warc_understated_length_keeps_following_record():
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    good = build_warc(
+        [{"warc_type": "resource", "target_uri": "https://e.com/ok",
+          "payload": b"fine"}],
+        gzip_per_record=False,
+    )
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://e.com/short\r\n"
+        b"Content-Length: 4\r\n\r\n"  # actual payload is longer
+        b"0123456789-the-real-payload-kept-going\r\n\r\n"
+    )
+    uris = [r["target_uri"] for r in parse_warc(bad + good)]
+    assert uris[-1] == "https://e.com/ok"
+
+
+def test_warc_gzip_bomb_capped(monkeypatch):
+    """Inflation caps: a tiny compressed buffer expanding past the
+    member cap ends iteration (keep-the-prefix) instead of allocating
+    the full expansion."""
+    import gzip as _gzip
+
+    from readur_spark.sources import warc as warc_mod
+
+    ok = _gzip.compress(b"fine member")
+    bomb = _gzip.compress(b"\x00" * (4 << 20))  # 4 MB of zeros, ~4 KB gz
+    monkeypatch.setattr(warc_mod, "_MEMBER_INFLATED_LIMIT", 1 << 20)
+    monkeypatch.setattr(warc_mod, "_WHOLE_INFLATED_LIMIT", 2 << 20)
+    got = list(warc_mod._gzip_members(ok + bomb))
+    assert got == [b"fine member"]  # prefix kept, bomb never emitted
+    # single-member fast-path probe is also capped
+    got2 = list(warc_mod._gzip_members(bomb))
+    assert got2 == []
+
+
+def test_bpe_spark_loop_rejects_bad_batch_size(spark):
+    import pytest as _pytest
+
+    from readur_spark.operators.bpe import train_bpe_spark_loop
+
+    words = spark.createDataFrame(
+        [(b"abab", 3)], "word binary, count long"
+    )
+    with _pytest.raises(ValueError, match="batch_merges"):
+        train_bpe_spark_loop(words, num_merges=4, batch_merges=0)

@@ -104,3 +104,18 @@ def test_history_read_failure_propagates_not_swallowed(spark, dirs):
     q = ingest_with_history_dedup(spark, in_dir, corpus, history, ckpt)
     with pytest.raises(StreamingQueryException):
         q.awaitTermination(180)
+
+
+def test_empty_history_dir_recovers_instead_of_wedging(spark, dirs):
+    """A crash during the first batch's history write can leave the
+    history directory existing but holding no readable parquet; the
+    replayed batch must fall back to empty history and make progress,
+    not fail on 'unable to infer schema' forever (review finding)."""
+    import os
+
+    in_dir, corpus, history, _ = dirs
+    os.makedirs(f"{history}/batch_id=0/_temporary", exist_ok=True)
+    _drop(spark, in_dir, generate_docs(8, seed=9))
+    _run(spark, dirs)
+    assert spark.read.parquet(corpus).count() > 0
+    assert spark.read.parquet(history).count() > 0
