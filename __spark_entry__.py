@@ -826,6 +826,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_degrees"] = _q_domain_degrees
 
+    def _q_rank_filter_docs(s, sf):
+        # the link-graph family composed end-to-end the way a curation
+        # pipeline uses it: build the host graph, rank it, attribute
+        # each document to its domain, keep docs whose domain ranks
+        # ABOVE UNIFORM (1/N) — the drop-link-farm-islands policy. The
+        # rank join is a broadcast (domain table is small by
+        # definition); at 10^8 domains it becomes a shuffle join on the
+        # uniform domain key — either way no new scale surface beyond
+        # pagerank itself.
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            pagerank,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        pr = pagerank(build_domain_graph(raw), damping=0.85, iters=5)
+        n = pr.count()  # one scalar — same driver discipline as pagerank
+        docs2 = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("domain"),
+        )
+        return (
+            docs2.join(
+                F.broadcast(pr), docs2["domain"] == pr["node"]
+            )
+            .filter(F.col("rank") > 1.0 / n)
+            .select("doc_id", "domain", "rank")
+        )
+
+    q["rank_filter_docs"] = _q_rank_filter_docs
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1462,6 +1503,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_pagerank",  # power iteration vs chained-CTE replay
         "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
         "domain_degrees",  # degree profile + reciprocal semi-join
+        "rank_filter_docs",  # graph family composed: rank-join filter
         "interleave_pack",  # multimodal span-stream prefix scan
         "interleave_fill_stats",  # per-sequence multimodal fill report
         "interleave_materialize",  # element sequences, md5 content check
@@ -1471,13 +1513,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
         "chunk_pack_roundtrip",  # widened composite key + guard
         "quality_classifier_scores",  # duplicate-id guard
-        "semdedup",  # empty-input short-circuit
-        # --- past the 50-query window cut (driver caps 50/round):
-        # the two rows below changed only via the heap trainer / encode
-        # UDF, both re-checked by bpe_token_counts above; their packing
-        # and assembly legs are r5-green on unchanged code (the word-
-        # count prefix scan itself is re-checked by pack_sequences in
-        # the stale-34 block)
+        # --- past the 50-query window cut (driver caps 50/round), each
+        # with the reason its r6 change cannot affect its gate result:
+        # semdedup's change is an empty-INPUT short-circuit (the sf0.01
+        # gate input is non-empty; the guard is unit-tested); the two
+        # BPE rows changed only via the heap trainer / encode UDF, both
+        # re-checked by bpe_token_counts above, their packing/assembly
+        # legs r5-green on unchanged code (the word-count prefix scan
+        # itself is re-checked by pack_sequences in the stale-34 block)
+        "semdedup",
         "pack_sequences_bpe",
         "pack_materialize_bpe",
         # --- carried high-value rows
@@ -2408,6 +2452,29 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN outd o ON n.domain = o.domain
         LEFT JOIN ind i ON n.domain = i.domain
         LEFT JOIN recip r ON n.domain = r.domain
+    """
+
+    # rank_filter_docs: the pagerank replay wrapped as a CTE, joined to
+    # the doc->domain attribution, above-uniform filter
+    _pr_cte = _pagerank_sql(
+        """SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                  'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+           FROM documents
+           WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                 <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)""",
+        damping=0.85,
+        iters=5,
+    )
+    o["rank_filter_docs"] = f"""
+        WITH pr AS ({_pr_cte}),
+        docs2 AS (
+          SELECT doc_id,
+                 'd' || CAST(doc_id % 53 AS VARCHAR) AS domain
+          FROM documents
+        )
+        SELECT d.doc_id, d.domain, p.rank
+        FROM docs2 d JOIN pr p ON d.domain = p.node
+        WHERE p.rank > 1.0 / (SELECT count(*) FROM pr)
     """
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
