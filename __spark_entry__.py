@@ -3171,6 +3171,7 @@ def oracle_sql() -> dict[str, str]:
                 return _c
 
             _pos = _cn = 0
+            _prev_end = 0
             while True:
                 _end = (
                     _nn
@@ -3180,6 +3181,13 @@ def oracle_sql() -> dict[str, str]:
                         or _char_fwd(_pos + 129)
                     )
                 )
+                if _end <= _prev_end and _nn - _pos > 128:
+                    # strict-subset window (overlap snap stalled before
+                    # a mega pre-token): skip, jump to the frontier —
+                    # mirrors the kernel's strictly-advancing-end rule
+                    _pos = _prev_end
+                    continue
+                _prev_end = _end
                 _w = _ids[_pos:_end]
                 _text = b"".join(_vocab[i] for i in _w).decode(
                     "utf-8", "replace"

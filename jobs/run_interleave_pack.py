@@ -130,14 +130,23 @@ def main() -> None:
         F.count("*").alias("n_seqs"),
         F.sum("n_text_tokens").alias("text_tokens"),
         F.sum("n_media_tokens").alias("media_tokens"),
-        F.sum("n_media").alias("n_media"),
-        F.sum("n_cut_media").alias("n_cut_media"),
     ).collect()[0]
     report["n_sequences"] = int(st["n_seqs"] or 0)
     report["text_tokens"] = int(st["text_tokens"] or 0)
     report["media_tokens"] = int(st["media_tokens"] or 0)
-    report["n_media"] = int(st["n_media"] or 0)
-    report["n_cut_media"] = int(st["n_cut_media"] or 0)
+    # media counts at BLOCK granularity from the manifest: summing the
+    # per-sequence stats would count a boundary-straddling block once
+    # per sequence it touches (review finding), overstating the
+    # drop-cut-media accounting
+    is_media = ~F.col("kind").isin(*text_kinds)
+    blocks = manifest.filter(is_media).groupBy(
+        args.id_col, "span_idx"
+    ).agg(F.max(F.col("straddles").cast("int")).alias("cut"))
+    bl = blocks.agg(
+        F.count("*").alias("n_media"), F.sum("cut").alias("n_cut")
+    ).collect()[0]
+    report["n_media"] = int(bl["n_media"] or 0)
+    report["n_cut_media"] = int(bl["n_cut"] or 0)
 
     mat_manifest = manifest
     if args.drop_cut_media:

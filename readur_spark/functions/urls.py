@@ -93,9 +93,19 @@ def dedup_by_canonical_url(
     from pyspark.sql import Window
 
     canon = docs.withColumn(canonical_col, canonical_url_col(F.col(url_col)))
+    # docs WITHOUT a usable URL (NULL or canonicalizing to '') must all
+    # survive: 'unknown URL' is not 'same page', and a single window
+    # partition for the NULL key would otherwise silently discard every
+    # such doc but one (review finding). They bypass the dedup window
+    # entirely — which also removes the one potentially-skewed partition
+    # (missing-metadata rows are the only non-unique key at crawl scale).
+    no_url = F.col(canonical_col).isNull() | (F.col(canonical_col) == "")
+    keep = canon.filter(no_url)
     w = Window.partitionBy(canonical_col).orderBy(id_col)
-    return (
-        canon.withColumn("__rn", F.row_number().over(w))
+    deduped = (
+        canon.filter(~no_url)
+        .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+    return deduped.unionByName(keep)

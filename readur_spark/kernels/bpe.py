@@ -328,6 +328,7 @@ def token_windows(
 
     out: list[tuple[int, int]] = []
     pos = 0
+    prev_end = 0
     while True:
         if n - pos <= chunk_tokens:
             out.append((pos, n))
@@ -335,7 +336,17 @@ def token_windows(
         end = snap_back(pos, pos + chunk_tokens) or char_fwd(
             pos + chunk_tokens + 1
         )
+        if end <= prev_end:
+            # the overlap snap stalled inside the previous window (a
+            # mega pre-token right after the overlap region): a window
+            # here would be a STRICT SUBSET of the previous one — pure
+            # duplicated training data (review finding). Jump to the
+            # covered frontier; the next end is then strictly past it
+            # (snap_back returns a cut > pos, char_fwd goes forward).
+            pos = prev_end
+            continue
         out.append((pos, end))
+        prev_end = end
         if end >= n:
             return out
         pos = snap_fwd(max(end - overlap_tokens, pos + 1), end) or end

@@ -157,6 +157,16 @@ def pagerank(
         .persist()
     )
     edeg.count()  # materialize before the loop
+    # the DANGLING NODE SET is loop-invariant: materialize it once.
+    # Re-deriving it per iteration (ranks anti-join outdeg) re-executed
+    # the whole upstream edge plan — corpus-scale extraction work ×
+    # iters when edges is a lazy view over extract_outlinks (review
+    # finding); only the rank MASS on these nodes changes per step.
+    danglers = nodes.join(
+        edeg.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
+    ).localCheckpoint(eager=True)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
         eager=True
@@ -165,7 +175,7 @@ def pagerank(
     for _ in range(iters):
         # rank mass parked on dangling nodes (no outgoing edges)
         dangling = (
-            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left_anti")
+            ranks.join(danglers, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
             .first()[0]
         )
@@ -196,6 +206,7 @@ def pagerank(
         ranks = new_ranks.localCheckpoint(eager=True)
         _release_checkpoint(old)
     edeg.unpersist()
+    _release_checkpoint(danglers)
     _release_checkpoint(nodes)
     return ranks
 

@@ -43,6 +43,9 @@ def bucketed_stream_offsets(
     base: DataFrame,
     order_cols: tuple[str, ...] = ("id",),
     num_buckets: int | None = None,
+    key_col: str = "key",
+    n_col: str = "n",
+    out_col: str = "gstart",
 ) -> DataFrame | None:
     """The shared two-phase distributed prefix scan (pack_sequences,
     interleave.build_interleaved_sequences): given a frame with a
@@ -59,41 +62,51 @@ def bucketed_stream_offsets(
     under rounding, which is all cross-bucket prefix correctness needs.
 
     Returns None when ``base`` is empty (callers return their own empty
-    schema). Any extra columns on ``base`` ride along untouched."""
+    schema). Any extra columns on ``base`` ride along untouched; the
+    scan's internal columns are ``__``-prefixed and dropped before
+    return, so only ``out_col`` is added."""
     spark = base.sparkSession
     if num_buckets is None:
         num_buckets = spark.sparkContext.defaultParallelism
-    mm = base.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).collect()[0]
+    mm = base.agg(
+        F.min(key_col).alias("lo"), F.max(key_col).alias("hi")
+    ).collect()[0]
     if mm["lo"] is None:
         return None
     lo, hi = int(mm["lo"]), int(mm["hi"])
     step = max(1, math.ceil((hi - lo + 1) / num_buckets))
     if hi - lo < 2**53:
-        pid = ((F.col("key") - F.lit(lo)) / F.lit(step)).cast("int")
+        pid = ((F.col(key_col) - F.lit(lo)) / F.lit(step)).cast("int")
     else:
         pid = F.floor(
-            (F.col("key").cast("double") - F.lit(float(lo))) / F.lit(float(step))
+            (F.col(key_col).cast("double") - F.lit(float(lo)))
+            / F.lit(float(step))
         ).cast("int")
-    bucketed = base.withColumn("pid", pid)
+    bucketed = base.withColumn("__pid", pid)
     sums = {
-        r["pid"]: r["s"]
-        for r in bucketed.groupBy("pid").agg(F.sum("n").alias("s")).collect()
+        r["__pid"]: r["s"]
+        for r in bucketed.groupBy("__pid").agg(F.sum(n_col).alias("s")).collect()
     }
     bases = []
     acc = 0
     for p in sorted(sums):
         bases.append((int(p), int(acc)))
         acc += int(sums[p])
-    base_df = F.broadcast(spark.createDataFrame(bases, "pid int, base long"))
+    base_df = F.broadcast(
+        spark.createDataFrame(bases, "__pid int, __base long")
+    )
     w = (
-        Window.partitionBy("pid")
-        .orderBy("key", *order_cols)
+        Window.partitionBy("__pid")
+        .orderBy(key_col, *order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        bucketed.join(base_df, "pid")
-        .withColumn("local_end", F.sum("n").over(w))
-        .withColumn("gstart", F.col("base") + F.col("local_end") - F.col("n"))
+        bucketed.join(base_df, "__pid")
+        .withColumn("__lend", F.sum(n_col).over(w))
+        .withColumn(
+            out_col, F.col("__base") + F.col("__lend") - F.col(n_col)
+        )
+        .drop("__pid", "__base", "__lend")
     )
 
 

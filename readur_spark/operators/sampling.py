@@ -137,33 +137,30 @@ def global_shuffle(
     row_number — the window partitions by bucket, so no Exchange
     SinglePartition appears anywhere in the plan (pinned by
     tests/test_plan_quality.py)."""
-    from pyspark.sql import Window
+    from readur_spark.operators.packing import bucketed_stream_offsets
 
-    spark = docs.sparkSession
     num_buckets = max(1, min(int(num_buckets), 1 << 16))
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
-    u16 = F.conv(F.substring("__h", 1, 4), 16, 10).cast("long")
+    # the shared bucketed prefix scan (packing.bucketed_stream_offsets)
+    # with weight 1: gstart == the 0-based global rank. The key is the
+    # md5's leading 16 bits as a number — lexicographic order of
+    # fixed-width lowercase hex equals numeric order of its prefix, so
+    # ordering by (__key, __h, id) IS ordering by (__h, id), and the
+    # helper's contiguous key-range buckets are exactly the monotone
+    # hash-prefix buckets this function used to build by hand.
     keyed = docs.withColumn("__h", h).withColumn(
-        # floor(u16 * B / 2^16) is monotone in u16, hence in the key —
-        # cross-bucket prefix order equals global key order
-        "__b",
-        ((u16 * F.lit(num_buckets)) / F.lit(1 << 16)).cast("int"),
+        "__key", F.conv(F.substring("__h", 1, 4), 16, 10).cast("long")
+    ).withColumn("__n", F.lit(1).cast("long"))
+    offs = bucketed_stream_offsets(
+        keyed,
+        ("__h", id_col),
+        num_buckets,
+        key_col="__key",
+        n_col="__n",
+        out_col=pos_col,
     )
-    sums = {
-        r["__b"]: r["c"]
-        for r in keyed.groupBy("__b").agg(F.count("*").alias("c")).collect()
-    }
-    bases = []
-    acc = 0
-    for b in sorted(sums):
-        bases.append((int(b), int(acc)))
-        acc += int(sums[b])
-    base_df = F.broadcast(
-        spark.createDataFrame(bases, "__b int, __base long")
-    )
-    w = Window.partitionBy("__b").orderBy("__h", id_col)
-    return (
-        keyed.join(base_df, "__b")
-        .withColumn(pos_col, F.col("__base") + F.row_number().over(w) - 1)
-        .drop("__b", "__h", "__base")
-    )
+    if offs is None:
+        return docs.withColumn(pos_col, F.lit(None).cast("long")).filter(
+            F.lit(False)
+        )
+    return offs.drop("__h", "__key", "__n")

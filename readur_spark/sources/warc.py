@@ -44,10 +44,14 @@ _WHOLE_DECOMPRESS_LIMIT = 64 << 20
 #: inflation caps — gzip's worst-case expansion is ~1032:1, so an input
 #: cap alone admits multi-GB allocations from a 64 MB bomb. The fast
 #: path's probe is bounded by max_length; the member loop counts total
-#: output and ends iteration at the cap (the keep-the-prefix contract —
-#: no partial member is ever emitted).
-_WHOLE_INFLATED_LIMIT = 1 << 30
-_MEMBER_INFLATED_LIMIT = 512 << 20
+#: output. Sized ABOVE the format's canonical inputs (a ~1 GB Common
+#: Crawl shard inflates 3-5×; per-record members are ≤1 MB) so a
+#: legitimate file never trips them; a breach raises ValueError LOUDLY
+#: rather than silently truncating to a plausible-looking prefix
+#: (review finding) — an operator hitting a genuinely larger file
+#: raises these constants or splits the file.
+_WHOLE_INFLATED_LIMIT = 8 << 30
+_MEMBER_INFLATED_LIMIT = 4 << 30
 
 
 def _gzip_members(data: bytes) -> Iterator[bytes]:
@@ -84,12 +88,13 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
         try:
             d = zlib.decompressobj(wbits=31)
             probe = d.decompress(data, _WHOLE_INFLATED_LIMIT + 1)
-            if (
-                len(probe) <= _WHOLE_INFLATED_LIMIT
-                and d.eof
-                and not d.unused_data
-                and not d.unconsumed_tail
-            ):
+            if len(probe) > _WHOLE_INFLATED_LIMIT:
+                raise ValueError(
+                    "gzip member inflates past _WHOLE_INFLATED_LIMIT "
+                    f"({_WHOLE_INFLATED_LIMIT} bytes) — inflation bomb, "
+                    "or raise the limit for genuinely larger files"
+                )
+            if d.eof and not d.unused_data and not d.unconsumed_tail:
                 yield probe
                 return
         except zlib.error:
@@ -113,9 +118,12 @@ def _gzip_members(data: bytes) -> Iterator[bytes]:
                     member_total > _MEMBER_INFLATED_LIMIT
                     or total + member_total > _WHOLE_INFLATED_LIMIT
                 ):
-                    # inflation bomb: stop the file here, keep the
-                    # already-yielded prefix (no partial member emitted)
-                    return
+                    raise ValueError(
+                        "WARC gzip stream inflates past the configured "
+                        f"limits (member {_MEMBER_INFLATED_LIMIT}, file "
+                        f"{_WHOLE_INFLATED_LIMIT} bytes) — inflation "
+                        "bomb, or raise the limits for larger files"
+                    )
                 pos += len(fed)
                 chunk = min(chunk << 1, 1 << 20)
         except zlib.error:

@@ -490,3 +490,29 @@ def test_mega_word_encodes_in_linear_time():
     elapsed = time.monotonic() - t0
     assert tok.decode(ids) == mega
     assert elapsed < 10.0, elapsed
+
+
+def test_token_windows_mega_pretoken_no_subset_windows():
+    """A mega pre-token right after the overlap region used to stall
+    the walk into strict-subset windows (duplicated training data —
+    review finding); ends must now strictly advance."""
+    from readur_spark.kernels.bpe import token_windows
+
+    # six 1-byte tokens with pre-token starts every 2, then one long
+    # unbroken ASCII run encoded as 100 single-byte tokens with NO
+    # pre-token boundary inside
+    ids = [0] * 110
+    vocab = (b"a",)
+    starts = [0, 2, 4, 6, 8, 10]
+    windows = token_windows(ids, starts, vocab, 8, 4)
+    ends = [e for _p, e in windows]
+    assert ends == sorted(set(ends)), windows  # strictly increasing
+    # gapless: every window starts at or before the previous end
+    prev_end = 0
+    for p, e in windows:
+        assert p <= prev_end
+        prev_end = e
+    assert prev_end == 110
+    # no window exceeds the budget except char-extension cases (none
+    # here: all cuts are char-safe ASCII)
+    assert all(e - p <= 8 for p, e in windows)

@@ -373,10 +373,12 @@ def test_warc_understated_length_keeps_following_record():
 
 
 def test_warc_gzip_bomb_capped(monkeypatch):
-    """Inflation caps: a tiny compressed buffer expanding past the
-    member cap ends iteration (keep-the-prefix) instead of allocating
-    the full expansion."""
+    """Inflation caps: a buffer expanding past the limits raises LOUDLY
+    (silent truncation of an oversized file would be indistinguishable
+    from a legitimately smaller one) without allocating the expansion."""
     import gzip as _gzip
+
+    import pytest as _pytest
 
     from readur_spark.sources import warc as warc_mod
 
@@ -384,11 +386,13 @@ def test_warc_gzip_bomb_capped(monkeypatch):
     bomb = _gzip.compress(b"\x00" * (4 << 20))  # 4 MB of zeros, ~4 KB gz
     monkeypatch.setattr(warc_mod, "_MEMBER_INFLATED_LIMIT", 1 << 20)
     monkeypatch.setattr(warc_mod, "_WHOLE_INFLATED_LIMIT", 2 << 20)
-    got = list(warc_mod._gzip_members(ok + bomb))
-    assert got == [b"fine member"]  # prefix kept, bomb never emitted
-    # single-member fast-path probe is also capped
-    got2 = list(warc_mod._gzip_members(bomb))
-    assert got2 == []
+    with _pytest.raises(ValueError, match="inflat"):
+        list(warc_mod._gzip_members(ok + bomb))
+    # single-member fast-path probe also raises, bounded by max_length
+    with _pytest.raises(ValueError, match="inflat"):
+        list(warc_mod._gzip_members(bomb))
+    # well under the caps: everything yields normally
+    assert list(warc_mod._gzip_members(ok + ok)) == [b"fine member"] * 2
 
 
 def test_bpe_spark_loop_rejects_bad_batch_size(spark):

@@ -90,3 +90,23 @@ def test_dedup_by_canonical_url_keep_first(spark):
     }
     # original columns survive
     assert set(out.columns) == {"doc_id", "url", "canonical_url"}
+
+
+def test_dedup_keeps_all_docs_without_usable_url(spark):
+    """NULL / empty-canonical urls mean 'unknown URL', not 'same page':
+    all such docs survive the crawl-frontier dedup (review finding)."""
+    from readur_spark.functions.urls import dedup_by_canonical_url
+
+    rows = [
+        (1, "https://a.com/x"),
+        (2, "https://A.com/x"),  # canonical dup of 1
+        (3, None),
+        (4, None),
+        (5, ""),
+        (6, "   "),  # trims to empty canonical
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string")
+    ids = sorted(
+        r["doc_id"] for r in dedup_by_canonical_url(docs).collect()
+    )
+    assert ids == [1, 3, 4, 5, 6]
