@@ -867,6 +867,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["rank_filter_docs"] = _q_rank_filter_docs
 
+    def _q_domain_islands(s, sf):
+        # weakly-connected components of the host graph with sizes —
+        # the link-farm island signal. Oracle: an INDEPENDENT
+        # union-find over the same deterministic edge set (VALUES
+        # literal), vs the distributed min-label propagation here.
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            domain_components,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        # sparser construction than the pagerank graph so the
+        # components are non-trivial (mod 100 on both ends leaves
+        # disconnected islands at sf0.01)
+        raw = d.filter(F.col("doc_id") % 5 < 2).select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 100).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("h"), ((F.col("doc_id") * 7 + 3) % 100).cast("string")
+            ).alias("dst_domain"),
+        )
+        return domain_components(build_domain_graph(raw))
+
+    q["domain_islands"] = _q_domain_islands
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1504,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
         "domain_degrees",  # degree profile + reciprocal semi-join
         "rank_filter_docs",  # graph family composed: rank-join filter
+        "domain_islands",  # connected components vs union-find replay
         "interleave_pack",  # multimodal span-stream prefix scan
         "interleave_fill_stats",  # per-sequence multimodal fill report
         "interleave_materialize",  # element sequences, md5 content check
@@ -1512,15 +1539,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
         "chunk_pack_roundtrip",  # widened composite key + guard
-        "quality_classifier_scores",  # duplicate-id guard
         # --- past the 50-query window cut (driver caps 50/round), each
         # with the reason its r6 change cannot affect its gate result:
-        # semdedup's change is an empty-INPUT short-circuit (the sf0.01
-        # gate input is non-empty; the guard is unit-tested); the two
-        # BPE rows changed only via the heap trainer / encode UDF, both
+        # quality_classifier_scores' change is a duplicate-id VALIDATION
+        # raise and semdedup's an empty-INPUT short-circuit — neither
+        # can alter a green-path result on the non-empty, disjoint
+        # sf0.01 gate fixtures (both unit-tested); the two BPE rows
+        # changed only via the heap trainer / encode UDF, both
         # re-checked by bpe_token_counts above, their packing/assembly
         # legs r5-green on unchanged code (the word-count prefix scan
         # itself is re-checked by pack_sequences in the stale-34 block)
+        "quality_classifier_scores",
         "semdedup",
         "pack_sequences_bpe",
         "pack_materialize_bpe",
@@ -2476,6 +2505,59 @@ def oracle_sql() -> dict[str, str]:
         FROM docs2 d JOIN pr p ON d.domain = p.node
         WHERE p.rank > 1.0 / (SELECT count(*) FROM pr)
     """
+
+    # domain_islands: INDEPENDENT union-find replay over the same
+    # deterministic edge construction, emitted as a VALUES literal —
+    # a different algorithm family (path-compressed union-find) from
+    # the operator's distributed min-label propagation. Reads the
+    # gate's sf0.01 parquet like the BPE replays; component = MIN
+    # member string on both sides (Python str min == Spark string min:
+    # both codepoint-lexicographic).
+    try:
+        import duckdb as _dd
+
+        _ids = [
+            int(r[0])
+            for r in _dd.connect()
+            .execute(
+                "SELECT doc_id FROM "
+                "'/root/testdata/sf0.01/documents.parquet' "
+                "WHERE doc_id % 5 < 2"
+            )
+            .fetchall()
+        ]
+        _edges = set()
+        for _i in _ids:
+            _a, _b = f"h{_i % 100}", f"h{(_i * 7 + 3) % 100}"
+            if _a != _b:
+                _edges.add((_a, _b))
+        _parent: dict = {}
+
+        def _find(x):
+            while _parent.setdefault(x, x) != x:
+                _parent[x] = _parent[_parent[x]]
+                x = _parent[x]
+            return x
+
+        for _a, _b in _edges:
+            _parent[_find(_a)] = _find(_b)
+        _members: dict = {}
+        for _v in _parent:
+            _members.setdefault(_find(_v), []).append(_v)
+        _rows = []
+        for _grp in _members.values():
+            _lbl = min(_grp)
+            for _v in _grp:
+                _rows.append((_v, _lbl, len(_grp)))
+        if _rows:
+            o["domain_islands"] = (
+                "SELECT n AS node, c AS component, "
+                "CAST(s AS BIGINT) AS component_size FROM (VALUES "
+                + ", ".join(f"('{n}', '{c}', {s})" for n, c, s in _rows)
+                + ") AS v(n, c, s)"
+            )
+    except Exception:
+        pass  # no sf0.01 parquet on this host: weaker rows-only check
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
     # lowercased domain

@@ -365,3 +365,38 @@ def domain_degree_stats(edges: DataFrame) -> DataFrame:
             ),
         )
     )
+
+
+def domain_components(
+    edges: DataFrame, max_iter: int = 100
+) -> DataFrame:
+    """Weakly-connected components of the host graph with component
+    sizes: ``(node, component, component_size)``, component = the
+    lexicographically smallest member — the link-farm-ISLAND signal
+    (spam networks form dense components disconnected from the main
+    web; curation keeps the giant component and inspects the rest).
+
+    Reuses the near-dup clustering engine
+    (:func:`readur_spark.operators.dedup.connected_components`:
+    iterative min-label propagation, one join + one map-side-combining
+    groupBy per round, per-round localCheckpoint keeping the plan O(1),
+    early stop on convergence). Host graphs have larger diameters than
+    near-dup clusters, hence the raised ``max_iter`` (propagation stops
+    as soon as labels stabilize, so the bound is a guard, not a cost).
+    Component size is one window over the label — same uniform key."""
+    from pyspark.sql.window import Window
+
+    from readur_spark.operators.dedup import connected_components
+
+    comp = connected_components(
+        edges.select(
+            F.col("src").alias("id_a"), F.col("dst").alias("id_b")
+        ),
+        max_iter=max_iter,
+    )
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("node"),
+        "component",
+        F.count("*").over(w).cast("long").alias("component_size"),
+    )

@@ -209,3 +209,26 @@ def test_domain_degree_stats(spark):
         "c": (0, 1, 0),
         "d": (1, 0, 0),
     }
+
+
+def test_domain_components_islands(spark):
+    from readur_spark.operators.linkgraph import domain_components
+
+    edges = spark.createDataFrame(
+        # island 1: a-b-c chain (directed edges; components are WEAK)
+        [("a", "b"), ("c", "b"),
+         # island 2: d <-> e
+         ("d", "e"), ("e", "d"),
+         # island 3: f alone via self-edge filtered upstream? use f-g
+         ("f", "g")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: (r["component"], r["component_size"])
+        for r in domain_components(edges).collect()
+    }
+    assert got == {
+        "a": ("a", 3), "b": ("a", 3), "c": ("a", 3),
+        "d": ("d", 2), "e": ("d", 2),
+        "f": ("f", 2), "g": ("f", 2),
+    }
