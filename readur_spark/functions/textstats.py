@@ -276,3 +276,52 @@ def pii_counts_cols(c: Column) -> list[Column]:
         F.regexp_count(c, F.lit(PII_PATTERNS[1][0])).alias("n_ips"),
         F.regexp_count(c, F.lit(PII_PATTERNS[2][0])).alias("n_phones"),
     ]
+
+
+#: sentence terminator followed by whitespace — kept lookaround-free so
+#: the DuckDB oracle (RE2: no lookbehind) can mirror it exactly: both
+#: engines insert \x1e after the terminator and split on it
+_SENT_BREAK = r"([.!?][\"')\]]*)\s+"
+_SENT_SEP = "\x1e"
+
+
+def sentences_col(c: Column) -> Column:
+    """array<string> of sentences: split after terminator+whitespace
+    runs ([.!?]\\s+), empties dropped. A heuristic segmenter by design
+    (abbreviations split — the corpus-statistics scope line); its value
+    is being EXPRESSIBLE identically in Catalyst and the SQL oracle, so
+    sentence-count quality gates are value-checkable end to end."""
+    marked = F.regexp_replace(c, _SENT_BREAK, "$1" + _SENT_SEP)
+    return F.filter(
+        F.transform(F.split(marked, _SENT_SEP), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+
+
+def sentence_stats_cols(c: Column) -> list[Column]:
+    """Sentence-level quality features (the C4 '>=3 sentences' family):
+    n_sentences, mean/max sentence length in words, and the share of
+    sentences ending in a terminal mark (C4 keeps only lines ending in
+    punctuation). One codegen'd pass — higher-order functions over the
+    split array, no UDF, no shuffle."""
+    sents = sentences_col(c)
+    wc = F.transform(
+        sents, lambda s: F.size(F.split(F.trim(s), r"\s+"))
+    )
+    n = F.size(sents)
+    total = F.aggregate(wc, F.lit(0), lambda a, x: a + x)
+    terminal = F.size(
+        F.filter(sents, lambda s: s.rlike(r"[.!?][\"')\]]*$"))
+    )
+    return [
+        n.cast("long").alias("n_sentences"),
+        F.when(n > 0, F.round(total / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("mean_sentence_words"),
+        F.when(n > 0, F.array_max(wc)).otherwise(F.lit(0))
+        .cast("long")
+        .alias("max_sentence_words"),
+        F.when(n > 0, F.round(terminal / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("terminal_punct_ratio"),
+    ]

@@ -114,3 +114,46 @@ def test_scrub_pii_redacts_each_kind(spark):
     assert (row["n_emails"], row["n_ips"], row["n_phones"]) == (1, 1, 1)
     # non-PII digits survive: order id and ISO date untouched
     assert "#123456" in row["s"] and "2024-01-02" in row["s"]
+
+
+def test_sentence_stats(spark):
+    from pyspark.sql import functions as F
+
+    from readur_spark.functions.textstats import (
+        sentence_stats_cols,
+        sentences_col,
+    )
+
+    rows = [
+        (1, "First sentence. Second one is longer here! Third?  Tail without terminal"),
+        (2, "No terminators at all just one run of words"),
+        (3, 'He said "stop." Then (quietly.) left.'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sents = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id", sentences_col(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert sents[1] == [
+        "First sentence.",
+        "Second one is longer here!",
+        "Third?",
+        "Tail without terminal",
+    ]
+    assert sents[2] == ["No terminators at all just one run of words"]
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *sentence_stats_cols(F.col("text"))
+        ).collect()
+    }
+    assert got[1]["n_sentences"] == 4
+    assert got[1]["max_sentence_words"] == 5
+    assert got[1]["terminal_punct_ratio"] == 0.75
+    assert got[2]["n_sentences"] == 1
+    assert got[2]["terminal_punct_ratio"] == 0.0
+    # terminator inside closing quote/paren still counts as terminal
+    assert got[3]["n_sentences"] == 3
+    assert got[3]["terminal_punct_ratio"] == 1.0
