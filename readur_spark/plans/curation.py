@@ -123,6 +123,8 @@ def curate(
     split_fractions: dict[str, float] | None = None,
     url_col: str | None = None,
     domain_blocklist=None,
+    min_sentences: int = 0,
+    min_terminal_punct: float = 0.0,
 ) -> tuple[DataFrame, dict]:
     """Run the curation funnel. Returns (chunks DataFrame, funnel metrics).
 
@@ -157,7 +159,10 @@ def curate(
     all-pairs candidates grow quadratically per duplicate group;
     ``url_col`` prepends the crawl-frontier stage — canonical-URL
     keep-first dedup (functions/urls) and, with ``domain_blocklist``,
-    the UT1-style broadcast host filter — before any text stage runs.
+    the UT1-style broadcast host filter — before any text stage runs;
+    ``min_sentences`` / ``min_terminal_punct`` add the C4 sentence gate
+    (drop pages with too few sentences or too few sentences ending in
+    terminal punctuation) inside the same fused quality scan.
     """
     # Stage boundaries use eager localCheckpoint, not bare persist: the
     # funnel composes a dozen operators, several of which reference their
@@ -239,6 +244,15 @@ def curate(
     filtered = analyzed.filter(F.col("quality") >= min_quality)
     if require_gopher:
         filtered = filtered.filter(F.col("gopher_pass"))
+    if min_sentences or min_terminal_punct:
+        # the C4 sentence gate — same fused scan stage, no extra pass
+        from readur_spark.functions.textstats import sentence_stats_cols
+
+        ns, _mean, _mx, tp = sentence_stats_cols(F.col("text"))
+        if min_sentences:
+            filtered = filtered.filter(ns >= min_sentences)
+        if min_terminal_punct:
+            filtered = filtered.filter(tp >= min_terminal_punct)
     if require_rep_pass:
         from readur_spark.operators.repetition import repetition_metrics
 
