@@ -904,6 +904,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sentence_stats"] = _q_sentence_stats
 
+    def _q_curriculum_order(s, sf):
+        # curriculum-learning data order: ascending quality bands with a
+        # salted shuffle inside each band, positions from the shared
+        # bucketed prefix scan. Synthetic quality = (doc_id % 97)/97 so
+        # the oracle replays the identical band arithmetic; the REAL
+        # quality function has its own oracled row (quality_score).
+        from readur_spark.operators.sampling import curriculum_positions
+
+        d = _docs(s, sf).select(
+            "doc_id", ((F.col("doc_id") % 97) / 97.0).alias("quality")
+        )
+        return curriculum_positions(d, phases=10).select(
+            "doc_id", "curriculum_pos"
+        )
+
+    q["curriculum_order"] = _q_curriculum_order
+
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
 
@@ -1552,6 +1569,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts",  # heap trainer (kernels/bpe.py)
         # --- past the 50-query window cut (driver caps 50/round), each
         # with the reason its omission is safe this round:
+        # curriculum_order is NEW but was value-gated green against its
+        # DuckDB oracle locally on addition, and its only moving parts
+        # (the shared prefix scan, the salted-md5 shuffle) hold
+        # in-window rows via global_shuffle — first driver window in r7;
+        "curriculum_order",
         # chunk_pack_roundtrip's r6 key widening was value-gated green
         # against DuckDB in this session's full 97-query local sweep,
         # and both of its components (chunk_by_tokens, pack_sequences)
@@ -2613,6 +2635,25 @@ def oracle_sql() -> dict[str, str]:
                          AS DOUBLE) / len(sents), 6)
                     ELSE 0.0 END AS terminal_punct_ratio
         FROM wc
+    """
+
+    # curriculum_order: one definitional global sort in SQL — band from
+    # the same double arithmetic (both engines compute (k/97.0)*10 with
+    # identical IEEE ops), shuffle key = the same salted md5; ordering
+    # by (band, h, id) equals the operator's (band·2^48 + u48(h), h, id)
+    # because u48 is a monotone prefix of h
+    o["curriculum_order"] = """
+        WITH d AS (
+          SELECT doc_id,
+                 (doc_id % 97) / 97.0 AS q,
+                 md5(CAST(doc_id AS VARCHAR) || ':curriculum-v1') AS h
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY greatest(0, least(9, CAST(floor(q * 10) AS INT))),
+                          h, doc_id) - 1 AS BIGINT) AS curriculum_pos
+        FROM d
     """
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the

@@ -164,3 +164,59 @@ def global_shuffle(
             F.lit(False)
         )
     return offs.drop("__h", "__key", "__n")
+
+
+def curriculum_positions(
+    docs: DataFrame,
+    quality_col: str = "quality",
+    id_col: str = "doc_id",
+    phases: int = 10,
+    salt: str = "curriculum-v1",
+    pos_col: str = "curriculum_pos",
+) -> DataFrame:
+    """Deterministic curriculum ordering: every document gets its
+    0-based position in the training order that ascends through
+    ``phases`` quality bands (floor(quality*phases), clamped) with a
+    salted-md5 shuffle WITHIN each band — the curriculum-learning
+    layout (start on low bands or high, the caller picks by reading
+    the order forward or backward; a new ``salt`` reshuffles within
+    bands without disturbing the band sequence).
+
+    Scale shape: band and hash pack into ONE numeric key
+    (band·2^48 + first 48 md5 bits — phases ≤ 2^5 keeps the key well
+    inside 2^53), so the global rank is the same shared bucketed
+    prefix scan as global_shuffle / pack_sequences: no Exchange
+    SinglePartition, one metadata-scale collect."""
+    if not 1 <= phases <= 32:
+        raise ValueError(f"phases must be in [1, 32], got {phases}")
+    from readur_spark.operators.packing import bucketed_stream_offsets
+
+    h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    band = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(phases - 1),
+            F.floor(F.col(quality_col) * phases).cast("int"),
+        ),
+    )
+    u48 = F.conv(F.substring("__h", 1, 12), 16, 10).cast("long")
+    keyed = (
+        docs.withColumn("__h", h)
+        .withColumn(
+            "__key", band.cast("long") * F.lit(1 << 48) + u48
+        )
+        .withColumn("__n", F.lit(1).cast("long"))
+    )
+    offs = bucketed_stream_offsets(
+        keyed,
+        ("__h", id_col),
+        None,
+        key_col="__key",
+        n_col="__n",
+        out_col=pos_col,
+    )
+    if offs is None:
+        return docs.withColumn(pos_col, F.lit(None).cast("long")).filter(
+            F.lit(False)
+        )
+    return offs.drop("__h", "__key", "__n")

@@ -152,3 +152,33 @@ def test_global_shuffle_empty_frame(spark):
 
     df = spark.createDataFrame([], "doc_id long")
     assert global_shuffle(df).collect() == []
+
+
+def test_curriculum_positions(spark):
+    """Positions ascend through quality bands; within-band order is the
+    salted shuffle; each position appears exactly once."""
+
+    from readur_spark.operators.sampling import curriculum_positions
+
+    rows = [(i, (i * 37 % 100) / 100.0) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, quality double")
+    got = {
+        r["doc_id"]: r["curriculum_pos"]
+        for r in curriculum_positions(docs, phases=4).collect()
+    }
+    assert sorted(got.values()) == list(range(200))
+    # band boundaries respected: every doc in a lower band precedes
+    # every doc in a higher band
+    import hashlib as _hl
+
+    def band(q):
+        return max(0, min(3, int(q * 4)))
+
+    def key(i, q):
+        h = _hl.md5(f"{i}:curriculum-v1".encode()).hexdigest()
+        return (band(q), h, i)
+
+    want_order = sorted(rows, key=lambda r: key(*r))
+    assert [i for i, _q in want_order] == [
+        i for i, _p in sorted(got.items(), key=lambda kv: kv[1])
+    ]
