@@ -239,12 +239,21 @@ def test_curate_releases_stage_checkpoints(spark):
         # quiesce the async ContextCleaner first: blocks released by
         # EARLIER tests being freed mid-measurement would otherwise skew
         # the deltas (observed flaking when the similarity suite ran
-        # before this test in the same session)
+        # before this test in the same session). One gc+sleep is not
+        # enough on a long session — a cleanup landing BETWEEN two
+        # measurements once produced deltas like 8 -> 2 -> 7 (full-suite
+        # flake) — so sample until two consecutive reads agree.
         import time
 
-        sc._jvm.System.gc()
-        time.sleep(0.8)
-        return sc._jsc.getPersistentRDDs().size()
+        prev = None
+        for _ in range(10):
+            sc._jvm.System.gc()
+            time.sleep(0.8)
+            cur = sc._jsc.getPersistentRDDs().size()
+            if cur == prev:
+                return cur
+            prev = cur
+        return cur
 
     base = n_persistent()
     curate(docs, require_gopher=False, near_dup_threshold=0.95)
