@@ -1626,7 +1626,11 @@ def _canonical_url_sql(url: str) -> str:
     track = (
         "^(utm_[A-Za-z0-9_]*|fbclid|gclid|yclid|msclkid|igshid|mc_eid)(=|$)"
     )
-    s = f"regexp_replace(trim({url}), '#.*', '')"
+    # 'g': Spark's regexp_replace replaces ALL matches; without the
+    # flag DuckDB replaces only the first, and a (pathological) href
+    # containing a newline + second '#' would canonicalize differently
+    # on the two engines (advisor finding, r6)
+    s = f"regexp_replace(trim({url}), '#.*', '', 'g')"
     scheme = f"lower(regexp_extract({s}, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1))"
     after = f"regexp_replace({s}, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '')"
     auth0 = f"lower(regexp_extract({after}, '^([^/?]*)', 1))"

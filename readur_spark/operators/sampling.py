@@ -192,11 +192,24 @@ def curriculum_positions(
     from readur_spark.operators.packing import bucketed_stream_offsets
 
     h = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt)))
+    # greatest/least SKIP nulls, so an unguarded NULL quality would
+    # silently land in the TOP band (greatest(0, least(p-1, NULL)) =
+    # p-1). An unscored doc in a curriculum is an upstream gap — raise
+    # instead of inventing a band (codegen'd branch, no action needed).
+    q_checked = F.when(
+        F.col(quality_col).isNull(),
+        F.raise_error(
+            F.lit(
+                f"curriculum_positions: NULL in quality column "
+                f"{quality_col!r} — score or drop unscored docs first"
+            )
+        ).cast("double"),
+    ).otherwise(F.col(quality_col).cast("double"))
     band = F.greatest(
         F.lit(0),
         F.least(
             F.lit(phases - 1),
-            F.floor(F.col(quality_col) * phases).cast("int"),
+            F.floor(q_checked * phases).cast("int"),
         ),
     )
     u48 = F.conv(F.substring("__h", 1, 12), 16, 10).cast("long")

@@ -205,18 +205,31 @@ def parse_warc(data: bytes) -> Iterator[dict]:
             # (in the per-member gzip layout the member boundary caught
             # this implicitly; in a plain multi-record buffer nothing
             # did — review finding). The record itself is still
-            # yielded: a valid-record-then-garbage drop would lose good
+            # yielded, TRUNCATED at the resume point when that point
+            # falls inside the claimed payload: yielding the full
+            # claimed payload and then rescanning inside it would emit
+            # the same bytes twice — once as this record's payload and
+            # again as the recovered records (advisor finding, r6).
+            # A valid-record-then-garbage drop would still lose good
             # data, and a truly corrupt payload is the downstream
             # quality funnel's bread and butter. (Scope line: a payload
-            # legitimately CONTAINING "\r\nWARC/" — warc-in-warc — can
-            # resync early; corpus-statistics scope, same family as the
-            # HREF_RE note in operators/linkgraph.)
+            # legitimately CONTAINING "\r\nWARC/" whose length is ALSO
+            # mis-stated — warc-in-warc plus corruption — can truncate
+            # at the embedded marker; corpus-statistics scope, same
+            # family as the HREF_RE note in operators/linkgraph. A
+            # correct-length warc-in-warc record passes validation and
+            # is never rescanned.)
             end = body_start + length
             q = end
             while member[q : q + 2] == b"\r\n":
                 q += 2
             if q < n and member[q : q + 5] != b"WARC/":
                 pos = resync(body_start)
+                if pos < end:
+                    # resume point is inside the claimed payload: the
+                    # length provably swallowed a record start — cut
+                    # the payload there so no byte is double-emitted
+                    end = pos
             else:
                 pos = end
             block = member[body_start:end]

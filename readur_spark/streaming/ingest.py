@@ -103,13 +103,19 @@ def ingest_with_history_dedup(
         history = None
         if fs.exists(hpath):
             try:
-                history = sess.read.parquet(history_dir).filter(
-                    F.col("batch_id") < batch_id
-                )
+                history = sess.read.parquet(history_dir)
             except AnalysisException:
                 # exists-but-no-readable-parquet: schema inference has
                 # nothing to read — same recovery as missing
                 history = None
+            else:
+                # OUTSIDE the try: a history dir whose parquet lacks
+                # batch_id would also raise AnalysisException at
+                # analysis time, and swallowing that would silently
+                # disable dedup-against-committed (duplicates through
+                # the exactly-once gate). Only the read itself may
+                # fall back.
+                history = history.filter(F.col("batch_id") < batch_id)
         if history is None:
             history = sess.createDataFrame([], "fingerprint string")
         fresh = dedup_against_history(texts, history).persist()

@@ -182,3 +182,18 @@ def test_curriculum_positions(spark):
     assert [i for i, _q in want_order] == [
         i for i, _p in sorted(got.items(), key=lambda kv: kv[1])
     ]
+
+
+def test_curriculum_positions_null_quality_raises(spark):
+    """greatest/least skip NULLs, so an unguarded NULL quality would
+    silently land in the TOP band — an unscored doc must instead fail
+    loudly (advisor finding, r6)."""
+    import pytest
+
+    from readur_spark.operators.sampling import curriculum_positions
+
+    docs = spark.createDataFrame(
+        [(0, 0.5), (1, None), (2, 0.9)], "doc_id long, quality double"
+    )
+    with pytest.raises(Exception, match="NULL in quality column"):
+        curriculum_positions(docs, phases=4).collect()

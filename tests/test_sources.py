@@ -405,3 +405,43 @@ def test_bpe_spark_loop_rejects_bad_batch_size(spark):
     )
     with _pytest.raises(ValueError, match="batch_merges"):
         train_bpe_spark_loop(words, num_merges=4, batch_merges=0)
+
+
+def test_warc_overstated_length_does_not_double_emit_payload_bytes():
+    """When the boundary resync recovers records swallowed by an
+    overstated Content-Length, the bad record's payload must be CUT at
+    the resume point: yielding the full claimed payload and then
+    re-parsing inside it would emit the same bytes twice — once inside
+    the bad record's payload and again as the recovered records
+    (advisor finding, r6)."""
+    from readur_spark.sources.warc import build_warc, parse_warc
+
+    def one(uri, body):
+        return build_warc(
+            [{"warc_type": "resource", "target_uri": uri,
+              "payload": body}],
+            gzip_per_record=False,
+        )
+
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: https://e.com/bad\r\n"
+        b"Content-Length: 60\r\n\r\n"  # claims 60, actual payload is 10 —
+        b"short body\r\n\r\n"  # the claim reaches INTO record /2 but
+        # stays inside the buffer (the past-EOF case is covered by
+        # test_warc_overstated_length_recovers_swallowed_records)
+    )
+    data = bad + one("https://e.com/2", b"MARKER-TWO") + one(
+        "https://e.com/3", b"MARKER-THREE"
+    )
+    recs = list(parse_warc(data))
+    by_uri = {r["target_uri"]: r for r in recs}
+    assert "https://e.com/2" in by_uri and "https://e.com/3" in by_uri
+    # the recovered records' bytes appear exactly once across ALL
+    # yielded payloads: the bad record's truncated payload holds only
+    # its own body (possibly plus the record-terminator CRLFs)
+    assert by_uri["https://e.com/bad"]["payload"].startswith(b"short body")
+    assert b"MARKER" not in by_uri["https://e.com/bad"]["payload"]
+    joined = b"".join(r["payload"] for r in recs)
+    assert joined.count(b"MARKER-TWO") == 1
+    assert joined.count(b"MARKER-THREE") == 1

@@ -119,3 +119,24 @@ def test_empty_history_dir_recovers_instead_of_wedging(spark, dirs):
     _run(spark, dirs)
     assert spark.read.parquet(corpus).count() > 0
     assert spark.read.parquet(history).count() > 0
+
+
+def test_history_missing_batch_id_column_fails_loudly(spark, dirs):
+    """A history dir holding READABLE parquet whose schema lacks
+    batch_id is corruption, not a fresh start: the batch_id filter
+    raising at analysis time must propagate, not be swallowed into the
+    empty-history fallback (which would silently disable
+    dedup-against-committed — advisor finding, r6)."""
+    import os
+
+    in_dir, corpus, history, ckpt = dirs
+    _drop(spark, in_dir, generate_docs(5, seed=11))
+    os.makedirs(history, exist_ok=True)
+    spark.createDataFrame(
+        [("deadbeef",)], "fingerprint string"
+    ).write.mode("overwrite").parquet(history)
+    from pyspark.errors import StreamingQueryException
+
+    q = ingest_with_history_dedup(spark, in_dir, corpus, history, ckpt)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
