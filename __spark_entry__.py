@@ -711,14 +711,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["global_shuffle"] = _q_global_shuffle
 
     def _q_outlink_domains(s, sf):
-        # outlink extraction as curation statistics: three deterministic
+        # outlink extraction as curation statistics: five deterministic
         # hrefs per document (a messy absolute one that exercises the
         # whole canonicalization, a relative one attributed to the
-        # page's own domain, a clean cross-site one), extracted with
-        # regexp_extract_all + explode, aggregated per target domain.
-        # The oracle rebuilds the SAME markup in SQL and unnests the
-        # same regex — extraction, canonicalization, attribution, and
-        # aggregation are all value-checked.
+        # page's own domain, a clean cross-site one, plus — r7, the
+        # widened-extractor forms — a SINGLE-QUOTED and an UNQUOTED
+        # href), extracted with the three codegen'd per-form patterns,
+        # aggregated per target domain. The oracle rebuilds the SAME
+        # markup in SQL and unnests the same three regexes —
+        # extraction, canonicalization, attribution, and aggregation
+        # are all value-checked.
         from readur_spark.operators.linkgraph import extract_outlinks
 
         d = _docs(s, sf).select("doc_id")
@@ -731,7 +733,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") % 5).cast("string"),
             F.lit('">r</a><a href="http://c'),
             (F.col("doc_id") % 13).cast("string"),
-            F.lit('.org/q#frag">u</a>'),
+            F.lit(".org/q#frag\">u</a><a href='https://sq"),
+            (F.col("doc_id") % 9).cast("string"),
+            F.lit(".example/s'>sq</a><a href=http://uq"),
+            (F.col("doc_id") % 6).cast("string"),
+            F.lit(".net/u class=z>uq</a>"),
         )
         base_dom = F.concat(
             F.lit("host"), (F.col("doc_id") % 11).cast("string"),
@@ -920,6 +926,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["curriculum_order"] = _q_curriculum_order
+
+    def _q_curriculum_pack_roundtrip(s, sf):
+        # curriculum × packing composed: a real trainer packs sequences
+        # in the order it READS — the curriculum order — not id order.
+        # curriculum_positions assigns band-annealed positions; the
+        # packer's order_col hook cuts the token stream in ascending
+        # curriculum_pos (r6 verdict, next-round #8). The oracle replays
+        # the position window and the definitional running-sum cut
+        # ordered by those positions — position assembly, the order_col
+        # key plumbing, and boundary explosion are all value-checked as
+        # one composition.
+        from readur_spark.operators.packing import pack_sequences
+        from readur_spark.operators.sampling import curriculum_positions
+
+        d = _docs(s, sf).select(
+            "doc_id",
+            "text",
+            ((F.col("doc_id") % 97) / 97.0).alias("quality"),
+        )
+        cur = curriculum_positions(d, phases=10)
+        return pack_sequences(cur, seq_len=512, order_col="curriculum_pos")
+
+    q["curriculum_pack_roundtrip"] = _q_curriculum_pack_roundtrip
 
     def _q_semdedup(s, sf):
         from readur_spark.operators.similarity import semdedup
@@ -1141,10 +1170,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def _q_anchor_profile(s, sf):
         # anchor-text aggregation per link target: two same-target
-        # anchors with different texts per doc (plus a relative one)
-        # so frequency ranking, whitespace collapse, dedup counts, and
-        # the bounded top-k window all carry signal. The oracle
-        # re-extracts with the same regex via positional zip in SQL.
+        # anchors with different texts per doc (plus a relative one,
+        # plus — r7, the widened-extractor forms — a SINGLE-QUOTED
+        # anchor with NESTED MARKUP in its body and an UNQUOTED-href
+        # anchor) so frequency ranking, whitespace collapse, markup
+        # strip, dedup counts, and the bounded top-k window all carry
+        # signal. The oracle re-extracts element-wise with the same
+        # RE2-mirrored patterns in SQL.
         from readur_spark.operators.linkgraph import (
             anchor_text_stats,
             extract_anchor_texts,
@@ -1163,6 +1195,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit('</a><a href="/l/'),
             (F.col("doc_id") % 4).cast("string"),
             F.lit('">Rel '),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("</a><a href='https://t"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".com/p'><b>Bold</b> "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("</a><a href=/u/"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(" rel=nofollow>Unq "),
             (F.col("doc_id") % 2).cast("string"),
             F.lit("</a>"),
         )
@@ -1202,6 +1242,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["bpe_token_counts"] = _q_bpe_token_counts
+
+    def _q_bpe_token_counts_sparkloop(s, sf):
+        # the SAME contract as bpe_token_counts but trained through the
+        # executor-side merge loop (train_bpe_spark_loop — the
+        # beyond-1M-word fallback path): word-count table stays
+        # distributed, each pass applies a batch of provably
+        # sequential-exact compatible merges. Until r7 this path was
+        # equality-tested offline but never driver-oracled (r6 verdict,
+        # next-round #6); the oracle is the identical naive replay, so a
+        # green row proves spark-loop == sequential == naive end to end
+        # in the driver harness.
+        from readur_spark.kernels.bpe import BpeTokenizer
+        from readur_spark.operators.bpe import (
+            bpe_encode_udf,
+            train_bpe_spark_loop,
+            word_count_table,
+        )
+
+        docs_df = _docs(s, sf)
+        merges = train_bpe_spark_loop(
+            word_count_table(docs_df), num_merges=_BPE_MERGES
+        )
+        tok = BpeTokenizer(merges)
+        d = docs_df.select(
+            "doc_id", bpe_encode_udf(tok)(F.col("text")).alias("ids")
+        )
+        return d.select(
+            "doc_id",
+            F.size("ids").cast("long").alias("n_tokens"),
+            F.aggregate(
+                "ids", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("id_sum"),
+        )
+
+    q["bpe_token_counts_sparkloop"] = _q_bpe_token_counts_sparkloop
 
     def _q_pack_sequences_bpe(s, sf):
         # the trainer-faithful packing manifest: same distributed prefix
@@ -1503,101 +1578,100 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # The driver samples a bounded prefix of the registry (50 rows per
     # round, insertion order). Rotation policy (no entry may go >2 rounds
-    # without a driver row — r5 verdict #2): first the 34 entries whose
-    # last driver row is r04, led by those whose implementation files
-    # changed this round (chunk_documents: extract.py chunk path;
-    # ann_topk_*: similarity.py); then this round's new query; then every
-    # non-stale query whose implementation files changed this round; then
-    # carried high-value rows up to the 50 cap.
+    # without a driver row): the r7 window is EXACTLY the 49 entries
+    # without an r6 driver row (r6 verdict, next-round #1), ordered
+    # changed-code-first — curriculum_order leads (the one entry that
+    # has never had a driver row), then the packing family (refactored
+    # onto bucketed_stream_offsets in r6), then the four whose
+    # implementation files r6 touched, then the r5-green remainder —
+    # plus this round's new spark-loop BPE row in the 50th slot.
     priority = [
-        # --- stale since r04, changed implementation files first
-        "chunk_documents",
-        "ann_topk_cosine",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
-        # --- stale since r04, code untouched (text/quality family)
-        "normalize_text",
-        "word_count_simple",
-        "token_count",
-        "lang_id",
-        "quality_score",
-        "fingerprint",
-        "fingerprint_sha256",
-        "quality_gopher",
-        "text_metadata",
-        "incremental_sync",
-        # --- stale since r04 (fts/search family)
-        "fts_simple",
-        "fts_phrase",
-        "fts_boolean",
-        "fuzzy_search",
-        "search_ranked",
-        "paginate",
-        "count_matching",
-        "facet_source",
-        # --- stale since r04 (pipeline/embedding family)
-        "decontaminate_ngrams",
-        "tfidf_top_terms",
-        "scrub_pii",
-        "embedding_quantize",
-        # --- stale since r04 (relational/event family)
-        "q1_pricing_summary",
-        "top_customers",
-        "customers_without_orders",
-        "customers_high_value",
-        "revenue_by_nation",
-        "event_type_stats",
-        "user_event_windows",
-        "sessionize",
-        # --- new this round (r6)
-        "dsir_resample_largek",  # threshold-selection path, exact-topk oracle
-        "url_canonical_dedup",  # crawl-frontier canonical-URL dedup
-        "global_shuffle",  # bucketed global rank vs definitional oracle
-        "outlink_domains",  # href extract + canonicalize + attribute
-        "domain_pagerank",  # power iteration vs chained-CTE replay
-        "domain_blocklist_filter",  # broadcast anti-join vs NOT IN
-        "domain_degrees",  # degree profile + reciprocal semi-join
-        "rank_filter_docs",  # graph family composed: rank-join filter
-        "domain_islands",  # connected components vs union-find replay
-        "sentence_stats",  # C4 sentence-quality features, mirrored expr
-        "interleave_pack",  # multimodal span-stream prefix scan
-        "interleave_fill_stats",  # per-sequence multimodal fill report
-        "interleave_materialize",  # element sequences, md5 content check
-        "anchor_profile",  # anchor-text aggregation per link target
-        # --- implementation files changed this round (r6)
-        "chunk_by_tokens",  # snapped window walk (extract.py + bpe.py)
-        "bpe_token_counts",  # heap trainer (kernels/bpe.py)
-        # --- past the 50-query window cut (driver caps 50/round), each
-        # with the reason its omission is safe this round:
-        # curriculum_order is NEW but was value-gated green against its
-        # DuckDB oracle locally on addition, and its only moving parts
-        # (the shared prefix scan, the salted-md5 shuffle) hold
-        # in-window rows via global_shuffle — first driver window in r7;
+        # --- never driver-checked (r6 verdict, what's-wrong #1)
         "curriculum_order",
-        # chunk_pack_roundtrip's r6 key widening was value-gated green
-        # against DuckDB in this session's full 97-query local sweep,
-        # and both of its components (chunk_by_tokens, pack_sequences)
-        # hold in-window rows;
-        "chunk_pack_roundtrip",
-        # quality_classifier_scores' change is a duplicate-id VALIDATION
-        # raise and semdedup's an empty-INPUT short-circuit — neither
-        # can alter a green-path result on the non-empty, disjoint
-        # sf0.01 gate fixtures (both unit-tested); the two BPE rows
-        # changed only via the heap trainer / encode UDF, both
-        # re-checked by bpe_token_counts above, their packing/assembly
-        # legs r5-green on unchanged code (the word-count prefix scan
-        # itself is re-checked by pack_sequences in the stale-34 block)
-        "quality_classifier_scores",
-        "semdedup",
+        # --- packing family: r6 refactor onto bucketed_stream_offsets
+        "pack_sequences",
         "pack_sequences_bpe",
         "pack_materialize_bpe",
-        # --- carried high-value rows
+        "pack_stats",
+        "chunk_pack_roundtrip",
+        # --- implementation files changed in r6
+        "quality_classifier_scores",
+        "semdedup",
+        "dedup_minhash_lsh",
+        "dedup_ngram_capped",
+        # --- r5-green remainder (extraction/binary family)
+        "extract_text_spans",
         "extract_binary_roundtrip",
+        "image_quality_stats",
+        "image_ocr_fake",
+        "pdf_ocr_glyph",
         "pdf_layout_roundtrip",
         "warc_roundtrip",
-        "dedup_ngram_capped",
+        # --- r5-green remainder (search/facet family)
+        "facet_lang",
+        "filter_lang",
+        "filter_labels",
+        "facet_tags",
+        "filter_role",
+        "search_ranked_ts",
+        "snippets",
+        "snippets_full",
+        "list_documents",
+        "doc_stats",
+        "sql_search",
+        # --- r5-green remainder (dedup/decontamination family)
+        "dedup_exact",
+        "dedup_keep_first",
+        "dedup_ngram_jaccard",
         "dedup_lines",
+        "dedup_incremental",
+        "dedup_minhash_incremental",
+        "dedup_simhash",
+        "dedup_embedding",
+        "dedup_cluster",
+        "winnow_overlap",
+        "dup_spans",
+        "decontaminate",
+        # --- r5-green remainder (LM/pipeline family)
         "lm_perplexity",
+        "lm_backoff",
+        "corpus_stats",
+        "dsir_weights",
+        "repetition_filters",
+        "split_assign",
+        "sample_weighted",
+        "mix_sources",
+        "event_windowed_metrics",
+        # --- new this round (r7): the executor-side BPE merge-loop
+        # path, never driver-oracled before (r6 verdict, next-round #6)
+        "bpe_token_counts_sparkloop",
+        # --- past the 50-query window cut (driver caps 50/round), each
+        # with the reason its omission is safe this round:
+        # curriculum_pack_roundtrip is NEW (r7) and was value-gated
+        # green against its DuckDB oracle on addition; BOTH of its
+        # components hold in-window rows this round (curriculum_order
+        # leads the window, pack_sequences is #2) — first driver window
+        # in r8;
+        "curriculum_pack_roundtrip",
+        # outlink_domains / anchor_profile changed in r7 (widened
+        # extractor: single-quoted/unquoted hrefs, nested anchor
+        # bodies, markup mirrored into BOTH engines) and were re-gated
+        # green against DuckDB locally on the day of the change; their
+        # r6 driver rows are green on the pre-widening code. They lead
+        # the r8 window;
+        "outlink_domains",
+        "anchor_profile",
+        # --- carried high-value rows (all r6-green on code unchanged
+        # since; they re-enter the window in r8 under the ≤2-round rule)
+        "domain_pagerank",
+        "url_canonical_dedup",
+        "global_shuffle",
+        "bpe_token_counts",
+        "chunk_by_tokens",
+        "interleave_pack",
+        "interleave_materialize",
+        "normalize_text",
+        "q1_pricing_summary",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
@@ -2448,8 +2522,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # outlink_domains: the SAME markup rebuilt in SQL, hrefs unnested
-    # with the same regex, canonicalized + domain-attributed by the
-    # mirrored expressions, aggregated identically
+    # with the same three per-quoting-form regexes (RE2 mirrors of the
+    # Java patterns), canonicalized + domain-attributed by the mirrored
+    # expressions, aggregated identically
     o["outlink_domains"] = f"""
         WITH pages AS (
           SELECT doc_id,
@@ -2458,13 +2533,24 @@ def oracle_sql() -> dict[str, str]:
                  || '?utm_source=x&b=2&a=1">t</a><a href="/rel/'
                  || CAST(doc_id % 5 AS VARCHAR)
                  || '">r</a><a href="http://c' || CAST(doc_id % 13 AS VARCHAR)
-                 || '.org/q#frag">u</a>' AS html,
+                 || '.org/q#frag">u</a><a href=''https://sq'
+                 || CAST(doc_id % 9 AS VARCHAR)
+                 || '.example/s''>sq</a><a href=http://uq'
+                 || CAST(doc_id % 6 AS VARCHAR)
+                 || '.net/u class=z>uq</a>' AS html,
                  'host' || CAST(doc_id % 11 AS VARCHAR) || '.net' AS dom
           FROM documents
         ),
         links AS (
           SELECT doc_id, dom,
-                 unnest(regexp_extract_all(html, 'href="([^"]+)"', 1)) AS href
+                 unnest(
+                     regexp_extract_all(html,
+                         '(?i)href\\s*=\\s*"([^"]+)"', 1)
+                     || regexp_extract_all(html,
+                         '(?i)href\\s*=\\s*''([^'']+)''', 1)
+                     || regexp_extract_all(html,
+                         '(?i)href\\s*=\\s*([^\\s>"''][^\\s>]*)', 1)
+                 ) AS href
           FROM pages
         ),
         canon AS (
@@ -2658,6 +2744,50 @@ def oracle_sql() -> dict[str, str]:
                  ORDER BY greatest(0, least(9, CAST(floor(q * 10) AS INT))),
                           h, doc_id) - 1 AS BIGINT) AS curriculum_pos
         FROM d
+    """
+
+    # curriculum_pack_roundtrip: the curriculum position window feeding
+    # the definitional running-sum packing cut, ORDERED BY position
+    # (floor() before the INT cast — DuckDB CAST(double AS INT) rounds)
+    o["curriculum_pack_roundtrip"] = r"""
+        WITH d AS (
+          SELECT doc_id, text,
+                 (doc_id % 97) / 97.0 AS q,
+                 md5(CAST(doc_id AS VARCHAR) || ':curriculum-v1') AS h
+          FROM documents
+        ),
+        cur AS (
+          SELECT doc_id, text,
+                 row_number() OVER (
+                   ORDER BY greatest(0, least(9, CAST(floor(q * 10) AS INT))),
+                            h, doc_id) - 1 AS pos
+          FROM d
+        ),
+        t AS (
+          SELECT doc_id, pos,
+                 CAST(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n
+          FROM cur
+        ),
+        c AS (
+          SELECT doc_id, n,
+                 sum(n) OVER (ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS gstart
+          FROM t WHERE n > 0
+        )
+        SELECT s.seq AS seq_id,
+               c.doc_id,
+               CAST(greatest(c.gstart, s.seq * 512) - c.gstart
+                    AS BIGINT) AS tok_start,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512) - c.gstart
+                    AS BIGINT) AS tok_end,
+               CAST(least(c.gstart + c.n, (s.seq + 1) * 512)
+                    - greatest(c.gstart, s.seq * 512) AS BIGINT) AS n_tokens
+        FROM c, LATERAL (
+          SELECT unnest(generate_series(CAST(c.gstart // 512 AS BIGINT),
+                                        CAST((c.gstart + c.n - 1) // 512 AS BIGINT))) AS seq
+        ) s
     """
 
     # domain_blocklist_filter: the broadcast anti-join = NOT IN on the
@@ -3184,8 +3314,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # anchor_profile: same markup rebuilt in SQL, anchors re-extracted
-    # with the SAME regex via positional zip (two regexp_extract_all
-    # passes indexed together), whitespace-collapsed, counted, top-2 by
+    # ELEMENT-WISE with the same RE2-mirrored patterns (whole <a>
+    # elements unnested; per element the href is pulled from the
+    # OPENING TAG only across the three quoting forms, the body
+    # tag-stripped and whitespace-collapsed), counted, top-2 by
     # (freq DESC, text ASC)
     o["anchor_profile"] = f"""
         WITH pages AS (
@@ -3195,27 +3327,46 @@ def oracle_sql() -> dict[str, str]:
                  || '</a><a id="x" href="https://t' || CAST(doc_id % 17 AS VARCHAR)
                  || '.com/p">Anchor ' || CAST(doc_id % 5 AS VARCHAR)
                  || '</a><a href="/l/' || CAST(doc_id % 4 AS VARCHAR)
-                 || '">Rel ' || CAST(doc_id % 2 AS VARCHAR) || '</a>' AS html
+                 || '">Rel ' || CAST(doc_id % 2 AS VARCHAR)
+                 || '</a><a href=''https://t' || CAST(doc_id % 17 AS VARCHAR)
+                 || '.com/p''><b>Bold</b> ' || CAST(doc_id % 3 AS VARCHAR)
+                 || '</a><a href=/u/' || CAST(doc_id % 4 AS VARCHAR)
+                 || ' rel=nofollow>Unq ' || CAST(doc_id % 2 AS VARCHAR)
+                 || '</a>' AS html
           FROM documents
         ),
-        ext AS (
+        els AS (
           SELECT doc_id,
-                 regexp_extract_all(html,
-                     '<a\\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>', 1) AS hrefs,
-                 regexp_extract_all(html,
-                     '<a\\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>', 2) AS txts
+                 unnest(regexp_extract_all(html,
+                     '(?is)<a(?:\\s[^>]*)?>.*?</a\\s*>', 0)) AS el
           FROM pages
         ),
+        tagged AS (
+          SELECT doc_id, el,
+                 regexp_extract(el, '(?is)^<a(?:\\s[^>]*)?>', 0) AS open_tag
+          FROM els
+        ),
         pairs AS (
-          SELECT doc_id, hrefs[g.i] AS href,
-                 trim(regexp_replace(txts[g.i], '\\s+', ' ', 'g')) AS anchor
-          FROM ext, LATERAL (
-            SELECT unnest(generate_series(1, len(hrefs))) AS i
-          ) g
+          SELECT doc_id,
+                 coalesce(
+                   nullif(regexp_extract(open_tag,
+                       '(?i)href\\s*=\\s*"([^"]+)"', 1), ''),
+                   nullif(regexp_extract(open_tag,
+                       '(?i)href\\s*=\\s*''([^'']+)''', 1), ''),
+                   nullif(regexp_extract(open_tag,
+                       '(?i)href\\s*=\\s*([^\\s>"''][^\\s>]*)', 1), '')
+                 ) AS href,
+                 trim(regexp_replace(
+                   regexp_replace(
+                     regexp_replace(el,
+                         '(?is)^<a(?:\\s[^>]*)?>|</a\\s*>$', '', 'g'),
+                     '(?s)<[^>]*>', ' ', 'g'),
+                   '\\s+', ' ', 'g')) AS anchor
+          FROM tagged
         ),
         canon AS (
           SELECT doc_id, {_canonical_url_sql('href')} AS target_url, anchor
-          FROM pairs WHERE anchor <> ''
+          FROM pairs WHERE anchor <> '' AND href IS NOT NULL
         ),
         counts AS (
           SELECT target_url, anchor,
@@ -3252,6 +3403,9 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n AS BIGINT) AS n_tokens, CAST(s AS BIGINT) AS id_sum "
             f"FROM (VALUES {_bpe_values}) AS v(doc_id, n, s)"
         )
+        # the spark-loop trainer is pinned sequential-exact, so the
+        # SAME naive replay is its oracle — a green row is the proof
+        o["bpe_token_counts_sparkloop"] = o["bpe_token_counts"]
         o["pack_sequences_bpe"] = f"""
             WITH t AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n AS BIGINT) AS n

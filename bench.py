@@ -162,25 +162,37 @@ def main() -> None:
 
     docs_per_sec = round(n_docs / extraction_sec, 2)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "extraction_docs_per_sec",
-                "value": docs_per_sec,
-                "unit": "docs/sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_docs": n_docs,
-                "cores": n_cores,
-                "load": {
-                    "start_1m": round(load_start[0], 2),
-                    "end_1m": round(os.getloadavg()[0], 2),
-                    "end_5m": round(os.getloadavg()[1], 2),
-                },
-                "spread": spread,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "extraction_docs_per_sec",
+            "value": docs_per_sec,
+            "unit": "docs/sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n_docs": n_docs,
+            "cores": n_cores,
+            "load": {
+                "start_1m": round(load_start[0], 2),
+                "end_1m": round(os.getloadavg()[0], 2),
+                "end_5m": round(os.getloadavg()[1], 2),
+            },
+            "spread": spread,
+        }
     )
+    print(line)
+    # ALSO persist the line to a file (atomic rename): the driver
+    # captures a fixed-size terminal tail, and round 6's longer suite
+    # pushed the JSON past it, losing the headline value from
+    # BENCH_r06.json (judge finding). BENCH_LOCAL.json is the canonical
+    # copy regardless of tail capture.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        tmp = os.path.join(here, ".BENCH_LOCAL.json.tmp")
+        with open(tmp, "w") as f:
+            f.write(line + "\n")
+        os.replace(tmp, os.path.join(here, "BENCH_LOCAL.json"))
+    except OSError:
+        pass  # a read-only checkout still gets the stdout line
     spark.stop()
 
 

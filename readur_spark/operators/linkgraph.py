@@ -37,10 +37,36 @@ from pyspark.sql import functions as F
 
 from readur_spark.functions.urls import canonical_url_col
 
-#: href attribute values, double-quoted (the dominant form in real
-#: markup; single-quoted/unquoted attrs are a deliberate non-goal —
-#: the extractor is a corpus-statistics tool, not a browser)
-HREF_RE = r'href="([^"]+)"'
+#: href attribute values, one codegen'd pass per quoting form (HTML
+#: admits double-quoted, single-quoted, and unquoted attribute values,
+#: and real crawls mix all three — an extractor that reads only
+#: double quotes silently loses a biased slice of edges, r6 review
+#: finding). Three patterns instead of one alternation because
+#: ``regexp_extract_all`` extracts ONE group index per call and the
+#: value group would sit at a different index per branch; the three
+#: scans still pipeline in a single codegen stage, no UDF. ``(?i)``:
+#: attribute names are case-insensitive in HTML. Scope line kept
+#: deliberately narrow of a full parser: a quoted value containing a
+#: literal ``href='...'`` as TEXT still matches (corpus-statistics
+#: tool, not a browser).
+HREF_RE = r'(?i)href\s*=\s*"([^"]+)"'
+HREF_RE_SINGLE = r"(?i)href\s*=\s*'([^']+)'"
+#: unquoted: first char not a quote, value runs to whitespace or '>'
+#: (HTML5 unquoted-attribute-value state; '/' is part of the value)
+HREF_RE_UNQUOTED = r"(?i)href\s*=\s*([^\s>\"'][^\s>]*)"
+
+
+def href_values(html_col) -> F.Column:
+    """Array of raw href attribute values in ``html_col``, all three
+    HTML quoting forms, in form-major order (all double-quoted, then
+    single-quoted, then unquoted — callers aggregate, so relative
+    order across forms is immaterial)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    return F.concat(
+        F.regexp_extract_all(c, F.lit(HREF_RE), 1),
+        F.regexp_extract_all(c, F.lit(HREF_RE_SINGLE), 1),
+        F.regexp_extract_all(c, F.lit(HREF_RE_UNQUOTED), 1),
+    )
 
 
 def domain_of(url_col) -> F.Column:
@@ -60,20 +86,20 @@ def extract_outlinks(
     base_domain_col: str | None = None,
 ) -> DataFrame:
     """One row per (document, outlink): ``href`` targets pulled from the
-    markup, canonicalized (functions/urls contract), with the target
+    markup (all three HTML attribute quoting forms — see ``HREF_RE``
+    family), canonicalized (functions/urls contract), with the target
     domain. Relative references (no scheme) keep an empty ``dst_domain``
     unless ``base_domain_col`` names a column to attribute them to.
 
-    Pure Catalyst: regexp_extract_all → explode → canonicalize. The
-    explode multiplies rows ~50× on real pages (avg outlinks/page) but
-    stays pipelined — no shuffle until whatever aggregate follows."""
+    Pure Catalyst: regexp_extract_all ×3 → concat → explode →
+    canonicalize. The explode multiplies rows ~50× on real pages (avg
+    outlinks/page) but stays pipelined — no shuffle until whatever
+    aggregate follows."""
     extra = [F.col(base_domain_col)] if base_domain_col else []
     links = docs.select(
         F.col(id_col),
         *extra,
-        F.explode(
-            F.regexp_extract_all(F.col(html_col), F.lit(HREF_RE), 1)
-        ).alias("href"),
+        F.explode(href_values(html_col)).alias("href"),
     )
     dst = domain_of(F.col("href"))
     if base_domain_col:
@@ -91,22 +117,31 @@ def build_domain_graph(
     outlinks: DataFrame,
     src_domain_col: str = "src_domain",
     dst_domain_col: str = "dst_domain",
+    weighted: bool = False,
 ) -> DataFrame:
     """Distinct (src, dst) domain edges, self-loops and empty hosts
     dropped — the host graph PageRank runs on. One shuffle (distinct on
-    the pair)."""
-    return (
-        outlinks.select(
-            F.col(src_domain_col).alias("src"),
-            F.col(dst_domain_col).alias("dst"),
-        )
-        .filter(
-            (F.col("src") != "")
-            & (F.col("dst") != "")
-            & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
+    the pair).
+
+    ``weighted=True`` returns (src, dst, weight) with ``weight`` the
+    LINK MULTIPLICITY (how many outlinks cross the pair) instead of a
+    distinct edge set — same single shuffle (groupBy on the pair), and
+    the stronger spam signal for degree profiling: a link farm emits
+    thousands of links across few distinct pairs, which the distinct
+    view flattens to degree 1."""
+    base = outlinks.select(
+        F.col(src_domain_col).alias("src"),
+        F.col(dst_domain_col).alias("dst"),
+    ).filter(
+        (F.col("src") != "")
+        & (F.col("dst") != "")
+        & (F.col("src") != F.col("dst"))
     )
+    if weighted:
+        return base.groupBy("src", "dst").agg(
+            F.count("*").alias("weight")
+        )
+    return base.distinct()
 
 
 def pagerank(
@@ -115,9 +150,22 @@ def pagerank(
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    tol: float | None = None,
+    stats: dict | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a (src, dst) edge table.
     Returns (node, rank); ranks sum to 1 across nodes.
+
+    ``tol``: optional L1 convergence threshold — when set, each
+    iteration additionally computes Σ|rank' - rank| (ONE extra scalar
+    aggregate over the already-checkpointed old/new rank tables) and
+    the loop stops early once the delta falls to ``tol`` or below;
+    ``iters`` remains the hard cap. At 10^8 domains the delta join is
+    on the same uniform node key as the main iteration — the early
+    stop saves whole iterations, each a corpus-scale shuffle, for one
+    cheap scalar per loop. ``stats``: optional caller-supplied dict,
+    populated with ``iterations_run``, ``final_delta`` (None when no
+    delta was computed), and ``converged``.
 
     Semantics (the standard formulation, Page et al. 1999):
     rank' (v) = (1-d)/N + d·(Σ_{u→v} rank(u)/outdeg(u) + dangling/N)
@@ -136,6 +184,12 @@ def pagerank(
 
     if iters < 0:
         raise ValueError(f"iters must be >= 0, got {iters}")
+    if tol is not None and tol < 0:
+        raise ValueError(f"tol must be >= 0, got {tol}")
+    if stats is not None:
+        stats.update(
+            {"iterations_run": 0, "final_delta": None, "converged": False}
+        )
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
@@ -204,6 +258,31 @@ def pagerank(
         )
         old = ranks
         ranks = new_ranks.localCheckpoint(eager=True)
+        if stats is not None:
+            stats["iterations_run"] += 1
+        if tol is not None:
+            delta = (
+                ranks.alias("new")
+                .join(old.alias("old"), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.abs(
+                                F.col("new.rank") - F.col("old.rank")
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+                .first()[0]
+            )
+            if stats is not None:
+                stats["final_delta"] = delta
+            if delta <= tol:
+                if stats is not None:
+                    stats["converged"] = True
+                _release_checkpoint(old)
+                break
         _release_checkpoint(old)
     edeg.unpersist()
     _release_checkpoint(danglers)
@@ -237,9 +316,14 @@ def filter_by_domain_blocklist(
     )
 
 
-#: anchor elements whose text is a single run of non-markup characters —
-#: same corpus-statistics scope line as HREF_RE (nested markup inside
-#: the anchor is a non-goal for the statistics pass)
+#: whole anchor elements, open tag through the nearest close tag —
+#: ``(?is)``: case-insensitive (``<A HREF=..>``), dot matches newlines
+#: (attribute lists and bodies wrap). The lazy body stops at the FIRST
+#: ``</a>``, so an (invalid) nested anchor truncates at the inner close
+#: — the browser-recovery answer. The body may contain nested markup
+#: (``<a><b>text</b></a>``); tags are stripped AFTER extraction.
+ANCHOR_EL_RE = r"(?is)<a(?:\s[^>]*)?>.*?</a\s*>"
+#: retained for callers/tests pinning the legacy single-form scope
 ANCHOR_RE = r'<a\s[^>]*href="([^"]+)"[^>]*>([^<]+)</a>'
 
 
@@ -254,29 +338,49 @@ def extract_anchor_texts(
     aggregating it per target yields training-quality labels the target
     page itself can't fake).
 
-    Pure Catalyst: TWO ``regexp_extract_all`` passes over the same
-    pattern (Spark extracts one group index per call), zipped
-    positionally — still a single codegen'd scan, no UDF, no shuffle."""
-    pairs = docs.select(
+    Pure Catalyst, two stages in one codegen span: (1) extract whole
+    ``<a ...>...</a>`` elements and explode; (2) per element, pull the
+    href from the OPENING TAG ONLY (a ``<link href=..>`` nested in the
+    body must not be mistaken for the anchor's target), trying the
+    three quoting forms in order, and derive the text by stripping the
+    open/close tags, replacing nested markup with spaces (``<br>``
+    separates words), and collapsing whitespace. Anchors without an
+    href in any form, and anchors whose body is empty after markup
+    strip, are dropped. No UDF, no shuffle."""
+    els = docs.select(
         F.col(id_col),
         F.explode(
-            F.arrays_zip(
-                F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1).alias(
-                    "href"
-                ),
-                F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2).alias(
-                    "anchor"
-                ),
-            )
-        ).alias("z"),
+            F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_EL_RE), 0)
+        ).alias("el"),
     )
-    anchor = F.trim(F.regexp_replace(F.col("z.anchor"), r"\s+", " "))
-    return pairs.select(
-        F.col(id_col),
-        canonical_url_col(F.col("z.href")).alias("target_url"),
-        domain_of(F.col("z.href")).alias("dst_domain"),
-        anchor.alias("anchor_text"),
-    ).filter(F.col("anchor_text") != "")
+    open_tag = F.regexp_extract(F.col("el"), r"(?is)^<a(?:\s[^>]*)?>", 0)
+    href = F.coalesce(
+        F.nullif(F.regexp_extract(open_tag, HREF_RE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(open_tag, HREF_RE_SINGLE, 1), F.lit("")),
+        F.nullif(F.regexp_extract(open_tag, HREF_RE_UNQUOTED, 1), F.lit("")),
+    )
+    body = F.regexp_replace(
+        F.col("el"), r"(?is)^<a(?:\s[^>]*)?>|</a\s*>$", ""
+    )
+    anchor = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(body, r"(?s)<[^>]*>", " "), r"\s+", " "
+        )
+    )
+    return (
+        els.select(
+            F.col(id_col),
+            href.alias("href"),
+            anchor.alias("anchor_text"),
+        )
+        .filter(F.col("href").isNotNull() & (F.col("anchor_text") != ""))
+        .select(
+            F.col(id_col),
+            canonical_url_col(F.col("href")).alias("target_url"),
+            domain_of(F.col("href")).alias("dst_domain"),
+            F.col("anchor_text"),
+        )
+    )
 
 
 def anchor_text_stats(
@@ -328,22 +432,37 @@ def anchor_text_stats(
     )
 
 
-def domain_degree_stats(edges: DataFrame) -> DataFrame:
-    """Per-domain degree profile over a distinct (src, dst) edge table:
+def domain_degree_stats(
+    edges: DataFrame, weight_col: str | None = None
+) -> DataFrame:
+    """Per-domain degree profile over a (src, dst) edge table:
     ``(domain, out_degree, in_degree, reciprocal_degree)`` —
     ``reciprocal_degree`` counting neighbors linked in BOTH directions
     (the mutual-link signal link farms inflate; Common Crawl's host
     ranks publish exactly this family of columns).
 
+    Degrees count edge ROWS: over the distinct edge table
+    (build_domain_graph default) that is the classic distinct-neighbor
+    degree; pass the WEIGHTED graph (``build_domain_graph(...,
+    weighted=True)``) with ``weight_col="weight"`` to sum link
+    multiplicity instead — the stronger spam signal (a farm emitting
+    10^4 links to one target reads degree 1 distinct, 10^4 weighted).
+    ``reciprocal_degree`` always counts distinct mutual NEIGHBORS,
+    both modes (multiplicity of a mutual pair is not a separate
+    signal).
+
     Scale shape: two groupBy passes on uniform domain keys plus one
     self-join of the edge table against its own reversal for the
     reciprocal count — all shuffles on the same key family, no
     broadcast needed, no driver materialization."""
+    deg = (
+        F.sum(weight_col).cast("long") if weight_col else F.count("*")
+    )
     out_d = edges.groupBy(F.col("src").alias("domain")).agg(
-        F.count("*").alias("out_degree")
+        deg.alias("out_degree")
     )
     in_d = edges.groupBy(F.col("dst").alias("domain")).agg(
-        F.count("*").alias("in_degree")
+        deg.alias("in_degree")
     )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst")

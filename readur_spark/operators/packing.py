@@ -117,6 +117,7 @@ def pack_sequences(
     text_col: str = "text",
     num_buckets: int | None = None,
     token_counter=None,
+    order_col: str | None = None,
 ) -> DataFrame:
     """Packing manifest: (seq_id, doc_id, tok_start, tok_end, n_tokens)
     with ``tok_start``/``tok_end`` the half-open within-document token
@@ -140,6 +141,15 @@ def pack_sequences(
     BPE token counts (the manifest then measures exactly what a loader
     materializing BPE-tokenized sequences will see). The counter runs in
     the same fused scan stage; everything downstream is unchanged.
+
+    ``order_col`` overrides the packing STREAM ORDER: documents are
+    concatenated in ascending ``(order_col, id_col)`` instead of id
+    order — the curriculum × packing composition (feed
+    ``curriculum_positions``' ``curriculum_pos`` here and sequences are
+    cut over the curriculum-ordered token stream, which is the order a
+    trainer actually reads). Must be an integral column; it becomes the
+    prefix-scan bucket key directly, so a dense position column (the
+    curriculum contract: 0..N-1) buckets perfectly uniformly.
     """
     import pyspark.sql.types as T
 
@@ -148,7 +158,16 @@ def pack_sequences(
         token_counter = token_count_col
     numeric_id = isinstance(docs.schema[id_col].dataType, T.NumericType)
     id_type = docs.schema[id_col].dataType.simpleString()
-    key = F.col(id_col) if numeric_id else F.xxhash64(id_col)
+    if order_col is not None:
+        if not isinstance(docs.schema[order_col].dataType, T.IntegralType):
+            raise TypeError(
+                f"order_col {order_col!r} must be an integral column, got "
+                f"{docs.schema[order_col].dataType.simpleString()} — the "
+                "prefix scan buckets by arithmetic on the key"
+            )
+        key = F.col(order_col)
+    else:
+        key = F.col(id_col) if numeric_id else F.xxhash64(id_col)
     base = docs.select(
         F.col(id_col).alias("id"),
         key.alias("key"),

@@ -164,7 +164,7 @@ def test_extract_anchor_texts(spark):
     rows = [
         (1, '<a class="x" href="https://E.com/a?utm_source=z">  Click\n here </a>'
             '<a href="https://e.com/a">click here</a>'
-            '<a href="https://e.com/a"><b>nested skipped</b></a>'
+            '<a href="https://e.com/a"><b>nested</b> kept</a>'
             '<a href="/rel">rel text</a>'),
         (2, '<a href="https://e.com/a">Click here</a>'
             '<a href="https://other.org/b">Other</a>'),
@@ -179,6 +179,7 @@ def test_extract_anchor_texts(spark):
         (1, "/rel", "", "rel text"),
         (1, "https://e.com/a", "e.com", "Click here"),
         (1, "https://e.com/a", "e.com", "click here"),
+        (1, "https://e.com/a", "e.com", "nested kept"),
         (2, "https://e.com/a", "e.com", "Click here"),
         (2, "https://other.org/b", "other.org", "Other"),
     ]
@@ -187,7 +188,7 @@ def test_extract_anchor_texts(spark):
         for r in anchor_text_stats(a, top_k=1).collect()
     }
     e = st["https://e.com/a"]
-    assert e["n_anchors"] == 3 and e["n_unique_texts"] == 2
+    assert e["n_anchors"] == 4 and e["n_unique_texts"] == 3
     assert e["top_anchors"] == ["Click here"]  # freq 2 beats 1
 
 
@@ -232,3 +233,217 @@ def test_domain_components_islands(spark):
         "d": ("d", 2), "e": ("d", 2),
         "f": ("f", 2), "g": ("f", 2),
     }
+
+
+def test_href_values_all_quoting_forms(spark):
+    """HTML admits double-quoted, single-quoted, and unquoted attribute
+    values; all three must extract (r6 review finding — the
+    double-quote-only regex silently lost a biased slice of edges)."""
+    from readur_spark.operators.linkgraph import href_values
+
+    html = (
+        '<a href="https://d.com/a">d</a>'
+        "<a href='https://s.com/b'>s</a>"
+        "<a href=https://u.com/c>u</a>"
+        '<a HREF="https://up.com/d">case</a>'
+        '<a href = "https://sp.com/e">spaced</a>'
+        "<a href=/rel/f class=x>unquoted stops at space</a>"
+    )
+    docs = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    got = sorted(docs.select(href_values("html").alias("h")).first()["h"])
+    assert got == sorted(
+        [
+            "https://d.com/a",
+            "https://s.com/b",
+            "https://u.com/c",
+            "https://up.com/d",
+            "https://sp.com/e",
+            "/rel/f",
+        ]
+    )
+
+
+def test_extract_outlinks_equality_on_double_quoted_corpus(spark):
+    """On strictly double-quoted markup the widened extractor is
+    pair-for-pair identical to the legacy single-form regex."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.operators.linkgraph import extract_outlinks
+
+    rows = [
+        (i, f'<p>x</p><a href="https://h{i % 7}.com/p?a=1&utm_x=2">t</a>'
+            f'<a href="/rel/{i % 3}">r</a>'
+            f'<a href="http://c{i % 5}.org/q#f">u</a>')
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    legacy = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"), F.lit(r'href="([^"]+)"'), 1
+            )
+        ).alias("href"),
+    )
+    from readur_spark.functions.urls import canonical_url_col
+    from readur_spark.operators.linkgraph import domain_of
+
+    want = sorted(
+        (r["doc_id"], r["target_url"], r["dst_domain"])
+        for r in legacy.select(
+            "doc_id",
+            canonical_url_col(F.col("href")).alias("target_url"),
+            domain_of(F.col("href")).alias("dst_domain"),
+        ).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["target_url"], r["dst_domain"])
+        for r in extract_outlinks(docs).collect()
+    )
+    assert got == want
+
+
+def test_href_values_fuzz_pages_match_python_reference(spark):
+    """The three codegen'd patterns agree pair-for-pair with an
+    independent Python ``re`` reimplementation on the adversarial fuzz
+    pages (single-quoted boilerplate links, glitch fragments, truncated
+    fetches — tests/test_htmlmain_adversarial.py's generator)."""
+    import random
+    import re as _re
+
+    from readur_spark.operators.linkgraph import (
+        HREF_RE,
+        HREF_RE_SINGLE,
+        HREF_RE_UNQUOTED,
+        href_values,
+    )
+    from tests.test_htmlmain_adversarial import _page
+
+    rng = random.Random(20260818)
+    pages = [(i, _page(rng)) for i in range(200)]
+
+    def pyref(html):
+        out = []
+        for pat in (HREF_RE, HREF_RE_SINGLE, HREF_RE_UNQUOTED):
+            out.extend(m.group(1) for m in _re.finditer(pat, html))
+        return out
+
+    docs = spark.createDataFrame(pages, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", href_values("html").alias("h")
+        ).collect()
+    }
+    total = 0
+    for i, html in pages:
+        assert got[i] == pyref(html), (i, html[:200])
+        total += len(got[i])
+    # the corpus's boilerplate links are single-quoted: the widened
+    # extractor must actually SEE them
+    assert total > 200
+
+
+def test_extract_anchor_texts_widened_forms(spark):
+    from readur_spark.operators.linkgraph import extract_anchor_texts
+
+    rows = [
+        (1, "<a href='https://s.com/x'>single <b>quoted</b></a>"
+            "<a href=https://u.com/y>unquoted<br>line</a>"
+            '<A HREF="https://c.com/z">CASE</A>'
+            '<a name="no-href">skip: no href</a>'
+            '<a href="https://k.com/w"><link href="https://decoy.com/d">'
+            "body text</a>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = sorted(
+        (r["target_url"], r["dst_domain"], r["anchor_text"])
+        for r in extract_anchor_texts(docs).collect()
+    )
+    # the nested <link href> decoy must NOT become the anchor target —
+    # only the opening tag's href counts
+    assert got == [
+        ("https://c.com/z", "c.com", "CASE"),
+        ("https://k.com/w", "k.com", "body text"),
+        ("https://s.com/x", "s.com", "single quoted"),
+        ("https://u.com/y", "u.com", "unquoted line"),
+    ]
+
+
+def test_pagerank_early_stop_equals_fixed_iters(spark):
+    """With a tight tolerance the loop stops early, and the result is
+    bit-identical to running exactly stats['iterations_run'] fixed
+    iterations — early stop changes WHEN the loop ends, never the
+    recurrence."""
+    from readur_spark.operators.linkgraph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    stats = {}
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=60, tol=1e-10, stats=stats).collect()
+    }
+    assert stats["converged"] is True
+    assert 0 < stats["iterations_run"] < 60
+    assert stats["final_delta"] <= 1e-10
+    fixed = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=stats["iterations_run"]).collect()
+    }
+    assert got == fixed
+    # converged means converged: one more iteration moves nothing
+    plus1 = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, iters=stats["iterations_run"] + 1).collect()
+    }
+    for v in got:
+        assert got[v] == pytest.approx(plus1[v], abs=1e-9)
+
+
+def test_pagerank_tol_not_reached_reports_unconverged(spark):
+    from readur_spark.operators.linkgraph import pagerank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    stats = {}
+    pagerank(df, iters=2, tol=0.0, stats=stats).collect()
+    assert stats["iterations_run"] == 2
+    assert stats["converged"] is False
+    assert stats["final_delta"] > 0.0
+    with pytest.raises(ValueError):
+        pagerank(df, tol=-1.0)
+
+
+def test_build_domain_graph_weighted_multiplicity(spark):
+    from readur_spark.operators.linkgraph import (
+        build_domain_graph,
+        domain_degree_stats,
+    )
+
+    rows = [
+        ("a.com", "b.com"), ("a.com", "b.com"), ("a.com", "b.com"),
+        ("a.com", "c.com"), ("b.com", "a.com"), ("a.com", "a.com"),
+        ("", "b.com"),
+    ]
+    df = spark.createDataFrame(rows, "src_domain string, dst_domain string")
+    w = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in build_domain_graph(df, weighted=True).collect()
+    }
+    assert w == {
+        ("a.com", "b.com"): 3,
+        ("a.com", "c.com"): 1,
+        ("b.com", "a.com"): 1,
+    }
+    st = {
+        r["domain"]: r
+        for r in domain_degree_stats(
+            build_domain_graph(df, weighted=True), weight_col="weight"
+        ).collect()
+    }
+    # weighted out-degree of a.com counts the 3× multiplicity
+    assert st["a.com"]["out_degree"] == 4
+    assert st["b.com"]["in_degree"] == 3
+    # reciprocal stays a distinct-neighbor count in weighted mode
+    assert st["a.com"]["reciprocal_degree"] == 1
+    assert st["b.com"]["reciprocal_degree"] == 1
+    assert st["c.com"]["reciprocal_degree"] == 0

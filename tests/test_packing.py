@@ -163,3 +163,44 @@ def test_pack_invariants_property_based(spark):
                 assert s1 == e0
 
     run()
+
+
+def test_pack_order_col_curriculum_composition(spark, docs):
+    """order_col packs the token stream in the GIVEN order: with
+    curriculum positions as the key the concatenation order is the
+    curriculum order, and the manifest equals a definitional replay
+    (sort by position, running sum, cut every seq_len)."""
+    from readur_spark.functions.textstats import token_count_col
+    from readur_spark.operators.sampling import curriculum_positions
+
+    d = docs.select(
+        "doc_id", "text", ((F.col("doc_id") % 7) / 7.0).alias("quality")
+    )
+    cur = curriculum_positions(d, phases=4)
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["tok_start"], r["tok_end"])
+        for r in pack_sequences(cur, seq_len=64, order_col="curriculum_pos")
+        .collect()
+    )
+    # definitional replay on the driver
+    rows = cur.select(
+        "doc_id", "curriculum_pos", token_count_col(F.col("text")).alias("n")
+    ).collect()
+    want = []
+    g = 0
+    for r in sorted(rows, key=lambda r: r["curriculum_pos"]):
+        n = r["n"]
+        if n <= 0:
+            continue
+        for seq in range(g // 64, (g + n - 1) // 64 + 1):
+            s = max(g, seq * 64)
+            e = min(g + n, (seq + 1) * 64)
+            want.append((seq, r["doc_id"], s - g, e - g))
+        g += n
+    assert got == sorted(want)
+
+
+def test_pack_order_col_rejects_non_integral(spark, docs):
+    d = docs.withColumn("badkey", F.rand(7))
+    with pytest.raises(TypeError, match="integral"):
+        pack_sequences(d, order_col="badkey")

@@ -196,8 +196,14 @@ def main() -> None:
         "criterion": ">=0.8",
         "pass": efficiency >= 0.8,
     }
-    with open("/root/repo/BENCH_scaling.json", "w") as f:
+    # atomic rename: a crash mid-write must not leave a torn JSON where
+    # the committed artifact used to be
+    tmp = "/root/repo/.BENCH_scaling.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(result, f, indent=2)
+    import os
+
+    os.replace(tmp, "/root/repo/BENCH_scaling.json")
     print(json.dumps(result, indent=2))
 
 
