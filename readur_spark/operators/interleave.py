@@ -47,8 +47,13 @@ from readur_spark.functions.textstats import token_count_col
 
 #: default per-kind media token budgets (positions a media span occupies
 #: in the packed stream): ViT-style 8x8 patch grid for images, a coarse
-#: codec-frame budget for audio/video.  Override per call.
-DEFAULT_MEDIA_COSTS = {"image": 64, "audio": 128, "video": 256}
+#: codec-frame budget for audio/video.  ``media`` is the UNIFIED kind
+#: the extraction pipeline emits (operators/extract.py span assembly) —
+#: without a budget for it, composing extract_spans →
+#: build_interleaved_sequences with defaults silently dropped every
+#: media span from the stream (found by the REP=100 interleave funnel,
+#: r7).  Override per call.
+DEFAULT_MEDIA_COSTS = {"image": 64, "audio": 128, "video": 256, "media": 64}
 
 
 def explode_spans(

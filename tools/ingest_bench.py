@@ -97,6 +97,24 @@ def main() -> None:
         }
         return n, h
 
+    # 0. WARM START (r6 verdict, next-round #7): one tiny Arrow batch
+    # job through the same extract machinery before the stream opens.
+    # With spark.python.worker.reuse (default true) the forked Python
+    # daemons persist per core, so a 1-row-per-core no-op pre-forks the
+    # worker pool and compiles the codegen paths the first micro-batch
+    # would otherwise pay for — isolating SESSION startup from
+    # STREAMING first-batch latency. r6 measured the combined cost at
+    # 75.6 s on the first backlog batch; the split lands in warmup_s
+    # vs backlog.batch_latencies_s[0].
+    t0 = time.perf_counter()
+    from readur_spark.operators.extract import extract_spans as _ext
+
+    warm = spark.createDataFrame(
+        generate_docs(int(cpus) * 2, seed=1), DOCS_SCHEMA
+    ).repartition(int(cpus))
+    _ext(warm).count()
+    out["warmup_s"] = round(time.perf_counter() - t0, 1)
+
     # 1. backlog: 5,000 docs over 64 files
     drop(generate_docs(5000, seed=11), 64)
     sync("backlog")
