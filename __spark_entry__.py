@@ -832,6 +832,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_degrees"] = _q_domain_degrees
 
+    def _q_domain_degrees_weighted(s, sf):
+        # the WEIGHTED degree profile (r7): the same deterministic
+        # construction but with link MULTIPLICITY — the modulus mapping
+        # is many-to-one, so several doc_ids emit the same (src, dst)
+        # pair and build_domain_graph(weighted=True) counts them. The
+        # stronger spam signal (a farm emitting 10^4 links to one
+        # target reads degree 1 distinct, 10^4 weighted); reciprocal
+        # stays a distinct-neighbor count by contract.
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            domain_degree_stats,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        return domain_degree_stats(
+            build_domain_graph(raw, weighted=True), weight_col="weight"
+        )
+
+    q["domain_degrees_weighted"] = _q_domain_degrees_weighted
+
     def _q_rank_filter_docs(s, sf):
         # the link-graph family composed end-to-end the way a curation
         # pipeline uses it: build the host graph, rank it, attribute
@@ -1653,6 +1681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leads the window, pack_sequences is #2) — first driver window
         # in r8;
         "curriculum_pack_roundtrip",
+        # domain_degrees_weighted is NEW (r7), value-gated green on
+        # addition; its distinct-mode sibling domain_degrees was
+        # r6-green and the weighted leg is unit-tested
+        # (test_build_domain_graph_weighted_multiplicity) — r8 window;
+        "domain_degrees_weighted",
         # outlink_domains / anchor_profile changed in r7 (widened
         # extractor: single-quoted/unquoted hrefs, nested anchor
         # bodies, markup mirrored into BOTH engines) and were re-gated
@@ -2595,6 +2628,39 @@ def oracle_sql() -> dict[str, str]:
                   UNION SELECT dst FROM edges),
         outd AS (SELECT src AS domain, count(*) AS c FROM edges GROUP BY src),
         ind AS (SELECT dst AS domain, count(*) AS c FROM edges GROUP BY dst),
+        recip AS (
+          SELECT e.src AS domain, count(*) AS c FROM edges e
+          WHERE EXISTS (SELECT 1 FROM edges r
+                        WHERE r.src = e.dst AND r.dst = e.src)
+          GROUP BY e.src
+        )
+        SELECT n.domain,
+               CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
+               CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
+               CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal_degree
+        FROM nodes n
+        LEFT JOIN outd o ON n.domain = o.domain
+        LEFT JOIN ind i ON n.domain = i.domain
+        LEFT JOIN recip r ON n.domain = r.domain
+    """
+
+    # domain_degrees_weighted: same construction, multiplicity-weighted
+    # edges (groupBy pair, count), degrees = sum of weights; reciprocal
+    # stays the distinct-mutual-neighbor EXISTS
+    o["domain_degrees_weighted"] = """
+        WITH edges AS (
+          SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst,
+                 count(*) AS w
+          FROM documents
+          WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)
+          GROUP BY 1, 2
+        ),
+        nodes AS (SELECT src AS domain FROM edges
+                  UNION SELECT dst FROM edges),
+        outd AS (SELECT src AS domain, sum(w) AS c FROM edges GROUP BY src),
+        ind AS (SELECT dst AS domain, sum(w) AS c FROM edges GROUP BY dst),
         recip AS (
           SELECT e.src AS domain, count(*) AS c FROM edges e
           WHERE EXISTS (SELECT 1 FROM edges r

@@ -810,6 +810,18 @@ def connected_components(
     labels = _truncate(
         edges.select(F_.col("src").alias("id")).distinct().withColumn("lbl", F_.col("id"))
     )
+    # release discipline: each round's truncation leaves a persisted
+    # block; without freeing the PREVIOUS round's labels, an
+    # O(diameter)-round run on a big host graph accumulates diameter
+    # copies of the label table in executor storage (found by the
+    # 10^7-edge linkgraph probe, r7). Reliable-checkpoint mode relies
+    # on ContextCleaner + checkpoint-dir cleanup instead.
+    def _release(df: DataFrame) -> None:
+        if checkpoint_dir is None:
+            from readur_spark.plans.curation import _release_checkpoint
+
+            _release_checkpoint(df)
+
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -828,9 +840,11 @@ def connected_components(
             .filter(F_.col("n.lbl") != F_.col("o.lbl"))
             .count()
         )
+        _release(labels)
         labels = new_labels
         if changed == 0:
             break
+    _release(edges)
     return labels.select(F_.col("id"), F_.col("lbl").alias("component"))
 
 
