@@ -785,6 +785,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_pagerank"] = _q_domain_pagerank
 
+    def _q_domain_trustrank(s, sf):
+        # TrustRank (r7): the SAME deterministic host graph, but the
+        # teleport / dangling re-entry / initial mass restricted to
+        # five trusted seed hosts — trust flows outward along links, so
+        # hosts far from every seed (and the d53..d96 sink-only nodes)
+        # score near-zero. Oracle: chained-CTE replay of the identical
+        # personalized recurrence (_trustrank_sql).
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            trustrank,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        edges = build_domain_graph(raw)
+        return trustrank(
+            edges,
+            ["d0", "d7", "d14", "d21", "d35"],
+            damping=0.85,
+            iters=5,
+        ).select("node", "rank")
+
+    q["domain_trustrank"] = _q_domain_trustrank
+
     def _q_domain_blocklist(s, sf):
         # UT1-style curated-blocklist filter: the broadcast anti-join
         # must drop exactly the residue classes on the list,
@@ -1686,6 +1717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-green and the weighted leg is unit-tested
         # (test_build_domain_graph_weighted_multiplicity) — r8 window;
         "domain_degrees_weighted",
+        # domain_trustrank is NEW (r7), value-gated green on addition
+        # against the personalized chained-CTE replay; the shared
+        # power-iteration machinery holds an in-window row via
+        # pagerank's classic path being untouched (branch kept
+        # bit-identical) and naive-replay unit tests — r8 window;
+        "domain_trustrank",
         # outlink_domains / anchor_profile changed in r7 (widened
         # extractor: single-quoted/unquoted hrefs, nested anchor
         # bodies, markup mirrored into BOTH engines) and were re-gated
@@ -1810,6 +1847,47 @@ def _pagerank_sql(edges_cte: str, damping: float, iters: int) -> str:
             f") m ON no.node = m.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def _trustrank_sql(
+    edges_cte: str, seeds_cte: str, damping: float, iters: int
+) -> str:
+    """DuckDB replay of operators.linkgraph.trustrank — the personalized
+    power iteration: teleport vector t = uniform over seeds∩nodes (0
+    elsewhere), r0 = t, and each step
+    rank'(v) = (1-d)·t(v) + d·(inmass(v) + dangling·t(v)).
+    ``seeds_cte`` must select a single ``node`` column."""
+    d = damping
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        f"seeds AS ({seeds_cte})",
+        "sn AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds s "
+        "JOIN nodes n ON s.node = n.node)",
+        "tv AS (SELECT n.node, CASE WHEN s.node IS NOT NULL "
+        "THEN 1.0/(SELECT k FROM sn) ELSE 0.0 END AS t "
+        "FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+        "outdeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS c "
+        "FROM edges GROUP BY src)",
+        "r0 AS (SELECT node, t AS rank FROM tv)",
+    ]
+    for i in range(1, iters + 1):
+        p, r = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f"{r} AS (SELECT no.node, (1.0 - {d}) * no.t "
+            f"+ {d} * (coalesce(m.inmass, 0.0) "
+            f"+ (SELECT coalesce(sum(pr.rank), 0.0) FROM {p} pr "
+            f"LEFT JOIN outdeg o ON pr.node = o.src "
+            f"WHERE o.src IS NULL) * no.t) AS rank "
+            f"FROM tv no LEFT JOIN ("
+            f"SELECT e.dst AS node, sum(pr.rank / o.c) AS inmass "
+            f"FROM edges e JOIN {p} pr ON e.src = pr.node "
+            f"JOIN outdeg o ON e.src = o.src GROUP BY e.dst"
+            f") m ON no.node = m.node)"
+        )
+    return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
 
 _BPE_ORACLE_CACHE: dict[tuple, list] = {}
 
@@ -2643,6 +2721,20 @@ def oracle_sql() -> dict[str, str]:
         LEFT JOIN ind i ON n.domain = i.domain
         LEFT JOIN recip r ON n.domain = r.domain
     """
+
+    # domain_trustrank: the personalized replay over the same edge
+    # construction, seeds as a VALUES literal
+    o["domain_trustrank"] = _trustrank_sql(
+        """SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                  'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+           FROM documents
+           WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                 <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)""",
+        "SELECT node FROM (VALUES ('d0'), ('d7'), ('d14'), ('d21'), "
+        "('d35')) AS v(node)",
+        damping=0.85,
+        iters=5,
+    )
 
     # domain_degrees_weighted: same construction, multiplicity-weighted
     # edges (groupBy pair, count), degrees = sum of weights; reciprocal

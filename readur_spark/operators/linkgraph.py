@@ -152,9 +152,20 @@ def pagerank(
     dst_col: str = "dst",
     tol: float | None = None,
     stats: dict | None = None,
+    teleport: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a (src, dst) edge table.
     Returns (node, rank); ranks sum to 1 across nodes.
+
+    ``teleport``: optional personalization vector — a DataFrame whose
+    first column is the node and whose optional second column is a
+    non-negative weight (default 1 per listed node). Weights are
+    normalized over the nodes PRESENT in the graph; the teleport term,
+    the dangling-mass redistribution, and the initial ranks all follow
+    the vector instead of the uniform 1/N (personalized PageRank /
+    TrustRank semantics — mass still conserved exactly, since dangling
+    mass re-enters through the same distribution). ``None`` keeps the
+    classic uniform formulation, bit-for-bit unchanged.
 
     ``tol``: optional L1 convergence threshold — when set, each
     iteration additionally computes Σ|rank' - rank| (ONE extra scalar
@@ -222,9 +233,48 @@ def pagerank(
         "left_anti",
     ).localCheckpoint(eager=True)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-        eager=True
-    )
+    # teleport vector: uniform stays the scalar formulation below
+    # (bit-identical to the oracle-pinned classic path); a
+    # personalization vector becomes a per-node __t column carried on
+    # the nodes table (normalized over graph nodes, absent nodes 0)
+    nodes_t = None
+    if teleport is not None:
+        tcols = teleport.columns
+        tv = teleport.select(
+            F.col(tcols[0]).alias("node"),
+            (
+                F.col(tcols[1]).cast("double")
+                if len(tcols) > 1
+                else F.lit(1.0)
+            ).alias("__w"),
+        ).groupBy("node").agg(F.sum("__w").alias("__w"))
+        on_graph = nodes.join(tv, "node")
+        total = on_graph.agg(
+            F.coalesce(F.sum("__w"), F.lit(0.0))
+        ).first()[0]
+        if total <= 0:
+            edeg.unpersist()
+            _release_checkpoint(danglers)
+            _release_checkpoint(nodes)
+            raise ValueError(
+                "teleport vector has no positive mass on graph nodes"
+            )
+        nodes_t = (
+            nodes.join(
+                tv.select("node", (F.col("__w") / total).alias("__t")),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
+            .localCheckpoint(eager=True)
+        )
+        ranks = nodes_t.select(
+            "node", F.col("__t").alias("rank")
+        ).localCheckpoint(eager=True)
+    else:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+            eager=True
+        )
     base = (1.0 - damping) / n
     for _ in range(iters):
         # rank mass parked on dangling nodes (no outgoing edges)
@@ -242,20 +292,36 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("inmass"))
         )
-        new_ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("inmass"), F.lit(0.0))
-                        + F.lit(dangling / n)
-                    )
-                ).alias("rank"),
+        if nodes_t is not None:
+            new_ranks = (
+                nodes_t.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping) * F.col("__t")
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inmass"), F.lit(0.0))
+                            + F.lit(dangling) * F.col("__t")
+                        )
+                    ).alias("rank"),
+                )
             )
-        )
+        else:
+            new_ranks = (
+                nodes.join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("inmass"), F.lit(0.0))
+                            + F.lit(dangling / n)
+                        )
+                    ).alias("rank"),
+                )
+            )
         old = ranks
         ranks = new_ranks.localCheckpoint(eager=True)
         if stats is not None:
@@ -287,7 +353,54 @@ def pagerank(
     edeg.unpersist()
     _release_checkpoint(danglers)
     _release_checkpoint(nodes)
+    if nodes_t is not None:
+        _release_checkpoint(nodes_t)
     return ranks
+
+
+def trustrank(
+    edges: DataFrame,
+    seeds: Iterable[str] | DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
+    personalized to a curated set of TRUSTED seed hosts — the teleport
+    (and the dangling re-entry, and the initial mass) lands only on
+    seeds, so trust flows outward along links and link-farm islands
+    unreachable from any seed converge to rank 0. The classic
+    complement to the UT1 blocklist: the blocklist names known-bad
+    hosts, TrustRank scores everything by distance-weighted reachability
+    from known-good ones.
+
+    ``seeds``: host names (iterable, uniform trust) or a DataFrame whose
+    first column is the host and optional second column a non-negative
+    trust weight. Seeds absent from the graph are ignored; an empty
+    intersection raises. Same scale shape as :func:`pagerank` — the
+    seed vector adds one broadcast-size join at setup and a __t column
+    on the node table, nothing per-iteration."""
+    spark = edges.sparkSession
+    if isinstance(seeds, DataFrame):
+        sd = seeds
+    else:
+        hosts = sorted({str(h) for h in seeds})
+        if not hosts:
+            raise ValueError("trustrank needs at least one seed host")
+        sd = spark.createDataFrame([(h,) for h in hosts], "node string")
+    return pagerank(
+        edges,
+        damping=damping,
+        iters=iters,
+        src_col=src_col,
+        dst_col=dst_col,
+        tol=tol,
+        stats=stats,
+        teleport=sd,
+    )
 
 
 def filter_by_domain_blocklist(

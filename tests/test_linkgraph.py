@@ -447,3 +447,113 @@ def test_build_domain_graph_weighted_multiplicity(spark):
     assert st["a.com"]["reciprocal_degree"] == 1
     assert st["b.com"]["reciprocal_degree"] == 1
     assert st["c.com"]["reciprocal_degree"] == 0
+
+
+def _trustrank_naive(edges, nodes, seeds, damping=0.85, iters=5):
+    """Reference personalized power iteration: teleport, dangling
+    re-entry, and the initial vector all follow the seed distribution."""
+    s = [v for v in nodes if v in set(seeds)]
+    t = {v: (1.0 / len(s) if v in set(s) else 0.0) for v in nodes}
+    outdeg, adj = {}, {}
+    for a, b in edges:
+        outdeg[a] = outdeg.get(a, 0) + 1
+        adj.setdefault(a, []).append(b)
+    ranks = dict(t)
+    for _ in range(iters):
+        dangling = sum(r for v, r in ranks.items() if v not in outdeg)
+        inmass = {v: 0.0 for v in nodes}
+        for a, ds in adj.items():
+            share = ranks[a] / outdeg[a]
+            for b in ds:
+                inmass[b] += share
+        ranks = {
+            v: (1 - damping) * t[v]
+            + damping * (inmass[v] + dangling * t[v])
+            for v in nodes
+        }
+    return ranks
+
+
+def test_trustrank_matches_naive_replay(spark):
+    from readur_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = ["a", "d", "zz-not-in-graph"]
+    got = {
+        r["node"]: r["rank"]
+        for r in trustrank(df, seeds, iters=7).collect()
+    }
+    want = _trustrank_naive(EDGES, NODES, {"a", "d"}, iters=7)
+    assert set(got) == set(want)
+    for v in NODES:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # mass conserved under seed-restricted teleport
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_trustrank_unreachable_island_gets_zero(spark):
+    from readur_spark.operators.linkgraph import trustrank
+
+    edges = EDGES + [("x", "y"), ("y", "x")]  # island, no seed
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"] for r in trustrank(df, ["a"], iters=6).collect()
+    }
+    assert got["x"] == 0.0 and got["y"] == 0.0
+    assert got["a"] > 0
+
+
+def test_trustrank_uniform_seed_set_equals_pagerank(spark):
+    from readur_spark.operators.linkgraph import pagerank, trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    pr = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+    tr = {
+        r["node"]: r["rank"]
+        for r in trustrank(df, NODES, iters=5).collect()
+    }
+    for v in NODES:
+        assert tr[v] == pytest.approx(pr[v], abs=1e-12)
+
+
+def test_trustrank_rejects_empty_seed_intersection(spark):
+    from readur_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    with pytest.raises(ValueError, match="no positive mass|at least one"):
+        trustrank(df, ["nope"], iters=3)
+    with pytest.raises(ValueError, match="at least one"):
+        trustrank(df, [], iters=3)
+
+
+def test_trustrank_weighted_seeds_and_checkpoint_release(spark):
+    from readur_spark.operators.linkgraph import trustrank
+
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 3.0), ("d", 1.0)], "node string, w double"
+    )
+    got = {r["node"]: r["rank"] for r in trustrank(df, seeds, iters=4).collect()}
+    t = {"a": 3.0 / 4.0, "d": 1.0 / 4.0}
+    naive_t = {v: t.get(v, 0.0) for v in NODES}
+    ranks = dict(naive_t)
+    outdeg, adj = {}, {}
+    for a, b in EDGES:
+        outdeg[a] = outdeg.get(a, 0) + 1
+        adj.setdefault(a, []).append(b)
+    for _ in range(4):
+        dangling = sum(r for v, r in ranks.items() if v not in outdeg)
+        inmass = {v: 0.0 for v in NODES}
+        for a, ds in adj.items():
+            for b in ds:
+                inmass[b] += ranks[a] / outdeg[a]
+        ranks = {
+            v: 0.15 * naive_t[v] + 0.85 * (inmass[v] + dangling * naive_t[v])
+            for v in NODES
+        }
+    for v in NODES:
+        assert got[v] == pytest.approx(ranks[v], abs=1e-12)
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the returned frame may persist
