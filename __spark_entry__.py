@@ -1558,6 +1558,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("doc_id", "source")
 
     q["mix_sources"] = _q_mix
+
+    def _q_mix_temperature(s, sf):
+        # temperature-scaled mixing (mT5/PaLM recipe, r7): target share
+        # ∝ p^(1/T) over the OBSERVED source distribution, then the
+        # same downsample-only salted-Bernoulli machinery. The sf0.01
+        # sources are exactly uniform (identity under any T), so the
+        # row derives a SKEWED synthetic source (70/20/10 by residue)
+        # and T=2 must measurably flatten it. Oracle: the
+        # normalization constant cancels in the keep rate (rate_s =
+        # min_r(n_r/t_r) · t_s/n_s), so the SQL replays pow(p, 1/T)
+        # directly.
+        from readur_spark.operators.sampling import mix_sources_temperature
+
+        d = _docs(s, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 < 7, "big")
+            .when(F.col("doc_id") % 10 < 9, "mid")
+            .otherwise("small")
+            .alias("source"),
+        )
+        return mix_sources_temperature(d, temperature=2.0).select(
+            "doc_id", "source"
+        )
+
+    q["mix_sources_temperature"] = _q_mix_temperature
     q["dedup_cluster"] = lambda s, sf: dedup.dedup_cluster_keep_first(
         _docs(s, sf), dedup.ngram_jaccard_pairs(_docs(s, sf), threshold=0.5, n=3)
     ).select("doc_id", "lang", "source", "n_chars")
@@ -1717,6 +1742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r6-green and the weighted leg is unit-tested
         # (test_build_domain_graph_weighted_multiplicity) — r8 window;
         "domain_degrees_weighted",
+        # mix_sources_temperature is NEW (r7), value-gated green on
+        # addition; it delegates to mix_sources (in-window this round)
+        # with computed targets, and the pow arithmetic is replayed in
+        # the oracle — r8 window;
+        "mix_sources_temperature",
         # domain_trustrank is NEW (r7), value-gated green on addition
         # against the personalized chained-CTE replay; the shared
         # power-iteration machinery holds an in-window row via
@@ -3268,6 +3298,35 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT d.doc_id, d.source
         FROM documents d JOIN r ON d.source = r.source
+        WHERE {_u.format(salt="mix-v1")} < r.rate
+    """
+
+    # mix_sources_temperature: targets = p^(1/T) over observed shares;
+    # the target-normalization constant cancels in the keep rate, so
+    # the replay computes pow directly (T = 2)
+    o["mix_sources_temperature"] = f"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 10 < 7 THEN 'big'
+                      WHEN doc_id % 10 < 9 THEN 'mid'
+                      ELSE 'small' END AS source
+          FROM documents
+        ),
+        c AS (
+          SELECT source, CAST(count(*) AS DOUBLE) AS n
+          FROM docs GROUP BY source
+        ),
+        tt AS (
+          SELECT source, n,
+                 pow(n / (SELECT sum(n) FROM c), 1.0/2.0) AS t
+          FROM c
+        ),
+        r AS (
+          SELECT source, least(1.0, (SELECT min(n / t) FROM tt) * t / n) AS rate
+          FROM tt
+        )
+        SELECT d.doc_id, d.source
+        FROM docs d JOIN r ON d.source = r.source
         WHERE {_u.format(salt="mix-v1")} < r.rate
     """
 

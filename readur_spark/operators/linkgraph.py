@@ -84,6 +84,7 @@ def extract_outlinks(
     html_col: str = "html",
     id_col: str = "doc_id",
     base_domain_col: str | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """One row per (document, outlink): ``href`` targets pulled from the
     markup (all three HTML attribute quoting forms — see ``HREF_RE``
@@ -91,14 +92,23 @@ def extract_outlinks(
     domain. Relative references (no scheme) keep an empty ``dst_domain``
     unless ``base_domain_col`` names a column to attribute them to.
 
+    ``passthrough_cols``: input columns copied verbatim onto every
+    output row (e.g. the page's own domain for a src_domain edge
+    build) — saves a corpus-scale re-join when the caller needs them
+    alongside the links (same idiom as extract_spans).
+
     Pure Catalyst: regexp_extract_all ×3 → concat → explode →
     canonicalize. The explode multiplies rows ~50× on real pages (avg
     outlinks/page) but stays pipelined — no shuffle until whatever
     aggregate follows."""
-    extra = [F.col(base_domain_col)] if base_domain_col else []
+    passthrough = list(passthrough_cols or [])
+    extra = sorted(
+        set(passthrough)
+        | ({base_domain_col} if base_domain_col else set())
+    )
     links = docs.select(
         F.col(id_col),
-        *extra,
+        *[F.col(c) for c in extra],
         F.explode(href_values(html_col)).alias("href"),
     )
     dst = domain_of(F.col("href"))
@@ -110,6 +120,7 @@ def extract_outlinks(
         F.col(id_col),
         canonical_url_col(F.col("href")).alias("target_url"),
         dst.alias("dst_domain"),
+        *[F.col(c) for c in passthrough],
     )
 
 

@@ -97,6 +97,44 @@ def mix_sources(
     )
 
 
+def mix_sources_temperature(
+    docs: DataFrame,
+    temperature: float,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual/multi-source
+    recipe of mT5 / PaLM): target share of source s ∝ p_s^(1/T) where
+    p_s is its empirical share. T=1 keeps the natural distribution;
+    T→∞ approaches uniform (boosting small sources' RELATIVE share);
+    T<1 sharpens toward the head. Downsample-only like
+    :func:`mix_sources` — the targets are computed from the observed
+    counts and handed to the same salted-Bernoulli machinery, so the
+    corpus never shuffles and reruns are deterministic."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    counts = {
+        r["s"]: r["n"]
+        for r in docs.groupBy(F.col(source_col).alias("s"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    if not counts:
+        return docs
+    total = sum(counts.values())
+    targets = {
+        s: (n / total) ** (1.0 / temperature) for s, n in counts.items()
+    }
+    return mix_sources(
+        docs,
+        targets,
+        source_col=source_col,
+        id_col=id_col,
+        salt=salt,
+    )
+
+
 def sample_by_weight(
     docs: DataFrame,
     rate: float,

@@ -557,3 +557,18 @@ def test_trustrank_weighted_seeds_and_checkpoint_release(spark):
         assert got[v] == pytest.approx(ranks[v], abs=1e-12)
     after = sc._jsc.getPersistentRDDs().size()
     assert after - before <= 1  # only the returned frame may persist
+
+
+def test_extract_outlinks_passthrough_cols(spark):
+    from readur_spark.operators.linkgraph import extract_outlinks
+
+    rows = [(1, '<a href="https://b.com/p">t</a>', "a.com", "en")]
+    df = spark.createDataFrame(
+        rows, "doc_id long, html string, dom string, lang string"
+    )
+    got = extract_outlinks(
+        df, base_domain_col="dom", passthrough_cols=["dom", "lang"]
+    ).collect()
+    assert [(r["dst_domain"], r["dom"], r["lang"]) for r in got] == [
+        ("b.com", "a.com", "en")
+    ]

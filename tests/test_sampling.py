@@ -197,3 +197,28 @@ def test_curriculum_positions_null_quality_raises(spark):
     )
     with pytest.raises(Exception, match="NULL in quality column"):
         curriculum_positions(docs, phases=4).collect()
+
+
+def test_mix_sources_temperature(spark):
+    """T=1 keeps the natural mix (rates all 1 -> identity); higher T
+    flattens: the head source is downsampled toward the tail's share,
+    and the kept mix is closer to uniform than the input."""
+    from readur_spark.operators.sampling import mix_sources_temperature
+
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    t1 = mix_sources_temperature(docs, temperature=1.0)
+    assert t1.count() == 1000  # natural distribution = no-op
+    t4 = mix_sources_temperature(docs, temperature=4.0).groupBy(
+        "source"
+    ).count()
+    got = {r["source"]: r["count"] for r in t4.collect()}
+    # small keeps everything (downsample-only); big shrinks toward
+    # p_small^(1/4)/p_big^(1/4) parity
+    assert got["small"] == 100
+    want_big = 100 * (0.9 ** 0.25) / (0.1 ** 0.25)
+    assert abs(got["big"] - want_big) / want_big < 0.15  # Bernoulli noise
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mix_sources_temperature(docs, temperature=0.0)
