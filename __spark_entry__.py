@@ -816,6 +816,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_trustrank"] = _q_domain_trustrank
 
+    def _q_domain_harmonic(s, sf):
+        # HyperBall (Boldi-Vigna 2013, r7) over the same deterministic
+        # host graph: HLL-sketched reachability balls, one
+        # join+register-max round per hop with exact fixpoint stop;
+        # emits reach estimate, harmonic centrality (the Common Crawl
+        # host-rank signal), and the convergence round per node. The
+        # md5 register function makes the sketches bit-deterministic,
+        # so the oracle replays the IDENTICAL algorithm in pure Python
+        # (hyperball_replay) and the match is exact, not approximate.
+        from readur_spark.operators.linkgraph import build_domain_graph
+        from readur_spark.operators.neighborhood import hyperball
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        edges = build_domain_graph(raw)
+        return hyperball(edges, p=6, max_t=8).select(
+            "node",
+            F.round("reach_est", 6).alias("reach_est"),
+            F.round("harmonic", 6).alias("harmonic"),
+            "t_converged",
+        )
+
+    q["domain_harmonic"] = _q_domain_harmonic
+
     def _q_domain_blocklist(s, sf):
         # UT1-style curated-blocklist filter: the broadcast anti-join
         # must drop exactly the residue classes on the list,
@@ -1747,6 +1778,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # with computed targets, and the pow arithmetic is replayed in
         # the oracle — r8 window;
         "mix_sources_temperature",
+        # domain_harmonic is NEW (r7), value-gated green on addition
+        # against the EXACT pure-Python HyperBall replay (deterministic
+        # md5 sketches make the match bit-level, not approximate) — r8
+        # window;
+        "domain_harmonic",
         # domain_trustrank is NEW (r7), value-gated green on addition
         # against the personalized chained-CTE replay; the shared
         # power-iteration machinery holds an in-window row via
@@ -2765,6 +2801,48 @@ def oracle_sql() -> dict[str, str]:
         damping=0.85,
         iters=5,
     )
+
+    # domain_harmonic: the HyperBall run replayed exactly in pure
+    # Python (same md5 registers, same estimator, same merge schedule)
+    # on the same derived edge list, shipped as a VALUES literal
+    def _hyperball_oracle_sql() -> str:
+        import duckdb as _dd
+
+        from readur_spark.operators.neighborhood import hyperball_replay
+
+        ids = [
+            r[0]
+            for r in _dd.sql(
+                "SELECT DISTINCT doc_id FROM "
+                "'/root/testdata/sf0.01/documents.parquet'"
+            ).fetchall()
+        ]
+        edges = sorted(
+            {
+                (f"d{i % 53}", f"d{(i * 13 + 5) % 97}")
+                for i in ids
+                if f"d{i % 53}" != f"d{(i * 13 + 5) % 97}"
+            }
+        )
+        rows = hyperball_replay(edges, p=6, max_t=8)
+        values = ", ".join(
+            f"('{v}', {round(est, 6)!r}, {round(harm, 6)!r}, {tc})"
+            for v, (est, harm, tc) in sorted(rows.items())
+        )
+        return (
+            "SELECT node, CAST(reach_est AS DOUBLE) AS reach_est, "
+            "CAST(harmonic AS DOUBLE) AS harmonic, "
+            "CAST(t_converged AS INT) AS t_converged "
+            f"FROM (VALUES {values}) AS v(node, reach_est, harmonic, "
+            "t_converged)"
+        )
+
+    try:
+        o["domain_harmonic"] = _hyperball_oracle_sql()
+    except Exception:
+        # oracle replay unavailable (no sf0.01 parquet on this host):
+        # omit the entry — the driver records the weaker rows-only check
+        pass
 
     # domain_degrees_weighted: same construction, multiplicity-weighted
     # edges (groupBy pair, count), degrees = sum of weights; reciprocal
