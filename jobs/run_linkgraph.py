@@ -55,6 +55,12 @@ def main() -> None:
     ap.add_argument("--blocklist", default=None,
                     help="text file, one blocked host per line")
     ap.add_argument("--weighted-degrees", action="store_true")
+    ap.add_argument("--harmonic-out", default=None,
+                    help="also run HyperBall and write per-domain "
+                         "(reach_est, harmonic, t_converged) — computed "
+                         "over REVERSED edges (who can reach me), the "
+                         "classic centrality direction")
+    ap.add_argument("--harmonic-p", type=int, default=8)
     ap.add_argument("--min-rank-ratio", type=float, default=1.0,
                     help="docs-out keeps domains with rank >= ratio/N")
     args = ap.parse_args()
@@ -123,6 +129,23 @@ def main() -> None:
             weight_col="weight" if args.weighted_degrees else None,
         ).write.mode("overwrite").parquet(args.degrees_out)
         report["degrees_out"] = args.degrees_out
+
+    if args.harmonic_out:
+        from readur_spark.operators.neighborhood import hyperball
+
+        hstats: dict = {}
+        hyperball(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            p=args.harmonic_p,
+            stats=hstats,
+        ).write.mode("overwrite").parquet(args.harmonic_out)
+        report["harmonic"] = {
+            "out": args.harmonic_out,
+            "rounds": hstats.get("rounds_run"),
+            "converged": hstats.get("converged"),
+        }
 
     if args.docs_out:
         threshold = args.min_rank_ratio / max(n_nodes, 1)
