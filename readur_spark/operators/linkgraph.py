@@ -260,9 +260,19 @@ def pagerank(
             ).alias("__w"),
         ).groupBy("node").agg(F.sum("__w").alias("__w"))
         on_graph = nodes.join(tv, "node")
-        total = on_graph.agg(
-            F.coalesce(F.sum("__w"), F.lit(0.0))
-        ).first()[0]
+        agg = on_graph.agg(
+            F.coalesce(F.sum("__w"), F.lit(0.0)).alias("total"),
+            F.coalesce(F.min("__w"), F.lit(0.0)).alias("lo"),
+        ).first()
+        total = agg["total"]
+        if agg["lo"] < 0:
+            edeg.unpersist()
+            _release_checkpoint(danglers)
+            _release_checkpoint(nodes)
+            raise ValueError(
+                "teleport weights must be non-negative "
+                f"(min on graph nodes: {agg['lo']})"
+            )
         if total <= 0:
             edeg.unpersist()
             _release_checkpoint(danglers)

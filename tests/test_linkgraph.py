@@ -572,3 +572,14 @@ def test_extract_outlinks_passthrough_cols(spark):
     assert [(r["dst_domain"], r["dom"], r["lang"]) for r in got] == [
         ("b.com", "a.com", "en")
     ]
+
+
+def test_trustrank_rejects_negative_weights(spark):
+    from readur_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 2.0), ("d", -1.0)], "node string, w double"
+    )
+    with pytest.raises(ValueError, match="non-negative"):
+        trustrank(df, seeds, iters=3)
