@@ -94,7 +94,16 @@ def main() -> None:
     stats: dict = {}
     if args.trust_seeds or args.trust_seeds_table:
         if args.trust_seeds_table:
-            seeds = spark.read.parquet(args.trust_seeds_table)
+            # lowercase to the graph's host contract (src is lowered
+            # above, domain_of lowers dst) — mixed-case seeds would
+            # silently miss the node table otherwise (review finding)
+            tbl = spark.read.parquet(args.trust_seeds_table)
+            seeds = tbl.select(
+                F.lower(F.col(tbl.columns[0]).cast("string")).alias(
+                    "node"
+                ),
+                *[F.col(c) for c in tbl.columns[1:2]],
+            )
         else:
             with open(args.trust_seeds) as fh:
                 seeds = [ln.strip().lower() for ln in fh if ln.strip()]
@@ -109,14 +118,24 @@ def main() -> None:
             tol=args.tol, stats=stats,
         )
         report["mode"] = "pagerank"
+    # the rank distribution normalizes over the FULL graph, so the
+    # min-rank-ratio threshold must divide by the pre-blocklist node
+    # count — counting the filtered parquet would silently tighten the
+    # cutoff whenever a blocklist is supplied (review finding)
+    n_graph_nodes = ranks.count()
     if args.blocklist:
         with open(args.blocklist) as fh:
             hosts = [ln.strip() for ln in fh if ln.strip()]
         ranks = filter_by_domain_blocklist(ranks, hosts, domain_col="node")
         report["blocklist_hosts"] = len(hosts)
     ranks.write.mode("overwrite").parquet(args.rank_out)
-    n_nodes = spark.read.parquet(args.rank_out).count()
-    report.update({"n_nodes": n_nodes, "rank_iterations": stats})
+    report.update(
+        {
+            "n_graph_nodes": n_graph_nodes,
+            "n_nodes": spark.read.parquet(args.rank_out).count(),
+            "rank_iterations": stats,
+        }
+    )
 
     if args.degrees_out:
         deg_edges = (
@@ -148,7 +167,7 @@ def main() -> None:
         }
 
     if args.docs_out:
-        threshold = args.min_rank_ratio / max(n_nodes, 1)
+        threshold = args.min_rank_ratio / max(n_graph_nodes, 1)
         keep = spark.read.parquet(args.rank_out).filter(
             F.col("rank") >= threshold
         ).select(F.col("node").alias("__keep_domain"))

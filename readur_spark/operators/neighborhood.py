@@ -36,7 +36,6 @@ pandas_udf — never per-row Python.
 from __future__ import annotations
 
 import hashlib
-import math
 from typing import Iterator
 
 import numpy as np
@@ -72,18 +71,25 @@ def hll_register(value: str, p: int) -> tuple[int, int]:
 def hll_estimate(registers, p: int) -> float:
     """Standard HLL estimate with the small-range linear-counting
     correction — deterministic given the registers. ``registers`` is
-    any length-2^p byte sequence."""
+    any length-2^p byte sequence.
+
+    Deliberately computed through the SAME numpy ops (and therefore
+    the same pairwise float-summation order and libm log) as the
+    vectorized ``estimate`` kernel inside :func:`hyperball` — a scalar
+    Python-loop sum rounds differently, and a raw estimate within an
+    ulp of the 2.5·m linear-counting threshold could then branch
+    differently on the two sides, breaking the module's exact-replay
+    contract (review finding)."""
     m = 1 << p
-    s = 0.0
-    zeros = 0
-    for r in registers:
-        s += 2.0 ** (-r)
-        if r == 0:
-            zeros += 1
+    regs = np.frombuffer(bytes(registers), dtype=np.uint8).astype(
+        np.float64
+    )
+    s = np.power(2.0, -regs).sum()
     e = _alpha(m) * m * m / s
+    zeros = int((regs == 0).sum())
     if e <= 2.5 * m and zeros:
-        return m * math.log(m / zeros)
-    return e
+        return float(m * np.log(m / zeros))
+    return float(e)
 
 
 def hyperball(

@@ -59,6 +59,7 @@ def mix_sources(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "mix-v1",
+    counts: dict[str, int] | None = None,
 ) -> DataFrame:
     """Domain mixing by downsample-only reweighting (the static corpus-
     mixing shape of The Pile / DoReMi deployment): resample so the kept
@@ -69,17 +70,20 @@ def mix_sources(
     docs via the salted-uniform Bernoulli — deterministic, stable under
     reruns, one tiny counts aggregate plus a broadcast of |sources| rates
     (no shuffle of the corpus). Sources not in ``target_fractions`` are
-    dropped (target share 0)."""
+    dropped (target share 0). ``counts``: optional precomputed
+    {source: n} per-source counts — skips the aggregate when the caller
+    already holds them (mix_sources_temperature does)."""
     total_t = sum(target_fractions.values())
     if total_t <= 0:
         raise ValueError("target fractions must sum to a positive value")
     targets = {s: f / total_t for s, f in target_fractions.items()}
-    counts = {
-        r["s"]: r["n"]
-        for r in docs.groupBy(F.col(source_col).alias("s"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
+    if counts is None:
+        counts = {
+            r["s"]: r["n"]
+            for r in docs.groupBy(F.col(source_col).alias("s"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
     missing = [s for s in targets if counts.get(s, 0) == 0]
     if missing:
         raise ValueError(f"target sources absent from the corpus: {missing}")
@@ -110,8 +114,15 @@ def mix_sources_temperature(
     T→∞ approaches uniform (boosting small sources' RELATIVE share);
     T<1 sharpens toward the head. Downsample-only like
     :func:`mix_sources` — the targets are computed from the observed
-    counts and handed to the same salted-Bernoulli machinery, so the
-    corpus never shuffles and reruns are deterministic."""
+    counts (ONE aggregate, shared with the delegated call) and handed
+    to the same salted-Bernoulli machinery, so the corpus never
+    shuffles and reruns are deterministic.
+
+    NULL sources raise: a NULL can never match the rate join, so it
+    would be dropped silently — at T=1 that breaks the documented
+    "natural distribution is a no-op" contract. Fill or filter the
+    source column first (same policy as curriculum_positions on NULL
+    quality)."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     counts = {
@@ -120,6 +131,12 @@ def mix_sources_temperature(
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    if None in counts:
+        raise ValueError(
+            f"mix_sources_temperature: NULL in source column "
+            f"{source_col!r} ({counts[None]} rows) — fill or drop "
+            "unsourced docs first"
+        )
     if not counts:
         return docs
     total = sum(counts.values())
@@ -132,6 +149,7 @@ def mix_sources_temperature(
         source_col=source_col,
         id_col=id_col,
         salt=salt,
+        counts=counts,
     )
 
 

@@ -222,3 +222,18 @@ def test_mix_sources_temperature(spark):
 
     with _pt.raises(ValueError):
         mix_sources_temperature(docs, temperature=0.0)
+
+
+def test_mix_sources_temperature_null_source_raises(spark):
+    """A NULL source can never match the rate join — it would vanish
+    silently even at T=1, breaking the natural-distribution no-op
+    contract. Fail loudly instead (review finding)."""
+    from readur_spark.operators.sampling import mix_sources_temperature
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b")], "doc_id long, source string"
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="NULL in source column"):
+        mix_sources_temperature(docs, temperature=2.0)
