@@ -30,6 +30,28 @@ from readur_spark.sources.tables import interleaved_docs, load_table
 
 SF0001 = "/root/testdata/sf0.001"
 
+#: FROZEN_TIER — the documented overflow rule for the driver's 50-row
+#: correctness window (r7 verdict, next-round #1). The registry is
+#: consolidated to exactly 100 entries so the ≤2-round rotation holds
+#: arithmetically from r9 on (50 + 50, alternating halves); in a round
+#: where consolidation/new entries push the no-driver-row set past 50
+#: (r8: 51 candidates), the overflow entry(s) must be PURE-RELATIONAL
+#: oracles over files untouched since their last green driver row, must
+#: be named here with the justification, and re-enter the next window
+#: first. tests/test_registry_docs.py asserts the arithmetic: every
+#: registry entry lacking a row in the latest CORRECTNESS_r*.json is
+#: either inside the 50-row window or listed here.
+FROZEN_TIER: dict[str, str] = {
+    "q1_pricing_summary": (
+        "TPC-H Q1 over operators/relational.py:pricing_summary — "
+        "pure-relational oracle, implementation file untouched since "
+        "its green r6 driver row (r6..r8 diffs touch neither "
+        "relational.py nor the lineitem loader), locally re-gated "
+        "green through tools/check_correctness.py this round; first "
+        "slot of the r9 window."
+    ),
+}
+
 # --------------------------------------------------------------------------
 # Flagship
 # --------------------------------------------------------------------------
@@ -332,18 +354,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["quality_score"] = lambda s, sf: _docs(s, sf).select(
         "doc_id", quality_score_col(F.col("text")).alias("quality")
     )
-    q["fingerprint"] = lambda s, sf: _docs(s, sf).select(
-        "doc_id", fingerprint_col(F.col("text")).alias("fingerprint")
-    )
-
-    def _q_fingerprint_sha256(s, sf):
+    def _q_fingerprint(s, sf):
+        # r8 registry consolidation (r7 verdict, next-round #1): the
+        # md5 content fingerprint (D1) and the raw-byte sha256 file
+        # hash were two single-code-path rows; one row now oracles
+        # BOTH expressions — identical coverage, one window slot.
         from readur_spark.functions.textstats import fingerprint_bytes_col
 
         return _docs(s, sf).select(
-            "doc_id", fingerprint_bytes_col(F.col("text")).alias("file_hash")
+            "doc_id",
+            fingerprint_col(F.col("text")).alias("fingerprint"),
+            fingerprint_bytes_col(F.col("text")).alias("file_hash"),
         )
 
-    q["fingerprint_sha256"] = _q_fingerprint_sha256
+    q["fingerprint"] = _q_fingerprint
 
     def _q_quality_gopher(s, sf):
         from readur_spark.functions.textstats import gopher_flags_cols
@@ -376,11 +400,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["incremental_sync"] = _q_incremental_sync
 
     # ---- search surface (F1–F13, SURVEY §2.9) ----
-    q["fts_simple"] = lambda s, sf: search.fts_simple(_docs(s, sf), "spark window")
-    q["fts_phrase"] = lambda s, sf: search.fts_phrase(_docs(s, sf), "table value")
-    q["fts_boolean"] = lambda s, sf: search.fts_boolean(
-        _docs(s, sf), must=["table"], should=["spark", "window"], must_not=["vector"]
-    )
+    def _q_fts_modes(s, sf):
+        # r8 registry consolidation: F1/F2/F3 were three rows over the
+        # same tokenize-and-match path in operators/search.py; one
+        # union row (mode column disambiguates) keeps all three query
+        # shapes value-oracled in a single window slot.
+        d = _docs(s, sf)
+        return (
+            search.fts_simple(d, "spark window")
+            .withColumn("mode", F.lit("simple"))
+            .unionByName(
+                search.fts_phrase(d, "table value").withColumn(
+                    "mode", F.lit("phrase")
+                )
+            )
+            .unionByName(
+                search.fts_boolean(
+                    d,
+                    must=["table"],
+                    should=["spark", "window"],
+                    must_not=["vector"],
+                ).withColumn("mode", F.lit("boolean"))
+            )
+        )
+
+    q["fts_modes"] = _q_fts_modes
     q["fuzzy_search"] = lambda s, sf: search.fuzzy_search(
         _docs(s, sf), "spark table window merge batch", threshold=0.15
     )
@@ -389,8 +433,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     q["paginate"] = lambda s, sf: search.paginate(_docs(s, sf), limit=20, offset=10)
     q["count_matching"] = lambda s, sf: search.count_matching(_docs(s, sf), "merge")
-    q["facet_source"] = lambda s, sf: search.facet_counts(_docs(s, sf), "source")
-    q["facet_lang"] = lambda s, sf: search.facet_counts(_docs(s, sf), "lang")
+    def _q_facet_source_lang(s, sf):
+        # r8 registry consolidation: the scalar-column facet path
+        # (F11) faceted twice — source and lang — as two rows; one
+        # stacked row keeps both value-oracled. facet_tags stays its
+        # own entry (array-explode path, different code).
+        d = _docs(s, sf)
+        return (
+            search.facet_counts(d, "source")
+            .select(
+                F.lit("source").alias("facet"),
+                F.col("source").alias("value"),
+                "n_docs",
+            )
+            .unionByName(
+                search.facet_counts(d, "lang").select(
+                    F.lit("lang").alias("facet"),
+                    F.col("lang").alias("value"),
+                    "n_docs",
+                )
+            )
+        )
+
+    q["facet_source_lang"] = _q_facet_source_lang
     q["filter_lang"] = lambda s, sf: search.filter_by_values(_docs(s, sf), "lang", ["es", "fr"])
 
     def _q_filter_labels(s, sf):
@@ -875,7 +940,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _q_domain_degrees(s, sf):
         # degree profile over the SAME deterministic host graph as
         # domain_pagerank — out/in/reciprocal degree, with the
-        # reciprocal count exercising the edge-reversal semi-join
+        # reciprocal count exercising the edge-reversal semi-join.
+        # r8 registry consolidation: the DISTINCT-neighbor profile and
+        # the r7 MULTIPLICITY-weighted profile (the modulus mapping is
+        # many-to-one, so several doc_ids emit the same pair and
+        # build_domain_graph(weighted=True) counts them — the stronger
+        # spam signal) were two rows over domain_degree_stats; one
+        # joined row now oracles both modes. reciprocal stays the
+        # distinct-mutual-neighbor count in both modes by contract, so
+        # only the distinct leg's column is kept.
         from readur_spark.operators.linkgraph import (
             build_domain_graph,
             domain_degree_stats,
@@ -890,37 +963,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
             ).alias("dst_domain"),
         )
-        return domain_degree_stats(build_domain_graph(raw))
+        dist = domain_degree_stats(build_domain_graph(raw))
+        wtd = domain_degree_stats(
+            build_domain_graph(raw, weighted=True), weight_col="weight"
+        ).select(
+            "domain",
+            F.col("out_degree").alias("w_out_degree"),
+            F.col("in_degree").alias("w_in_degree"),
+        )
+        # same node set on both sides (same edge list, weighted only
+        # adds multiplicity) — inner join is total
+        return dist.join(wtd, "domain")
 
     q["domain_degrees"] = _q_domain_degrees
-
-    def _q_domain_degrees_weighted(s, sf):
-        # the WEIGHTED degree profile (r7): the same deterministic
-        # construction but with link MULTIPLICITY — the modulus mapping
-        # is many-to-one, so several doc_ids emit the same (src, dst)
-        # pair and build_domain_graph(weighted=True) counts them. The
-        # stronger spam signal (a farm emitting 10^4 links to one
-        # target reads degree 1 distinct, 10^4 weighted); reciprocal
-        # stays a distinct-neighbor count by contract.
-        from readur_spark.operators.linkgraph import (
-            build_domain_graph,
-            domain_degree_stats,
-        )
-
-        d = _docs(s, sf).select("doc_id")
-        raw = d.select(
-            F.concat(
-                F.lit("d"), (F.col("doc_id") % 53).cast("string")
-            ).alias("src_domain"),
-            F.concat(
-                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
-            ).alias("dst_domain"),
-        )
-        return domain_degree_stats(
-            build_domain_graph(raw, weighted=True), weight_col="weight"
-        )
-
-    q["domain_degrees_weighted"] = _q_domain_degrees_weighted
 
     def _q_rank_filter_docs(s, sf):
         # the link-graph family composed end-to-end the way a curation
@@ -1308,6 +1363,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_profile"] = _q_anchor_profile
 
+    def _q_anchor_quality(s, sf):
+        # NEW r8 (r7 verdict next-round #6): inbound-anchor profiles
+        # consumed as per-DOCUMENT quality features. Same deterministic
+        # markup as anchor_profile; each doc is attributed url
+        # https://t{doc_id%23}.com/p — %23 > %17, so docs landing on
+        # t17..t22 exercise the never-linked zero-fill branch while
+        # t0..t16 join real profiles (diversity, top-share, len mean).
+        from readur_spark.operators.linkgraph import (
+            anchor_quality_features,
+            extract_anchor_texts,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        html = F.concat(
+            F.lit('<a href="https://t'),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit('.com/p">Anchor  '),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit('</a><a id="x" href="https://t'),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit('.com/p">Anchor '),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('</a><a href="/l/'),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit('">Rel '),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("</a><a href='https://t"),
+            (F.col("doc_id") % 17).cast("string"),
+            F.lit(".com/p'><b>Bold</b> "),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit("</a><a href=/u/"),
+            (F.col("doc_id") % 4).cast("string"),
+            F.lit(" rel=nofollow>Unq "),
+            (F.col("doc_id") % 2).cast("string"),
+            F.lit("</a>"),
+        )
+        a = extract_anchor_texts(d.select("doc_id", html.alias("html")))
+        docs2 = d.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://t"),
+                (F.col("doc_id") % 23).cast("string"),
+                F.lit(".com/p"),
+            ).alias("url"),
+        )
+        out = anchor_quality_features(docs2, a)
+        return out.select(
+            "doc_id",
+            "url",
+            "n_inlink_anchors",
+            "n_linking_docs",
+            "n_unique_anchor_texts",
+            F.round("anchor_diversity", 6).alias("anchor_diversity"),
+            F.round("top_anchor_share", 6).alias("top_anchor_share"),
+            F.round("anchor_text_len_mean", 6).alias(
+                "anchor_text_len_mean"
+            ),
+        )
+
+    q["anchor_quality_features"] = _q_anchor_quality
+
     def _q_bpe_token_counts(s, sf):
         # distributed BPE train (word-count shuffle + driver merge loop)
         # + Arrow-batched encode; id_sum checks the actual token ids, not
@@ -1655,12 +1771,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["top_customers"] = lambda s, sf: relational.top_customers_by_revenue(
         load_table(s, sf, "orders"), load_table(s, sf, "customer"), k=10
     )
-    q["customers_without_orders"] = lambda s, sf: relational.customers_without_orders(
-        load_table(s, sf, "customer"), load_table(s, sf, "orders")
-    )
-    q["customers_high_value"] = lambda s, sf: relational.customers_with_high_value_orders(
-        load_table(s, sf, "customer"), load_table(s, sf, "orders"), min_total=450_000.0
-    )
+    def _q_customers_semi_anti(s, sf):
+        # r8 registry consolidation: the NOT-EXISTS anti join and the
+        # EXISTS semi join (§2.10 checklist) were two rows; one
+        # stacked row (kind column) keeps both join plans value-oracled
+        # in a single window slot.
+        c = load_table(s, sf, "customer")
+        od = load_table(s, sf, "orders")
+        anti = relational.customers_without_orders(c, od).select(
+            "c_custkey",
+            "c_name",
+            F.lit(None).cast("string").alias("c_mktsegment"),
+            F.lit("no_orders").alias("kind"),
+        )
+        semi = relational.customers_with_high_value_orders(
+            c, od, min_total=450_000.0
+        ).withColumn("kind", F.lit("high_value"))
+        return anti.unionByName(semi)
+
+    q["customers_semi_anti"] = _q_customers_semi_anti
     q["revenue_by_nation"] = lambda s, sf: relational.revenue_by_nation(
         load_table(s, sf, "customer"),
         load_table(s, sf, "orders"),
@@ -1692,121 +1821,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # The driver samples a bounded prefix of the registry (50 rows per
-    # round, insertion order). Rotation policy (no entry may go >2 rounds
-    # without a driver row): the r7 window is EXACTLY the 49 entries
-    # without an r6 driver row (r6 verdict, next-round #1), ordered
-    # changed-code-first — curriculum_order leads (the one entry that
-    # has never had a driver row), then the packing family (refactored
-    # onto bucketed_stream_offsets in r6), then the four whose
-    # implementation files r6 touched, then the r5-green remainder —
-    # plus this round's new spark-loop BPE row in the 50th slot.
+    # round, insertion order). Rotation policy: no entry may go >2
+    # rounds without a driver row. r7 closed with 105 entries — 55 of
+    # them without an r7 row, which made the invariant arithmetically
+    # unsatisfiable (55 stale > 50 window; r7 verdict, what's-wrong #1).
+    # r8 therefore CONSOLIDATES the registry to exactly 100 entries by
+    # merging near-duplicate single-code-path rows with identical total
+    # oracle coverage (fingerprint+fingerprint_sha256 -> fingerprint;
+    # fts_simple+fts_phrase+fts_boolean -> fts_modes; facet_source+
+    # facet_lang -> facet_source_lang; domain_degrees+
+    # domain_degrees_weighted -> domain_degrees; customers_without_
+    # orders+customers_high_value -> customers_semi_anti), so from r9 on
+    # the arithmetic holds exactly: 100 entries / 50-row window = every
+    # entry gets a driver row every 2 rounds, alternating halves.
+    #
+    # The r8 window (first 50) = every entry WITHOUT an r7 driver row
+    # under its current code: the 7 the r7 verdict ordered to lead
+    # (5 r7-new entries never driver-checked + outlink_domains/
+    # anchor_profile whose r6 rows predate the extractor widening),
+    # then the 5 consolidated/new names (merged queries are new code
+    # paths; anchor_quality_features is NEW r8), then the 38 r6-green
+    # remainder. That is 51 candidates for 50 slots; the single
+    # overflow rides the FROZEN_TIER rule (see that constant).
     priority = [
-        # --- never driver-checked (r6 verdict, what's-wrong #1)
-        "curriculum_order",
-        # --- packing family: r6 refactor onto bucketed_stream_offsets
-        "pack_sequences",
-        "pack_sequences_bpe",
-        "pack_materialize_bpe",
-        "pack_stats",
-        "chunk_pack_roundtrip",
-        # --- implementation files changed in r6
-        "quality_classifier_scores",
-        "semdedup",
-        "dedup_minhash_lsh",
-        "dedup_ngram_capped",
-        # --- r5-green remainder (extraction/binary family)
-        "extract_text_spans",
-        "extract_binary_roundtrip",
-        "image_quality_stats",
-        "image_ocr_fake",
-        "pdf_ocr_glyph",
-        "pdf_layout_roundtrip",
-        "warc_roundtrip",
-        # --- r5-green remainder (search/facet family)
-        "facet_lang",
-        "filter_lang",
-        "filter_labels",
-        "facet_tags",
-        "filter_role",
-        "search_ranked_ts",
-        "snippets",
-        "snippets_full",
-        "list_documents",
-        "doc_stats",
-        "sql_search",
-        # --- r5-green remainder (dedup/decontamination family)
-        "dedup_exact",
-        "dedup_keep_first",
-        "dedup_ngram_jaccard",
-        "dedup_lines",
-        "dedup_incremental",
-        "dedup_minhash_incremental",
-        "dedup_simhash",
-        "dedup_embedding",
-        "dedup_cluster",
-        "winnow_overlap",
-        "dup_spans",
-        "decontaminate",
-        # --- r5-green remainder (LM/pipeline family)
-        "lm_perplexity",
-        "lm_backoff",
-        "corpus_stats",
-        "dsir_weights",
-        "repetition_filters",
-        "split_assign",
-        "sample_weighted",
-        "mix_sources",
-        "event_windowed_metrics",
-        # --- new this round (r7): the executor-side BPE merge-loop
-        # path, never driver-oracled before (r6 verdict, next-round #6)
-        "bpe_token_counts_sparkloop",
-        # --- past the 50-query window cut (driver caps 50/round), each
-        # with the reason its omission is safe this round:
-        # curriculum_pack_roundtrip is NEW (r7) and was value-gated
-        # green against its DuckDB oracle on addition; BOTH of its
-        # components hold in-window rows this round (curriculum_order
-        # leads the window, pack_sequences is #2) — first driver window
-        # in r8;
+        # --- the 7 r7-verdict-ordered leaders (no driver row on
+        # current code)
         "curriculum_pack_roundtrip",
-        # domain_degrees_weighted is NEW (r7), value-gated green on
-        # addition; its distinct-mode sibling domain_degrees was
-        # r6-green and the weighted leg is unit-tested
-        # (test_build_domain_graph_weighted_multiplicity) — r8 window;
-        "domain_degrees_weighted",
-        # mix_sources_temperature is NEW (r7), value-gated green on
-        # addition; it delegates to mix_sources (in-window this round)
-        # with computed targets, and the pow arithmetic is replayed in
-        # the oracle — r8 window;
+        "domain_degrees",  # consolidated: absorbs domain_degrees_weighted
         "mix_sources_temperature",
-        # domain_harmonic is NEW (r7), value-gated green on addition
-        # against the EXACT pure-Python HyperBall replay (deterministic
-        # md5 sketches make the match bit-level, not approximate) — r8
-        # window;
         "domain_harmonic",
-        # domain_trustrank is NEW (r7), value-gated green on addition
-        # against the personalized chained-CTE replay; the shared
-        # power-iteration machinery holds an in-window row via
-        # pagerank's classic path being untouched (branch kept
-        # bit-identical) and naive-replay unit tests — r8 window;
         "domain_trustrank",
-        # outlink_domains / anchor_profile changed in r7 (widened
-        # extractor: single-quoted/unquoted hrefs, nested anchor
-        # bodies, markup mirrored into BOTH engines) and were re-gated
-        # green against DuckDB locally on the day of the change; their
-        # r6 driver rows are green on the pre-widening code. They lead
-        # the r8 window;
         "outlink_domains",
         "anchor_profile",
-        # --- carried high-value rows (all r6-green on code unchanged
-        # since; they re-enter the window in r8 under the ≤2-round rule)
-        "domain_pagerank",
+        # --- consolidated rows (merged queries = changed code) + the
+        # r8-new anchor-feature operator
+        "fingerprint",  # consolidated: absorbs fingerprint_sha256
+        "fts_modes",  # consolidated: fts_simple+fts_phrase+fts_boolean
+        "facet_source_lang",  # consolidated: facet_source+facet_lang
+        "customers_semi_anti",  # consolidated: anti+semi join rows
+        "anchor_quality_features",  # NEW r8 (r7 verdict next-round #6)
+        # --- r6-green remainder (text/kernel family)
+        "normalize_text",
+        "word_count_simple",
+        "token_count",
+        "lang_id",
+        "quality_score",
+        "quality_gopher",
+        "chunk_documents",
+        "text_metadata",
+        "sentence_stats",
+        "scrub_pii",
+        # --- r6-green remainder (search family)
+        "fuzzy_search",
+        "search_ranked",
+        "paginate",
+        "count_matching",
+        # --- r6-green remainder (dedup/sampling/link-graph family)
+        "decontaminate_ngrams",
+        "tfidf_top_terms",
+        "dsir_resample_largek",
         "url_canonical_dedup",
         "global_shuffle",
+        "domain_pagerank",
+        "domain_blocklist_filter",
+        "rank_filter_docs",
+        "domain_islands",
+        # --- r6-green remainder (packing/interleave/BPE family)
+        "interleave_pack",
+        "interleave_fill_stats",
+        "interleave_materialize",
         "bpe_token_counts",
         "chunk_by_tokens",
-        "interleave_pack",
-        "interleave_materialize",
-        "normalize_text",
+        # --- r6-green remainder (embedding/ANN family)
+        "embedding_quantize",
+        "ann_topk_cosine",
+        "ann_topk_lsh",
+        "ann_topk_ivf",
+        # --- r6-green remainder (relational/streaming family)
+        "incremental_sync",
+        "top_customers",
+        "revenue_by_nation",
+        "event_type_stats",
+        "user_event_windows",
+        "sessionize",
+        # ---------------- 50-row window cut ----------------
+        # FROZEN_TIER overflow (the 51st no-r7-row entry): see the
+        # FROZEN_TIER constant for the rule and this round's
+        # justification.
         "q1_pricing_summary",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
@@ -2116,6 +2217,8 @@ _SHINGLE3 = (
 
 
 def oracle_sql() -> dict[str, str]:
+    import duckdb
+
     o: dict[str, str] = {}
 
     o["extract_text_spans"] = f"""
@@ -2179,9 +2282,8 @@ def oracle_sql() -> dict[str, str]:
     """
     o["fingerprint"] = (
         "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
-        "AS fingerprint FROM documents"
+        "AS fingerprint, sha256(text) AS file_hash FROM documents"
     )
-    o["fingerprint_sha256"] = "SELECT doc_id, sha256(text) AS file_hash FROM documents"
     _gw = "list_filter(regexp_split_to_array(trim(text), '\\s+'), w -> w != '')"
     _gwc = f"len({_gw})"
     _gsafe = f"greatest({_gwc}, 1)"
@@ -2273,17 +2375,15 @@ def oracle_sql() -> dict[str, str]:
         WHERE p.path IS NULL OR c.etag <> p.etag
     """
 
-    o["fts_simple"] = (
-        "SELECT doc_id, lang, source, n_chars FROM documents "
+    o["fts_modes"] = (
+        "SELECT doc_id, lang, source, n_chars, 'simple' AS mode FROM documents "
         "WHERE regexp_matches(lower(text), '\\bspark\\b') "
-        "AND regexp_matches(lower(text), '\\bwindow\\b')"
-    )
-    o["fts_phrase"] = (
-        "SELECT doc_id, lang, source, n_chars FROM documents "
-        "WHERE position('table value' IN lower(text)) > 0"
-    )
-    o["fts_boolean"] = (
-        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "AND regexp_matches(lower(text), '\\bwindow\\b') "
+        "UNION ALL "
+        "SELECT doc_id, lang, source, n_chars, 'phrase' AS mode FROM documents "
+        "WHERE position('table value' IN lower(text)) > 0 "
+        "UNION ALL "
+        "SELECT doc_id, lang, source, n_chars, 'boolean' AS mode FROM documents "
         "WHERE regexp_matches(lower(text), '\\btable\\b') "
         "AND (regexp_matches(lower(text), '\\bspark\\b') OR regexp_matches(lower(text), '\\bwindow\\b')) "
         "AND NOT regexp_matches(lower(text), '\\bvector\\b')"
@@ -2322,8 +2422,13 @@ def oracle_sql() -> dict[str, str]:
         "SELECT count(*) AS n_matching FROM documents "
         "WHERE regexp_matches(lower(text), '\\bmerge\\b')"
     )
-    o["facet_source"] = "SELECT source, count(*) AS n_docs FROM documents GROUP BY source"
-    o["facet_lang"] = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+    o["facet_source_lang"] = (
+        "SELECT 'source' AS facet, source AS value, count(*) AS n_docs "
+        "FROM documents GROUP BY source "
+        "UNION ALL "
+        "SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs "
+        "FROM documents GROUP BY lang"
+    )
     o["filter_lang"] = (
         "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('es', 'fr')"
     )
@@ -2726,7 +2831,8 @@ def oracle_sql() -> dict[str, str]:
                      || regexp_extract_all(html,
                          '(?i)href\\s*=\\s*''([^'']+)''', 1)
                      || regexp_extract_all(html,
-                         '(?i)href\\s*=\\s*([^\\s>"''][^\\s>]*)', 1)
+                         '(?i)(^|[^\\w.-])href\\s*=\\s*([^\\s>"''][^\\s>]*)',
+                         2)
                  ) AS href
           FROM pages
         ),
@@ -2760,18 +2866,27 @@ def oracle_sql() -> dict[str, str]:
 
     # domain_degrees: same edge construction, degrees in SQL; the
     # reciprocal count is an EXISTS against the reversed edge set
+    # domain_degrees (r8 consolidated): distinct-neighbor AND
+    # multiplicity-weighted degrees over the same derived host graph
+    # in one row; reciprocal is the distinct-mutual-neighbor count
+    # (identical in both modes by contract)
     o["domain_degrees"] = """
-        WITH edges AS (
-          SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
-                 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+        WITH wedges AS (
+          SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst,
+                 count(*) AS w
           FROM documents
           WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
                 <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)
+          GROUP BY 1, 2
         ),
+        edges AS (SELECT src, dst FROM wedges),
         nodes AS (SELECT src AS domain FROM edges
                   UNION SELECT dst FROM edges),
         outd AS (SELECT src AS domain, count(*) AS c FROM edges GROUP BY src),
         ind AS (SELECT dst AS domain, count(*) AS c FROM edges GROUP BY dst),
+        woutd AS (SELECT src AS domain, sum(w) AS c FROM wedges GROUP BY src),
+        wind AS (SELECT dst AS domain, sum(w) AS c FROM wedges GROUP BY dst),
         recip AS (
           SELECT e.src AS domain, count(*) AS c FROM edges e
           WHERE EXISTS (SELECT 1 FROM edges r
@@ -2781,11 +2896,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT n.domain,
                CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
                CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
-               CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal_degree
+               CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal_degree,
+               CAST(coalesce(wo.c, 0) AS BIGINT) AS w_out_degree,
+               CAST(coalesce(wi.c, 0) AS BIGINT) AS w_in_degree
         FROM nodes n
         LEFT JOIN outd o ON n.domain = o.domain
         LEFT JOIN ind i ON n.domain = i.domain
         LEFT JOIN recip r ON n.domain = r.domain
+        LEFT JOIN woutd wo ON n.domain = wo.domain
+        LEFT JOIN wind wi ON n.domain = wi.domain
     """
 
     # domain_trustrank: the personalized replay over the same edge
@@ -2804,17 +2923,29 @@ def oracle_sql() -> dict[str, str]:
 
     # domain_harmonic: the HyperBall run replayed exactly in pure
     # Python (same md5 registers, same estimator, same merge schedule)
-    # on the same derived edge list, shipped as a VALUES literal
+    # on the same derived edge list, shipped as a VALUES literal. The
+    # replay corpus is the documented sf0.01 gate dir (overridable via
+    # SPARK_GRAFT_ORACLE_SF_DIR for local sweeps at another sf), and
+    # the emitted SQL guards on the registered ``documents`` view
+    # having the SAME distinct-doc_id signature: if the gate ever runs
+    # at a different sf the guard empties the oracle result and the
+    # row-count check fails LOUDLY instead of silently comparing
+    # against the wrong corpus (r7 advisor finding).
     def _hyperball_oracle_sql() -> str:
+        import os as _os
+
         import duckdb as _dd
 
         from readur_spark.operators.neighborhood import hyperball_replay
 
+        sf_dir = _os.environ.get(
+            "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+        )
         ids = [
             r[0]
             for r in _dd.sql(
                 "SELECT DISTINCT doc_id FROM "
-                "'/root/testdata/sf0.01/documents.parquet'"
+                f"'{sf_dir}/documents.parquet'"
             ).fetchall()
         ]
         edges = sorted(
@@ -2834,49 +2965,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(harmonic AS DOUBLE) AS harmonic, "
             "CAST(t_converged AS INT) AS t_converged "
             f"FROM (VALUES {values}) AS v(node, reach_est, harmonic, "
-            "t_converged)"
+            "t_converged) WHERE "
+            "(SELECT count(DISTINCT doc_id) FROM documents) = "
+            f"{len(ids)} AND "
+            "(SELECT coalesce(sum(DISTINCT doc_id), 0) FROM documents)"
+            f" = {sum(ids)}"
         )
 
     try:
         o["domain_harmonic"] = _hyperball_oracle_sql()
-    except Exception:
-        # oracle replay unavailable (no sf0.01 parquet on this host):
-        # omit the entry — the driver records the weaker rows-only check
+    except (FileNotFoundError, OSError, duckdb.Error):
+        # oracle replay unavailable (no parquet at the gate dir on this
+        # host): omit the entry — the driver records the weaker
+        # rows-only check
         pass
 
     # domain_degrees_weighted: same construction, multiplicity-weighted
     # edges (groupBy pair, count), degrees = sum of weights; reciprocal
     # stays the distinct-mutual-neighbor EXISTS
-    o["domain_degrees_weighted"] = """
-        WITH edges AS (
-          SELECT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
-                 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst,
-                 count(*) AS w
-          FROM documents
-          WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
-                <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)
-          GROUP BY 1, 2
-        ),
-        nodes AS (SELECT src AS domain FROM edges
-                  UNION SELECT dst FROM edges),
-        outd AS (SELECT src AS domain, sum(w) AS c FROM edges GROUP BY src),
-        ind AS (SELECT dst AS domain, sum(w) AS c FROM edges GROUP BY dst),
-        recip AS (
-          SELECT e.src AS domain, count(*) AS c FROM edges e
-          WHERE EXISTS (SELECT 1 FROM edges r
-                        WHERE r.src = e.dst AND r.dst = e.src)
-          GROUP BY e.src
-        )
-        SELECT n.domain,
-               CAST(coalesce(o.c, 0) AS BIGINT) AS out_degree,
-               CAST(coalesce(i.c, 0) AS BIGINT) AS in_degree,
-               CAST(coalesce(r.c, 0) AS BIGINT) AS reciprocal_degree
-        FROM nodes n
-        LEFT JOIN outd o ON n.domain = o.domain
-        LEFT JOIN ind i ON n.domain = i.domain
-        LEFT JOIN recip r ON n.domain = r.domain
-    """
-
     # rank_filter_docs: the pagerank replay wrapped as a CTE, joined to
     # the doc->domain attribution, above-uniform filter
     _pr_cte = _pagerank_sql(
@@ -3649,7 +3755,8 @@ def oracle_sql() -> dict[str, str]:
                    nullif(regexp_extract(open_tag,
                        '(?i)href\\s*=\\s*''([^'']+)''', 1), ''),
                    nullif(regexp_extract(open_tag,
-                       '(?i)href\\s*=\\s*([^\\s>"''][^\\s>]*)', 1), '')
+                       '(?i)(^|[^\\w.-])href\\s*=\\s*([^\\s>"''][^\\s>]*)',
+                       2), '')
                  ) AS href,
                  trim(regexp_replace(
                    regexp_replace(
@@ -3681,6 +3788,53 @@ def oracle_sql() -> dict[str, str]:
                           ORDER BY rn) AS top2
         FROM ranked GROUP BY target_url
     """
+
+    # anchor_quality_features (NEW r8): the SAME element-wise anchor
+    # re-extraction CTEs, aggregated per target into the feature set
+    # and LEFT-joined onto the doc→url attribution (urls mod 23 so
+    # t17..t22 exercise the zero-fill branch)
+    _aqf_prefix = o["anchor_profile"].split("counts AS (")[0]
+    o["anchor_quality_features"] = (
+        _aqf_prefix
+        + """counts AS (
+          SELECT target_url, anchor, count(*) AS c
+          FROM canon GROUP BY target_url, anchor
+        ),
+        prof AS (
+          SELECT target_url,
+                 sum(c) AS n_anchors,
+                 count(*) AS n_unique,
+                 max(c) AS top_c,
+                 sum(length(anchor) * c) * 1.0 / sum(c) AS len_mean
+          FROM counts GROUP BY target_url
+        ),
+        linking AS (
+          SELECT target_url, count(DISTINCT doc_id) AS n_docs
+          FROM canon GROUP BY target_url
+        ),
+        docs2 AS (
+          SELECT doc_id,
+                 'https://t' || CAST(doc_id % 23 AS VARCHAR) || '.com/p'
+                 AS url
+          FROM documents
+        )
+        SELECT d.doc_id, d.url,
+               CAST(coalesce(p.n_anchors, 0) AS BIGINT)
+                   AS n_inlink_anchors,
+               CAST(coalesce(l.n_docs, 0) AS BIGINT) AS n_linking_docs,
+               CAST(coalesce(p.n_unique, 0) AS BIGINT)
+                   AS n_unique_anchor_texts,
+               round(coalesce(p.n_unique * 1.0 / p.n_anchors, 0), 6)
+                   AS anchor_diversity,
+               round(coalesce(p.top_c * 1.0 / p.n_anchors, 0), 6)
+                   AS top_anchor_share,
+               round(coalesce(p.len_mean, 0), 6)
+                   AS anchor_text_len_mean
+        FROM docs2 d
+        LEFT JOIN prof p ON d.url = p.target_url
+        LEFT JOIN linking l ON d.url = l.target_url
+    """
+    )
 
     # bpe_token_counts / pack_sequences_bpe: BPE is not SQL-expressible,
     # so the oracle replays an INDEPENDENT sequential implementation
@@ -4057,13 +4211,16 @@ def oracle_sql() -> dict[str, str]:
         FROM rev JOIN customer ON o_custkey = c_custkey
         ORDER BY revenue DESC, c_custkey ASC LIMIT 10
     """
-    o["customers_without_orders"] = """
-        SELECT c_custkey, c_name FROM customer
+    o["customers_semi_anti"] = """
+        SELECT c_custkey, c_name, CAST(NULL AS VARCHAR) AS c_mktsegment,
+               'no_orders' AS kind
+        FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-    """
-    o["customers_high_value"] = """
-        SELECT c_custkey, c_name, c_mktsegment FROM customer
-        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
+        UNION ALL
+        SELECT c_custkey, c_name, c_mktsegment, 'high_value' AS kind
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000.0)
     """
     o["revenue_by_nation"] = """
         SELECT r_name, n_name,

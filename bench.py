@@ -107,7 +107,7 @@ def main() -> None:
         "normalize_text",
         "lang_id",
         "quality_score",
-        "fts_simple",
+        "fts_modes",
         "search_ranked",
         "search_ranked_ts",
         "filter_labels",

@@ -16,6 +16,12 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+# local runs from the repo dir; cluster runs ship the package via
+# --py-files and don't need this
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
@@ -62,6 +68,21 @@ def main() -> None:
     ap.add_argument("--semantic-clusters", type=int, default=16,
                     help="k-means cluster count for SemDeDup; size it to "
                          "~corpus/5k so each cluster fits one executor")
+    ap.add_argument("--url-col", default=None,
+                    help="enable the crawl-frontier stage (canonical-URL "
+                         "keep-first dedup) on this column")
+    ap.add_argument("--domain-blocklist", default=None,
+                    help="text file of blocked hosts (requires --url-col)")
+    ap.add_argument("--rank-table", default=None,
+                    help="per-domain rank parquet (jobs/run_linkgraph.py "
+                         "--rank-out) enabling the link-graph rank stage "
+                         "(requires --url-col)")
+    ap.add_argument("--rank-col", default="rank")
+    ap.add_argument("--min-rank-ratio", type=float, default=None,
+                    help="rank keep-rule: score >= ratio/N (1.0 = above "
+                         "uniform mass)")
+    ap.add_argument("--rank-keep-quantile", type=float, default=None,
+                    help="rank keep-rule: keep the top (1-q) quantile")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -118,6 +139,22 @@ def main() -> None:
         chunk_tokens=args.chunk_tokens or 512,
         overlap_tokens=args.overlap_tokens,
         split_fractions=splits,
+        url_col=args.url_col,
+        domain_blocklist=(
+            [
+                ln.strip()
+                for ln in open(args.domain_blocklist)
+                if ln.strip()
+            ]
+            if args.domain_blocklist
+            else None
+        ),
+        rank_table=(
+            spark.read.parquet(args.rank_table) if args.rank_table else None
+        ),
+        rank_col=args.rank_col,
+        min_rank_ratio=args.min_rank_ratio,
+        rank_keep_quantile=args.rank_keep_quantile,
     )
     print(json.dumps(metrics))
     spark.stop()

@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--manifest-out", default=None,
                     help="also write the packing manifest parquet")
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--id-expr", default=None,
+                    help="SQL expression deriving a UNIQUE stream id when "
+                         "no single input column is one — e.g. packing "
+                         "run_curation.py chunk output: "
+                         "\"doc_id * 100000 + chunk_no\". Overrides "
+                         "--id-col as the stream-order key.")
     ap.add_argument("--text-col", default="text")
     args = ap.parse_args()
 
@@ -66,6 +72,9 @@ def main() -> None:
 
     spark = get_spark(app_name="readur_spark_tokenize_pack")
     docs = spark.read.parquet(args.input)
+    if args.id_expr:
+        docs = docs.withColumn("__pack_id", F.expr(args.id_expr))
+        args.id_col = "__pack_id"
 
     report: dict = {"input": args.input, "seq_len": args.seq_len}
     if args.merges_in:

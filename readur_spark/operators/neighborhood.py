@@ -99,6 +99,7 @@ def hyperball(
     src_col: str = "src",
     dst_col: str = "dst",
     stats: dict | None = None,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Run HyperBall over a (src, dst) edge table. Returns one row per
     node: ``(node, reach_est, harmonic, t_converged)`` where
@@ -112,11 +113,21 @@ def hyperball(
     ``stats`` (optional dict) is filled with ``rounds_run``,
     ``converged`` (True when the register fixpoint was reached before
     ``max_t``), and ``neighborhood_function`` — the list
-    [N(0), N(1), ...] of summed reach estimates per round."""
+    [N(0), N(1), ...] of summed reach estimates per round.
+
+    ``num_partitions`` bounds per-task state: the union kernel holds
+    (nodes-in-partition × 2^p bytes) of register state per task, so at
+    10^8 nodes the session-default shuffle width is too coarse — size
+    it so nodes/num_partitions × 2^p stays comfortably in executor
+    memory (r7 advisor finding). ``None`` keeps the session default."""
     if not 4 <= p <= 12:
         raise ValueError(f"p must be in [4, 12], got {p}")
     if max_t < 0:
         raise ValueError(f"max_t must be >= 0, got {max_t}")
+    if num_partitions is not None and num_partitions < 1:
+        raise ValueError(
+            f"num_partitions must be >= 1, got {num_partitions}"
+        )
     from readur_spark.plans.curation import _release_checkpoint
 
     m = 1 << p
@@ -132,7 +143,11 @@ def hyperball(
     # pre-partition the edge table on dst ONCE: every round's join reads
     # this layout (sketches are re-hashed each round anyway; the edge
     # side is the reusable one)
-    ep = e.repartition("dst").persist()
+    ep = (
+        e.repartition(num_partitions, "dst")
+        if num_partitions
+        else e.repartition("dst")
+    ).persist()
     ep.count()
 
     @F.pandas_udf("binary")
@@ -167,6 +182,16 @@ def hyperball(
         # upstream repartition("node") co-locates keys per partition,
         # not per batch). State is nodes-in-partition × m bytes —
         # bounded by the partition count the caller controls.
+        #
+        # Per batch the reduction is VECTORIZED (r7 verdict,
+        # what's-wrong #2): sort rows by node, find group boundaries,
+        # and np.maximum.reduceat the whole register matrix in one C
+        # call — the Python loop then runs once per UNIQUE node per
+        # batch instead of once per row, which is the ~in-degree-fold
+        # constant-factor cut on high-fan-in host graphs. Register max
+        # is associative+commutative, so batch-level pre-reduction is
+        # bit-identical to the old row-at-a-time fold (pinned by the
+        # exact pure-Python replay test).
         acc: dict[str, "np.ndarray"] = {}
         for pdf in pdfs:
             if not len(pdf):
@@ -174,12 +199,21 @@ def hyperball(
             mat = np.frombuffer(
                 b"".join(pdf["sk"].tolist()), dtype=np.uint8
             ).reshape(len(pdf), m)
-            for i, node in enumerate(pdf["node"].tolist()):
+            nodes_arr = pdf["node"].to_numpy()
+            order = np.argsort(nodes_arr, kind="stable")
+            sorted_nodes = nodes_arr[order]
+            starts = np.flatnonzero(
+                np.concatenate(
+                    ([True], sorted_nodes[1:] != sorted_nodes[:-1])
+                )
+            )
+            grouped = np.maximum.reduceat(mat[order], starts, axis=0)
+            for i, node in enumerate(sorted_nodes[starts].tolist()):
                 prev = acc.get(node)
                 acc[node] = (
-                    mat[i].copy()
+                    grouped[i].copy()
                     if prev is None
-                    else np.maximum(prev, mat[i])
+                    else np.maximum(prev, grouped[i])
                 )
         if acc:
             yield pd.DataFrame(
@@ -206,18 +240,25 @@ def hyperball(
             {"rounds_run": 0, "converged": False,
              "neighborhood_function": nf}
         )
+    import time as _time
+
+    round_walls: list[float] = []
     t = 0
     for t in range(1, max_t + 1):
+        _t0 = _time.perf_counter()
         # ball(v,t) = ball(v,t-1) ∪ ⋃_{v→u} ball(u,t-1): pull each
         # out-neighbor's counter to v and max-reduce
-        contribs = (
-            ep.join(
-                sketches.select("node", "sk"),
-                ep["dst"] == F.col("node"),
-            )
-            .select(F.col("src").alias("node"), "sk")
-            .repartition("node")
-            .mapInPandas(union_partition, "node string, sk binary")
+        pulled = ep.join(
+            sketches.select("node", "sk"),
+            ep["dst"] == F.col("node"),
+        ).select(F.col("src").alias("node"), "sk")
+        pulled = (
+            pulled.repartition(num_partitions, "node")
+            if num_partitions
+            else pulled.repartition("node")
+        )
+        contribs = pulled.mapInPandas(
+            union_partition, "node string, sk binary"
         )
         joined = (
             sketches.alias("s")
@@ -283,8 +324,10 @@ def hyperball(
         cur_ck = new_sketches
         sketches = new_sketches.drop("changed")
         _release_checkpoint(old_ck)
+        round_walls.append(round(_time.perf_counter() - _t0, 3))
         if stats is not None:
             stats["rounds_run"] = t
+            stats["round_walls_s"] = round_walls
         if (row["nchanged"] or 0) == 0:
             if stats is not None:
                 stats["converged"] = True
@@ -309,7 +352,15 @@ def effective_diameter(
     ``alpha × N(∞)`` — the standard graph-compactness summary HyperBall
     exists to make computable (exact diameter needs all-pairs BFS).
     Linear interpolation between the straddling hops, per the usual
-    definition (Palmer et al. 2002)."""
+    definition (Palmer et al. 2002).
+
+    Because N(t) is monotone and the target is ``alpha × N(last)`` with
+    ``alpha <= 1``, the last element always satisfies the target up to
+    float rounding; if rounding noise ever prevents that, the final
+    ``len(nf) - 1`` fallback returns the truncation point, which is a
+    LOWER BOUND on the effective diameter (r7 advisor note) — pass a
+    converged neighborhood function (``stats["converged"]`` from
+    :func:`hyperball`) for an exact value."""
     if not 0 < alpha <= 1:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if not neighborhood_function:

@@ -123,6 +123,10 @@ def curate(
     split_fractions: dict[str, float] | None = None,
     url_col: str | None = None,
     domain_blocklist=None,
+    rank_table: DataFrame | None = None,
+    rank_col: str = "rank",
+    min_rank_ratio: float | None = None,
+    rank_keep_quantile: float | None = None,
     min_sentences: int = 0,
     min_terminal_punct: float = 0.0,
 ) -> tuple[DataFrame, dict]:
@@ -160,6 +164,19 @@ def curate(
     ``url_col`` prepends the crawl-frontier stage — canonical-URL
     keep-first dedup (functions/urls) and, with ``domain_blocklist``,
     the UT1-style broadcast host filter — before any text stage runs;
+    ``rank_table`` (requires ``url_col``) adds link-graph rank
+    filtering right after the frontier stage: a precomputed per-domain
+    score table (pagerank/trustrank ``(node, rank)`` or hyperball
+    ``(node, harmonic)`` output — first column is the domain,
+    ``rank_col`` names the score) is thresholded and the corpus
+    semi-joined against the kept domains, so crawl hygiene, link-graph
+    authority, and text curation compose in ONE checkpointed funnel.
+    Exactly one keep-rule: ``min_rank_ratio`` keeps domains with score
+    ≥ ratio/N (the jobs/run_linkgraph.py --docs-out rule: 1.0 = above
+    uniform mass), ``rank_keep_quantile`` keeps the top (1-q) quantile
+    by exact percentile. Scale shape: one scalar aggregate over the
+    (domains-sized) rank table + a semi join on the uniform domain
+    key — broadcast when small, AQE-shuffled at 10^8 hosts;
     ``min_sentences`` / ``min_terminal_punct`` add the C4 sentence gate
     (drop pages with too few sentences or too few sentences ending in
     terminal punctuation) inside the same fused quality scan.
@@ -206,6 +223,43 @@ def curate(
         )
         metrics["after_url_stage"] = urled.count()
         docs_df = urled
+
+    if rank_table is not None:
+        if url_col is None:
+            raise ValueError("rank_table requires url_col=")
+        if (min_rank_ratio is None) == (rank_keep_quantile is None):
+            raise ValueError(
+                "rank_table needs exactly one keep-rule: "
+                "min_rank_ratio or rank_keep_quantile"
+            )
+        from readur_spark.operators.linkgraph import domain_of
+
+        rt = rank_table.select(
+            F.lower(F.col(rank_table.columns[0])).alias("__node"),
+            F.col(rank_col).cast("double").alias("__r"),
+        )
+        if min_rank_ratio is not None:
+            n_nodes = rt.count()
+            threshold = min_rank_ratio / max(n_nodes, 1)
+        else:
+            if not 0.0 <= rank_keep_quantile < 1.0:
+                raise ValueError(
+                    "rank_keep_quantile must be in [0, 1), got "
+                    f"{rank_keep_quantile}"
+                )
+            # exact percentile (one scalar): deterministic across
+            # partitionings, unlike approxQuantile
+            threshold = rt.agg(
+                F.expr(f"percentile(__r, {rank_keep_quantile})")
+            ).first()[0]
+        keep = rt.filter(F.col("__r") >= threshold).select("__node")
+        ranked = _ckpt(
+            docs_df.withColumn("__dom", domain_of(F.col(url_col)))
+            .join(keep, F.col("__dom") == F.col("__node"), "left_semi")
+            .drop("__dom")
+        )
+        metrics["after_rank_stage"] = ranked.count()
+        docs_df = ranked
 
     text_df = _ckpt(_to_text(docs_df))
     metrics["input_docs"] = text_df.count()

@@ -362,6 +362,98 @@ def test_curate_url_stage(spark):
     assert ids == {1, 4}
 
 
+def test_curate_rank_table_stage_matches_manual_prefilter(spark):
+    """rank_table composition (r7 verdict next-round #3): the funnel
+    with the rank stage ON equals manually pre-filtering the corpus to
+    above-threshold domains and running the funnel without it — for
+    BOTH keep-rules. Metrics expose the rank delta."""
+    base = "The quick brown fox jumps over the lazy dog near the river bank. " * 8
+    rows = [
+        (1, "https://good.com/a", base + "one"),
+        (2, "https://good.com/b",
+         "Completely different second document content about sailing "
+         "ships and maritime navigation across the winter ocean. " * 8),
+        (3, "https://mid.com/c",
+         "A third page on gardening with tomatoes and long rows of "
+         "beans under the late summer sun in the valley field. " * 8),
+        (4, "https://farm.spam/d",
+         "A fourth page describing mountain trails and the slow climb "
+         "toward the granite summit before the autumn snows arrive. " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    # pagerank-shaped (node, rank) table: good above uniform (1/3),
+    # mid at uniform, farm.spam below
+    rank = spark.createDataFrame(
+        [("good.com", 0.55), ("mid.com", 1 / 3), ("farm.spam", 0.1167)],
+        "node string, rank double",
+    )
+    kw = dict(require_gopher=False, chunk_words=40, overlap_words=8)
+
+    chunks, m = curate(
+        docs, url_col="url", rank_table=rank, min_rank_ratio=1.0, **kw
+    )
+    ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
+    assert ids == {1, 2, 3}  # mid.com sits exactly AT uniform: kept (>=)
+    assert m["after_url_stage"] == 4
+    assert m["after_rank_stage"] == 3
+
+    # composition: manual pre-filter to the same domains == stage on
+    manual, _ = curate(
+        docs.filter(~F.col("url").contains("farm.spam")),
+        url_col="url",
+        **kw,
+    )
+    assert sorted(
+        tuple(r) for r in chunks.select("doc_id", "chunk_text").collect()
+    ) == sorted(
+        tuple(r) for r in manual.select("doc_id", "chunk_text").collect()
+    )
+
+    # quantile rule: keep top half (q=0.5 over ranks .55/.333/.1167
+    # -> threshold .333, farm.spam drops)
+    chunks_q, mq = curate(
+        docs, url_col="url", rank_table=rank, rank_keep_quantile=0.5, **kw
+    )
+    ids_q = {
+        r["doc_id"] for r in chunks_q.select("doc_id").distinct().collect()
+    }
+    assert ids_q == {1, 2, 3}
+    assert mq["after_rank_stage"] == 3
+
+    # harmonic-shaped table (different score column name)
+    chunks_h, _ = curate(
+        docs,
+        url_col="url",
+        rank_table=spark.createDataFrame(
+            [("good.com", 12.0), ("mid.com", 4.0), ("farm.spam", 9.0)],
+            "node string, harmonic double",
+        ),
+        rank_col="harmonic",
+        rank_keep_quantile=0.5,
+        **kw,
+    )
+    ids_h = {
+        r["doc_id"] for r in chunks_h.select("doc_id").distinct().collect()
+    }
+    assert ids_h == {1, 2, 4}  # top-2 scores: good.com 12, farm.spam 9
+
+    # validation
+
+    with pytest.raises(ValueError, match="url_col"):
+        curate(docs, rank_table=rank, min_rank_ratio=1.0, **kw)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate(docs, url_col="url", rank_table=rank, **kw)
+    with pytest.raises(ValueError, match="exactly one"):
+        curate(
+            docs,
+            url_col="url",
+            rank_table=rank,
+            min_rank_ratio=1.0,
+            rank_keep_quantile=0.5,
+            **kw,
+        )
+
+
 def test_curate_sentence_gate(spark):
     """C4 sentence gate: short or unterminated pages drop inside the
     quality stage."""

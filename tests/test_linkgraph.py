@@ -315,6 +315,7 @@ def test_href_values_fuzz_pages_match_python_reference(spark):
         HREF_RE,
         HREF_RE_SINGLE,
         HREF_RE_UNQUOTED,
+        HREF_UNQUOTED_GROUP,
         href_values,
     )
     from tests.test_htmlmain_adversarial import _page
@@ -324,8 +325,12 @@ def test_href_values_fuzz_pages_match_python_reference(spark):
 
     def pyref(html):
         out = []
-        for pat in (HREF_RE, HREF_RE_SINGLE, HREF_RE_UNQUOTED):
-            out.extend(m.group(1) for m in _re.finditer(pat, html))
+        for pat, grp in (
+            (HREF_RE, 1),
+            (HREF_RE_SINGLE, 1),
+            (HREF_RE_UNQUOTED, HREF_UNQUOTED_GROUP),
+        ):
+            out.extend(m.group(grp) for m in _re.finditer(pat, html))
         return out
 
     docs = spark.createDataFrame(pages, "doc_id long, html string")
@@ -342,6 +347,31 @@ def test_href_values_fuzz_pages_match_python_reference(spark):
     # the corpus's boilerplate links are single-quoted: the widened
     # extractor must actually SEE them
     assert total > 200
+
+
+def test_href_unquoted_ignores_js_and_data_attributes(spark):
+    """The unquoted pattern must not fire on JavaScript property
+    assignments (``location.href=url;``) or lookalike attribute names
+    (``data-href=...``, ``xhref=...``) — r7 advisor finding. Real
+    unquoted attributes (space/tag-start/quote-delimited prefixes, and
+    a document that BEGINS with ``href=``) still extract."""
+    from readur_spark.operators.linkgraph import href_values
+
+    rows = [
+        (1, "<script>location.href=url;window.href=next</script>"
+            "<a data-href=/decoy/1 href=/real/1>x</a>"
+            "<a xhref=/decoy/2>y</a>"),
+        (2, "href=/at-start <a href=/mid>z</a>"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, html string")
+    got = {
+        r["doc_id"]: r["h"]
+        for r in docs.select(
+            "doc_id", href_values("html").alias("h")
+        ).collect()
+    }
+    assert got[1] == ["/real/1"]
+    assert got[2] == ["/at-start", "/mid"]
 
 
 def test_extract_anchor_texts_widened_forms(spark):
@@ -583,3 +613,212 @@ def test_trustrank_rejects_negative_weights(spark):
     )
     with pytest.raises(ValueError, match="non-negative"):
         trustrank(df, seeds, iters=3)
+
+
+def test_merge_edge_tables_hand_computed(spark):
+    """Incremental edge merge: weights sum across crawls, decay scales
+    the old table, unweighted input counts as weight 1, and decayed-
+    to-zero edges drop."""
+    from readur_spark.operators.linkgraph import merge_edge_tables
+
+    old = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 2.0), ("d", "e", 1.0)],
+        "src string, dst string, weight double",
+    )
+    new = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "c", 5.0)],
+        "src string, dst string, weight double",
+    )
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(old, new).collect()
+    }
+    assert got == {
+        ("a", "b"): 4.0,
+        ("a", "c"): 2.0,
+        ("d", "e"): 1.0,
+        ("b", "c"): 5.0,
+    }
+    # decay halves the old weights; decay=0 forgets them entirely
+    half = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(old, new, decay=0.5).collect()
+    }
+    assert half[("a", "b")] == 2.5 and half[("d", "e")] == 0.5
+    gone = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(old, new, decay=0.0).collect()
+    }
+    assert gone == {("a", "b"): 1.0, ("b", "c"): 5.0}
+    # unweighted (distinct) tables merge as weight-1 edges
+    unw = spark.createDataFrame([("x", "y")], "src string, dst string")
+    got2 = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(unw, unw).collect()
+    }
+    assert got2 == {("x", "y"): 2.0}
+    with pytest.raises(ValueError, match="decay"):
+        merge_edge_tables(old, new, decay=1.5)
+
+
+def test_pagerank_warm_start_converges_to_cold_fixpoint(spark):
+    """Incremental recrawl loop (r7 verdict, next-round #8): merge a
+    new crawl's edges, warm-start pagerank from the previous rank
+    vector — same fixpoint as a cold start (init-independence of the
+    power iteration), in fewer iterations."""
+    from readur_spark.operators.linkgraph import (
+        merge_edge_tables,
+        pagerank,
+    )
+
+    crawl1 = spark.createDataFrame(
+        [(s, d, 1.0) for s, d in EDGES],
+        "src string, dst string, weight double",
+    )
+    # the recrawl adds a new host f and a few repeat links
+    crawl2 = spark.createDataFrame(
+        [("a", "b", 2.0), ("e", "f", 1.0), ("f", "a", 1.0)],
+        "src string, dst string, weight double",
+    )
+    merged = merge_edge_tables(crawl1, crawl2)
+
+    # damping 0.5 so the 1e-12 fixpoint is reachable in ~40 power
+    # iterations (contraction factor d per step)
+    prev = pagerank(
+        spark.createDataFrame(EDGES, "src string, dst string"),
+        damping=0.5,
+        iters=60,
+        tol=1e-12,
+    ).localCheckpoint(eager=True)
+
+    cold_stats: dict = {}
+    cold = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            merged, damping=0.5, iters=60, tol=1e-12, stats=cold_stats
+        ).collect()
+    }
+    warm_stats: dict = {}
+    warm = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            merged,
+            damping=0.5,
+            iters=60,
+            tol=1e-12,
+            stats=warm_stats,
+            init_ranks=prev,
+        ).collect()
+    }
+    assert set(warm) == set(cold) and "f" in warm
+    for v in cold:
+        assert warm[v] == pytest.approx(cold[v], abs=1e-9)
+    assert warm_stats["converged"] and cold_stats["converged"]
+    assert warm_stats["iterations_run"] < cold_stats["iterations_run"]
+    # mass stays a probability distribution
+    assert sum(warm.values()) == pytest.approx(1.0, abs=1e-9)
+
+    # validation: negative / zero-mass init raises
+    bad = spark.createDataFrame(
+        [("a", -1.0)], "node string, rank double"
+    )
+    with pytest.raises(ValueError, match="init_ranks"):
+        pagerank(merged, iters=3, init_ranks=bad)
+
+
+def test_anchor_quality_features_hand_computed(spark):
+    """Inbound-anchor features joined onto target docs: hand-built
+    anchors pointing at doc u1 (3 anchors, 2 texts, 2 source docs) and
+    u2 (1 anchor), doc u3 never linked (zero-fill branch)."""
+    from readur_spark.operators.linkgraph import anchor_quality_features
+
+    anchors = spark.createDataFrame(
+        [
+            (10, "https://a.com/u1", "click here"),
+            (10, "https://a.com/u1", "click here"),
+            (11, "https://a.com/u1", "deep dive"),
+            (11, "https://a.com/u2", "two"),
+        ],
+        "doc_id long, target_url string, anchor_text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "https://a.com/u1"),
+            (2, "https://a.com/u2"),
+            (3, "https://a.com/u3"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in anchor_quality_features(docs, anchors).collect()
+    }
+    u1 = got[1]
+    assert u1["n_inlink_anchors"] == 3
+    assert u1["n_linking_docs"] == 2
+    assert u1["n_unique_anchor_texts"] == 2
+    assert u1["anchor_diversity"] == pytest.approx(2 / 3)
+    assert u1["top_anchor_share"] == pytest.approx(2 / 3)
+    # len mean weighted by count: (10*2 + 9*1) / 3
+    assert u1["anchor_text_len_mean"] == pytest.approx(29 / 3)
+    u2 = got[2]
+    assert u2["n_inlink_anchors"] == 1
+    assert u2["anchor_diversity"] == pytest.approx(1.0)
+    assert u2["top_anchor_share"] == pytest.approx(1.0)
+    u3 = got[3]
+    assert u3["n_inlink_anchors"] == 0
+    assert u3["n_linking_docs"] == 0
+    assert u3["anchor_diversity"] == 0.0
+    assert u3["top_anchor_share"] == 0.0
+    assert u3["anchor_text_len_mean"] == 0.0
+    # original doc columns preserved, in order
+    assert list(got[1])[:2] == ["doc_id", "url"]
+
+
+def test_anchor_quality_features_canonicalizes_join_key(spark):
+    """Raw anchor hrefs and doc URLs meet through canonicalization
+    (fragment strip, host lowercase) — a raw-vs-canonical mismatch
+    must not silently zero the features."""
+    from readur_spark.operators.linkgraph import anchor_quality_features
+
+    anchors = spark.createDataFrame(
+        [(10, "https://A.com/u1#frag", "text")],
+        "doc_id long, target_url string, anchor_text string",
+    )
+    docs = spark.createDataFrame(
+        [(1, "https://a.com/u1")], "doc_id long, url string"
+    )
+    row = anchor_quality_features(docs, anchors).collect()[0]
+    assert row["n_inlink_anchors"] == 1
+
+
+def test_trustrank_rejects_non_numeric_weights(spark):
+    """A string weight that casts to NULL must raise, not silently
+    give the seed trust 0 (r7 advisor finding) — including the mixed
+    case where the same node also has a good row."""
+    from readur_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", "2.0"), ("a", "high"), ("d", "1.0")],
+        "node string, w string",
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        trustrank(df, seeds, iters=3)
+    # numeric strings still work: cast succeeds, no raise
+    ok = spark.createDataFrame(
+        [("a", "2.0"), ("d", "1.0")], "node string, w string"
+    )
+    assert trustrank(df, ok, iters=2).count() > 0
+
+
+def test_trustrank_null_raw_weight_rows_are_skipped_not_rejected(spark):
+    """A genuinely-NULL raw weight is a skip (SQL aggregate
+    semantics), distinct from the non-numeric raise."""
+    from readur_spark.operators.linkgraph import trustrank
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    seeds = spark.createDataFrame(
+        [("a", 2.0), ("d", None)], "node string, w double"
+    )
+    assert trustrank(df, seeds, iters=2).count() > 0

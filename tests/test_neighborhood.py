@@ -106,6 +106,27 @@ def test_hyperball_validation_and_empty(spark):
     assert hyperball(empty, p=6, max_t=3).collect() == []
 
 
+def test_hyperball_num_partitions_is_result_invariant(spark):
+    """The per-task-state knob (r7 advisor finding) changes only the
+    physical layout: results stay bit-identical to the default, for a
+    width both below and above the corpus's key count."""
+    from readur_spark.operators.neighborhood import hyperball
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+
+    def run(**kw):
+        return sorted(
+            (r["node"], r["reach_est"], r["harmonic"], r["t_converged"])
+            for r in hyperball(df, p=6, max_t=16, **kw).collect()
+        )
+
+    base = run()
+    assert run(num_partitions=2) == base
+    assert run(num_partitions=64) == base
+    with pytest.raises(ValueError, match="num_partitions"):
+        hyperball(df, p=6, num_partitions=0)
+
+
 def test_hyperball_releases_checkpoints(spark):
     from readur_spark.operators.neighborhood import hyperball
 

@@ -46,6 +46,42 @@ def test_baseline_md_query_count_matches_registry():
     assert int(m.group(1)) == len(qs)
 
 
+def test_registry_window_arithmetic_holds():
+    """r7 verdict, what's-wrong #1: at 105 entries the '≤2 rounds
+    without a driver row' invariant was arithmetically unsatisfiable
+    (55 stale > 50-row window). The r8 consolidation pins it: registry
+    capped at 100 (= 2 × the window, alternating halves from r9 on),
+    and every entry lacking a row in the latest CORRECTNESS_r*.json
+    must sit inside the first 50 of queries() — or be named in
+    FROZEN_TIER with a justification."""
+    import glob
+    import json
+
+    import __spark_entry__ as entry
+
+    qs, _ = _registry()
+    names = list(qs)
+    assert len(names) <= 100, (
+        f"registry has {len(names)} entries — >2× the 50-row driver "
+        "window makes the rotation invariant unsatisfiable; merge "
+        "near-duplicate rows (see r7 verdict next-round #1)"
+    )
+    latest = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))[-1]
+    have_row = set(json.load(open(latest)))
+    stale = [n for n in names if n not in have_row]
+    outside = [n for n in stale if n not in names[:50]]
+    unexplained = sorted(set(outside) - set(entry.FROZEN_TIER))
+    assert not unexplained, (
+        f"entries with no driver row in {os.path.basename(latest)} that "
+        f"are outside the 50-row window and not in FROZEN_TIER: "
+        f"{unexplained}"
+    )
+    ghost = sorted(set(entry.FROZEN_TIER) - set(names))
+    assert not ghost, f"FROZEN_TIER names not in the registry: {ghost}"
+    for name, why in entry.FROZEN_TIER.items():
+        assert len(why) > 40, f"FROZEN_TIER[{name}] needs a real justification"
+
+
 def test_no_stale_rows_only_claims():
     """Every oracle is value-checked now; stale 'rows-only' table rows in
     the coverage map misinform the next reader."""

@@ -12,8 +12,11 @@ Timed: distinct-edge build, fixed-iteration PageRank (the oracle
 configuration), early-stop PageRank (tol), weighted + distinct degree
 stats, and connected components. Prints ONE JSON line; run quiet.
 
-Usage: python tools/linkgraph_bench.py [N_EDGES] [N_HOSTS]
-(default 10_000_000 edges over 500_000 hosts).
+Usage: python tools/linkgraph_bench.py [N_EDGES] [N_HOSTS] [HYPERBALL_P]
+(default 10_000_000 edges over 500_000 hosts; HYPERBALL_P > 0 appends a
+HyperBall leg at that precision — p=11 is the published Common Crawl
+regime, 2 KB/node registers — recording per-round walls and the exact
+per-round shuffle payload n_edge_rows × 2^p bytes).
 """
 
 from __future__ import annotations
@@ -122,6 +125,36 @@ def main() -> None:
         degw.agg(F.max("in_degree")).collect()[0][0]
     )
     out["wall_degrees_weighted_s"] = round(time.perf_counter() - t0, 2)
+
+    hb_p = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    if hb_p:
+        from readur_spark.operators.neighborhood import hyperball
+
+        hstats: dict = {}
+        t0 = time.perf_counter()
+        hb = hyperball(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ),
+            p=hb_p,
+            stats=hstats,
+            num_partitions=cpus * 4,
+        )
+        out["hyperball_top_harmonic"] = round(
+            hb.agg(F.max("harmonic")).collect()[0][0], 3
+        )
+        out["wall_hyperball_s"] = round(time.perf_counter() - t0, 2)
+        out["hyperball_p"] = hb_p
+        out["hyperball_rounds"] = hstats.get("rounds_run")
+        out["hyperball_converged"] = hstats.get("converged")
+        out["hyperball_round_walls_s"] = hstats.get("round_walls_s")
+        # exact per-round shuffle payload: every distinct edge ships one
+        # 2^p-byte register array to its src (join output), then the
+        # repartition re-ships the reduced per-node arrays
+        out["hyperball_shuffle_bytes_per_round"] = int(
+            out["n_edges_distinct"] * (1 << hb_p)
+        )
+        _release_checkpoint(hb)
 
     t0 = time.perf_counter()
     comp = domain_components(edges)
