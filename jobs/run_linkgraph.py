@@ -8,7 +8,17 @@
         [--damping 0.85] [--iters 20] [--tol 1e-7] \
         [--trust-seeds seeds.txt | --trust-seeds-table <parquet>] \
         [--blocklist <hosts.txt>] [--weighted-degrees] \
-        [--degrees-out <parquet>] [--min-rank-ratio 1.0]
+        [--degrees-out <parquet>] [--min-rank-ratio 1.0] \
+        [--prev-edges <parquet> --decay 0.9] [--edges-out <parquet>] \
+        [--init-ranks <parquet>]
+
+Incremental recrawl loop (``--prev-edges`` / ``--edges-out`` /
+``--init-ranks``): merge this crawl's weighted outlinks into the
+persisted edge table (optionally decaying stale weights) and warm-start
+the rank iteration from the previous rank vector — the same fixpoint in
+a fraction of the iterations (each saved iteration is a corpus-scale
+shuffle at 10^8 hosts). Each run writes ``--edges-out`` + ``--rank-out``
+which feed the next run's ``--prev-edges`` + ``--init-ranks``.
 
 Pipeline: extract_outlinks (all three HTML attribute quoting forms) →
 build_domain_graph → PageRank — or TrustRank when seeds are given — with
@@ -63,6 +73,22 @@ def main() -> None:
     ap.add_argument("--harmonic-p", type=int, default=8)
     ap.add_argument("--min-rank-ratio", type=float, default=1.0,
                     help="docs-out keeps domains with rank >= ratio/N")
+    ap.add_argument("--prev-edges", default=None,
+                    help="previous crawl's weighted edge parquet "
+                         "(src, dst, weight): merge this crawl's "
+                         "outlinks into it instead of ranking the new "
+                         "crawl alone (incremental recrawl loop)")
+    ap.add_argument("--decay", type=float, default=1.0,
+                    help="multiplier on --prev-edges weights before "
+                         "the merge (exponential forgetting; 1.0 = "
+                         "pure accumulation)")
+    ap.add_argument("--edges-out", default=None,
+                    help="persist the (merged) weighted edge table "
+                         "for the NEXT crawl's --prev-edges")
+    ap.add_argument("--init-ranks", default=None,
+                    help="previous run's rank parquet (node, rank): "
+                         "warm-start the power iteration — same "
+                         "fixpoint, fewer iterations on a recrawl")
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -72,6 +98,7 @@ def main() -> None:
         domain_degree_stats,
         extract_outlinks,
         filter_by_domain_blocklist,
+        merge_edge_tables,
         pagerank,
         trustrank,
     )
@@ -88,9 +115,36 @@ def main() -> None:
         base_domain_col=args.domain_col,
         passthrough_cols=[args.domain_col],
     ).withColumn("src_domain", F.lower(F.col(args.domain_col)))
-    edges = build_domain_graph(links).localCheckpoint(eager=True)
+    if args.prev_edges:
+        # incremental recrawl loop: this crawl's WEIGHTED outlinks
+        # merged into the persisted table (one union + one groupBy-sum
+        # on the (src, dst) pair key); the merged pairs are unique, so
+        # ranking over its (src, dst) projection is the same distinct
+        # edge set the cold path builds
+        new_w = build_domain_graph(links, weighted=True)
+        merged = merge_edge_tables(
+            spark.read.parquet(args.prev_edges), new_w, decay=args.decay
+        ).localCheckpoint(eager=True)
+        report["n_edges_new_crawl"] = new_w.count()
+        if args.edges_out:
+            merged.write.mode("overwrite").parquet(args.edges_out)
+            report["edges_out"] = args.edges_out
+        edges = merged.select("src", "dst")
+        ckpt_handle = merged
+        report["mode_edges"] = "incremental"
+    else:
+        edges = build_domain_graph(links).localCheckpoint(eager=True)
+        ckpt_handle = edges
+        if args.edges_out:
+            build_domain_graph(links, weighted=True).write.mode(
+                "overwrite"
+            ).parquet(args.edges_out)
+            report["edges_out"] = args.edges_out
     report["n_edges"] = edges.count()
 
+    init_ranks = (
+        spark.read.parquet(args.init_ranks) if args.init_ranks else None
+    )
     stats: dict = {}
     if args.trust_seeds or args.trust_seeds_table:
         if args.trust_seeds_table:
@@ -109,13 +163,13 @@ def main() -> None:
                 seeds = [ln.strip().lower() for ln in fh if ln.strip()]
         ranks = trustrank(
             edges, seeds, damping=args.damping, iters=args.iters,
-            tol=args.tol, stats=stats,
+            tol=args.tol, stats=stats, init_ranks=init_ranks,
         )
         report["mode"] = "trustrank"
     else:
         ranks = pagerank(
             edges, damping=args.damping, iters=args.iters,
-            tol=args.tol, stats=stats,
+            tol=args.tol, stats=stats, init_ranks=init_ranks,
         )
         report["mode"] = "pagerank"
     # the rank distribution normalizes over the FULL graph, so the
@@ -138,11 +192,16 @@ def main() -> None:
     )
 
     if args.degrees_out:
-        deg_edges = (
-            build_domain_graph(links, weighted=True)
-            if args.weighted_degrees
-            else edges
-        )
+        if args.weighted_degrees:
+            # incremental mode: weighted degrees over the MERGED table
+            # (the accumulated graph), not just this crawl's links
+            deg_edges = (
+                ckpt_handle
+                if args.prev_edges
+                else build_domain_graph(links, weighted=True)
+            )
+        else:
+            deg_edges = edges
         domain_degree_stats(
             deg_edges,
             weight_col="weight" if args.weighted_degrees else None,
@@ -182,7 +241,7 @@ def main() -> None:
 
     from readur_spark.plans.curation import _release_checkpoint
 
-    _release_checkpoint(edges)
+    _release_checkpoint(ckpt_handle)
     print(json.dumps(report))
     spark.stop()
 
