@@ -13,6 +13,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 
@@ -23,6 +27,11 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output parquet/iceberg path")
     ap.add_argument("--checkpoint", required=True, help="checkpoint table path")
     ap.add_argument("--partitions", type=int, default=256)
+    ap.add_argument("--batch-partitions", type=int, default=None,
+                    help="commit every K partitions instead of one "
+                         "monolithic commit: a crash then loses at most "
+                         "one K-partition chunk (the assigned input is "
+                         "staged once, partition-pruned per chunk)")
     ap.add_argument("--run-id", default=None)
     ap.add_argument("--no-hyphen-repair", action="store_true")
     ap.add_argument(
@@ -50,6 +59,7 @@ def main() -> None:
         run_id=args.run_id,
         repair_hyphens=not args.no_hyphen_repair,
         table_format=args.format,
+        batch_partitions=args.batch_partitions,
     )
     print(json.dumps(summary))
     spark.stop()

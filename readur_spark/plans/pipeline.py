@@ -49,6 +49,7 @@ def run_extraction(
     run_id: str | None = None,
     repair_hyphens: bool = True,
     table_format: str = "parquet",
+    batch_partitions: int | None = None,
 ) -> dict:
     """Run (or resume) a checkpointed extraction over ``docs_df``.
 
@@ -59,8 +60,27 @@ def run_extraction(
     first-writer-wins resume semantics as the tested parquet fallback
     (see sources/table_format.py for the spark-submit recipe).
 
+    ``batch_partitions``: commit granularity WITHIN a run. Default
+    (``None``) keeps the single-commit plan: one scan → one shuffle →
+    one partition-overwrite — minimal IO, but a crash mid-run commits
+    nothing and the whole todo set reruns. With ``batch_partitions=K``
+    the todo set is processed in chunks of K partitions, each chunk its
+    own claim → extract → atomic partition-overwrite → completed-row
+    append, so a kill loses at most ONE in-flight chunk — the
+    difference between "restart the week-long run" and "lose 20
+    minutes" at 10^12 docs. To keep chunked runs from rescanning the
+    full source once per chunk (partition_id is a hash — no source-side
+    pruning exists for it), the assigned input is first STAGED once to
+    ``<checkpoint>_staged`` partitioned by partition_id; every chunk
+    then reads back only its own partition directories (partition-
+    pruned scan), so total input IO is one extra write + one pruned
+    read regardless of chunk count. The staging table is reused on
+    resume when its committed marker exists — which also pins the run
+    to a deterministic snapshot of the input even if the source table
+    changes between the crash and the resume.
+
     Returns a summary dict: run_id, partitions planned/skipped/processed,
-    docs processed/failed.
+    docs processed/failed, batches committed.
     """
     from readur_spark.sources.table_format import (
         overwrite_partitions,
@@ -68,6 +88,10 @@ def run_extraction(
         resolve_format,
     )
 
+    if batch_partitions is not None and batch_partitions < 1:
+        raise ValueError(
+            f"batch_partitions must be >= 1, got {batch_partitions}"
+        )
     table_format = resolve_format(spark, table_format)
     run_id = run_id or new_run_id()
     ckpt = CheckpointTable(spark, checkpoint_path, table_format=table_format)
@@ -84,79 +108,150 @@ def run_extraction(
             "partitions_processed": 0,
             "docs_processed": 0,
             "docs_failed": 0,
+            "batches": 0,
         }
 
-    todo = planned.filter(F.col("partition_id").isin(todo_pids)) if done else planned
-    # one explicit shuffle: co-locate each checkpoint partition
-    todo = todo.repartition(num_partitions, "partition_id")
-
-    started = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
-    # claim rows first (readur's dequeue claims the item and bumps attempts
-    # inside the claiming transaction, src/ocr/queue.rs:165-318) — so
-    # attempt counts survive a crash that never commits results.
-    attempts_now = {pid: prev_attempts.get(pid, 0) + 1 for pid in todo_pids}
-    ckpt.append(
-        [
-            {
-                "run_id": run_id,
-                "partition_id": pid,
-                "status": "processing",
-                "attempts": attempts_now[pid],
-                "started_at": started,
-                "worker_id": run_id,
-            }
-            for pid in todo_pids
+    if batch_partitions is None:
+        chunks = [todo_pids]
+        source = planned
+    else:
+        source = _stage_assigned_input(
+            spark, planned, checkpoint_path, table_format, num_partitions
+        )
+        chunks = [
+            todo_pids[i : i + batch_partitions]
+            for i in range(0, len(todo_pids), batch_partitions)
         ]
-    )
-    t0 = datetime.datetime.now()
-    extracted = extract_spans(
-        todo, repair_hyphens=repair_hyphens, passthrough_cols=["partition_id"]
-    )
-    overwrite_partitions(
-        extracted, output_path, ["partition_id"], fmt=table_format
-    )
-    wall_ms = int((datetime.datetime.now() - t0).total_seconds() * 1000)
-    completed = datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
 
-    # lineage metrics from the committed output (not from in-flight state)
-    metrics = (
-        read_table(spark, output_path, table_format)
-        .filter(F.col("partition_id").isin(todo_pids))
-        .groupBy("partition_id")
-        .agg(
-            F.count("*").alias("docs_processed"),
-            F.sum(F.when(F.col("status") == "failed", 1).otherwise(0)).alias("docs_failed"),
-            F.sum("processing_time_ms").alias("processing_time_ms"),
+    total_wall_ms = 0
+    total_processed = 0
+    total_failed = 0
+    for chunk in chunks:
+        todo = (
+            source.filter(F.col("partition_id").isin(chunk))
+            if (len(chunk) < num_partitions or done)
+            else source
         )
-        .collect()
-    )
-    by_pid = {r["partition_id"]: r for r in metrics}
-    rows = []
-    for pid in todo_pids:
-        m = by_pid.get(pid)
-        rows.append(
-            {
-                "run_id": run_id,
-                "partition_id": pid,
-                "status": "completed",
-                "attempts": attempts_now[pid],
-                "started_at": started,
-                "completed_at": completed,
-                "docs_processed": int(m["docs_processed"]) if m else 0,
-                "docs_failed": int(m["docs_failed"]) if m else 0,
-                "processing_time_ms": int(m["processing_time_ms"]) if m and m["processing_time_ms"] is not None else 0,
-                "worker_id": f"{run_id}",
-                "error_message": None,
-            }
+        # one explicit shuffle: co-locate each checkpoint partition
+        todo = todo.repartition(max(len(chunk), 1), "partition_id")
+
+        started = datetime.datetime.now(datetime.timezone.utc).replace(
+            tzinfo=None
         )
-    ckpt.append(rows)
+        # claim rows first (readur's dequeue claims the item and bumps
+        # attempts inside the claiming transaction,
+        # src/ocr/queue.rs:165-318) — so attempt counts survive a crash
+        # that never commits results. Claims are per CHUNK: a partition's
+        # attempt count only bumps when its chunk is actually started.
+        attempts_now = {pid: prev_attempts.get(pid, 0) + 1 for pid in chunk}
+        ckpt.append(
+            [
+                {
+                    "run_id": run_id,
+                    "partition_id": pid,
+                    "status": "processing",
+                    "attempts": attempts_now[pid],
+                    "started_at": started,
+                    "worker_id": run_id,
+                }
+                for pid in chunk
+            ]
+        )
+        t0 = datetime.datetime.now()
+        extracted = extract_spans(
+            todo,
+            repair_hyphens=repair_hyphens,
+            passthrough_cols=["partition_id"],
+        )
+        overwrite_partitions(
+            extracted, output_path, ["partition_id"], fmt=table_format
+        )
+        total_wall_ms += int(
+            (datetime.datetime.now() - t0).total_seconds() * 1000
+        )
+        completed = datetime.datetime.now(datetime.timezone.utc).replace(
+            tzinfo=None
+        )
+
+        # lineage metrics from the committed output (not in-flight state)
+        metrics = (
+            read_table(spark, output_path, table_format)
+            .filter(F.col("partition_id").isin(chunk))
+            .groupBy("partition_id")
+            .agg(
+                F.count("*").alias("docs_processed"),
+                F.sum(
+                    F.when(F.col("status") == "failed", 1).otherwise(0)
+                ).alias("docs_failed"),
+                F.sum("processing_time_ms").alias("processing_time_ms"),
+            )
+            .collect()
+        )
+        by_pid = {r["partition_id"]: r for r in metrics}
+        rows = []
+        for pid in chunk:
+            m = by_pid.get(pid)
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "partition_id": pid,
+                    "status": "completed",
+                    "attempts": attempts_now[pid],
+                    "started_at": started,
+                    "completed_at": completed,
+                    "docs_processed": int(m["docs_processed"]) if m else 0,
+                    "docs_failed": int(m["docs_failed"]) if m else 0,
+                    "processing_time_ms": int(m["processing_time_ms"])
+                    if m and m["processing_time_ms"] is not None
+                    else 0,
+                    "worker_id": f"{run_id}",
+                    "error_message": None,
+                }
+            )
+        ckpt.append(rows)
+        total_processed += sum(r["docs_processed"] for r in rows)
+        total_failed += sum(r["docs_failed"] for r in rows)
 
     return {
         "run_id": run_id,
         "partitions_total": num_partitions,
         "partitions_skipped": len(done),
         "partitions_processed": len(todo_pids),
-        "docs_processed": sum(r["docs_processed"] for r in rows),
-        "docs_failed": sum(r["docs_failed"] for r in rows),
-        "wall_ms": wall_ms,
+        "docs_processed": total_processed,
+        "docs_failed": total_failed,
+        "wall_ms": total_wall_ms,
+        "batches": len(chunks),
     }
+
+
+def _stage_assigned_input(
+    spark: SparkSession,
+    planned: DataFrame,
+    checkpoint_path: str,
+    table_format: str,
+    num_partitions: int,
+) -> DataFrame:
+    """Materialize the partition-assigned input ONCE, partitioned by
+    ``partition_id``, so chunked runs read back only each chunk's
+    partition directories instead of rescanning the full source per
+    chunk. Reused when already committed (parquet ``_SUCCESS`` marker /
+    existing Iceberg table): a resume keeps extracting the exact
+    snapshot the crashed run started from. The partition count is baked
+    into the name so a resume with a different ``num_partitions`` never
+    reuses a stale assignment."""
+    from readur_spark.sources.table_format import read_table
+
+    staged = f"{checkpoint_path}_staged_p{num_partitions}"
+    if table_format == "iceberg":
+        if not spark.catalog.tableExists(staged):
+            planned.writeTo(staged).partitionedBy(
+                F.col("partition_id")
+            ).create()
+    else:
+        import os
+
+        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+            planned.write.mode("overwrite").partitionBy(
+                "partition_id"
+            ).parquet(staged)
+    return read_table(spark, staged, table_format)

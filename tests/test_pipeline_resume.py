@@ -173,3 +173,121 @@ def test_cleanup_crash_recovery(spark, tmp_path):
     got = ck.read().collect()
     assert len(got) == 1  # leftover dropped, no duplication
     assert not os.path.exists(ck.path + ".old-cafebabe")
+
+def test_batched_commits_match_single_commit(spark, dirs):
+    """batch_partitions=K must produce exactly the single-commit result
+    (same rows, same spans), with one commit per chunk recorded."""
+    out, ckpt_path = dirs
+    docs = docs_dataframe(spark, 80, seed=5)
+    s = run_extraction(
+        spark, docs, out, ckpt_path,
+        num_partitions=N_PARTS, batch_partitions=3,
+    )
+    assert s["batches"] == 3  # ceil(8 / 3)
+    assert s["docs_processed"] == 80
+    batched = {
+        r["doc_id"]: [tuple(x) for x in r["spans"]]
+        for r in spark.read.parquet(out).collect()
+    }
+
+    out2, ckpt2 = out + "_ctl", ckpt_path + "_ctl"
+    run_extraction(spark, docs, out2, ckpt2, num_partitions=N_PARTS)
+    control = {
+        r["doc_id"]: [tuple(x) for x in r["spans"]]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert batched == control
+
+
+def test_kill_between_batches_loses_at_most_one_chunk(spark, dirs, monkeypatch):
+    """A crash after the first chunk's commit must leave that chunk
+    completed: the resume skips it, reprocesses the rest, and the final
+    output equals an uncrashed control run."""
+    import readur_spark.plans.pipeline as pl
+    from readur_spark.sources.table_format import (
+        overwrite_partitions as real_overwrite,
+    )
+
+    out, ckpt_path = dirs
+    docs = docs_dataframe(spark, 80, seed=5)
+
+    calls = {"n": 0}
+
+    def crashing_overwrite(df, target, partition_by, fmt="parquet"):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated executor-loss crash")
+        return real_overwrite(df, target, partition_by, fmt=fmt)
+
+    # run_extraction imports overwrite_partitions inside the function,
+    # so patch the table_format module attribute it resolves from
+    import readur_spark.sources.table_format as tf
+
+    monkeypatch.setattr(tf, "overwrite_partitions", crashing_overwrite)
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_extraction(
+            spark, docs, out, ckpt_path,
+            num_partitions=N_PARTS, batch_partitions=4,
+        )
+    monkeypatch.setattr(tf, "overwrite_partitions", real_overwrite)
+
+    ckpt = CheckpointTable(spark, ckpt_path)
+    done_after_crash = ckpt.completed_partitions()
+    assert len(done_after_crash) == 4  # first chunk committed, second lost
+
+    s = run_extraction(
+        spark, docs, out, ckpt_path,
+        num_partitions=N_PARTS, batch_partitions=4,
+    )
+    assert s["partitions_skipped"] == 4
+    assert s["partitions_processed"] == 4
+
+    resumed = {
+        r["doc_id"]: [tuple(x) for x in r["spans"]]
+        for r in spark.read.parquet(out).collect()
+    }
+    out2, ckpt2 = out + "_ctl", ckpt_path + "_ctl"
+    run_extraction(spark, docs, out2, ckpt2, num_partitions=N_PARTS)
+    control = {
+        r["doc_id"]: [tuple(x) for x in r["spans"]]
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert resumed == control
+
+    # the crashed chunk's partitions were claimed twice, committed once
+    att = ckpt.attempts_so_far()
+    crashed = sorted(set(range(N_PARTS)) - done_after_crash)
+    assert all(att[p] == 2 for p in crashed)
+    assert all(att[p] == 1 for p in sorted(done_after_crash))
+
+
+def test_staged_input_reused_on_resume(spark, dirs):
+    """The staged assignment is written once and REUSED by a resume (the
+    _SUCCESS marker pins the snapshot), never rewritten."""
+    import os
+
+    out, ckpt_path = dirs
+    docs = docs_dataframe(spark, 40, seed=9)
+    run_extraction(
+        spark, docs, out, ckpt_path,
+        num_partitions=4, batch_partitions=2,
+    )
+    staged = f"{ckpt_path}_staged_p4"
+    marker = os.path.join(staged, "_SUCCESS")
+    assert os.path.exists(marker)
+    mtime = os.path.getmtime(marker)
+
+    # force partition 1 back to todo, resume — staging must be untouched
+    ckpt = CheckpointTable(spark, ckpt_path)
+    kept = ckpt.read().filter(
+        ~((F.col("partition_id") == 1) & (F.col("status") == "completed"))
+    )
+    rows = kept.collect()
+    shutil.rmtree(ckpt_path)
+    ckpt.append([r.asDict() for r in rows])
+    s = run_extraction(
+        spark, docs, out, ckpt_path,
+        num_partitions=4, batch_partitions=2,
+    )
+    assert s["partitions_processed"] == 1
+    assert os.path.getmtime(marker) == mtime
