@@ -212,6 +212,14 @@ def run_extraction(
         total_processed += sum(r["docs_processed"] for r in rows)
         total_failed += sum(r["docs_failed"] for r in rows)
 
+    if batch_partitions is not None:
+        # every partition is now committed: drop the staged snapshot —
+        # it is corpus-sized (the whole assigned input), and leaving it
+        # under the checkpoint path would orphan ~1× the input per
+        # completed run. A later run over new docs restages from its
+        # own source scan.
+        _drop_staged_input(spark, checkpoint_path, table_format, num_partitions)
+
     return {
         "run_id": run_id,
         "partitions_total": num_partitions,
@@ -255,3 +263,21 @@ def _stage_assigned_input(
                 "partition_id"
             ).parquet(staged)
     return read_table(spark, staged, table_format)
+
+
+def _drop_staged_input(
+    spark: SparkSession,
+    checkpoint_path: str,
+    table_format: str,
+    num_partitions: int,
+) -> None:
+    """Remove the staged snapshot written by
+    :func:`_stage_assigned_input` (corpus-sized; dead weight once every
+    partition has a committed row)."""
+    staged = f"{checkpoint_path}_staged_p{num_partitions}"
+    if table_format == "iceberg":
+        spark.sql(f"DROP TABLE IF EXISTS {staged}")
+    else:
+        import shutil
+
+        shutil.rmtree(staged, ignore_errors=True)

@@ -261,33 +261,59 @@ def test_kill_between_batches_loses_at_most_one_chunk(spark, dirs, monkeypatch):
     assert all(att[p] == 1 for p in sorted(done_after_crash))
 
 
-def test_staged_input_reused_on_resume(spark, dirs):
-    """The staged assignment is written once and REUSED by a resume (the
-    _SUCCESS marker pins the snapshot), never rewritten."""
+def test_staged_input_reused_by_resume_then_dropped(spark, dirs, monkeypatch):
+    """The staged snapshot survives a crash and is REUSED by the resume
+    (the _SUCCESS marker pins it — the resume extracts the exact input
+    the crashed run started from), then dropped once every partition is
+    committed (it is corpus-sized; leaving it would orphan ~1x the
+    input per completed run)."""
     import os
+
+    import readur_spark.plans.pipeline as pl
+    import readur_spark.sources.table_format as tf
+    from readur_spark.sources.table_format import (
+        overwrite_partitions as real_overwrite,
+    )
 
     out, ckpt_path = dirs
     docs = docs_dataframe(spark, 40, seed=9)
-    run_extraction(
-        spark, docs, out, ckpt_path,
-        num_partitions=4, batch_partitions=2,
-    )
     staged = f"{ckpt_path}_staged_p4"
     marker = os.path.join(staged, "_SUCCESS")
-    assert os.path.exists(marker)
+
+    calls = {"n": 0}
+
+    def crashing_overwrite(df, target, partition_by, fmt="parquet"):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash")
+        return real_overwrite(df, target, partition_by, fmt=fmt)
+
+    monkeypatch.setattr(tf, "overwrite_partitions", crashing_overwrite)
+    with pytest.raises(RuntimeError, match="simulated"):
+        run_extraction(
+            spark, docs, out, ckpt_path,
+            num_partitions=4, batch_partitions=2,
+        )
+    monkeypatch.setattr(tf, "overwrite_partitions", real_overwrite)
+
+    assert os.path.exists(marker)  # staging survives the crash
     mtime = os.path.getmtime(marker)
 
-    # force partition 1 back to todo, resume — staging must be untouched
-    ckpt = CheckpointTable(spark, ckpt_path)
-    kept = ckpt.read().filter(
-        ~((F.col("partition_id") == 1) & (F.col("status") == "completed"))
-    )
-    rows = kept.collect()
-    shutil.rmtree(ckpt_path)
-    ckpt.append([r.asDict() for r in rows])
+    pre_drop_mtime = []
+    real_drop = pl._drop_staged_input
+
+    def recording_drop(*a, **k):
+        pre_drop_mtime.append(os.path.getmtime(marker))
+        return real_drop(*a, **k)
+
+    monkeypatch.setattr(pl, "_drop_staged_input", recording_drop)
     s = run_extraction(
         spark, docs, out, ckpt_path,
         num_partitions=4, batch_partitions=2,
     )
-    assert s["partitions_processed"] == 1
-    assert os.path.getmtime(marker) == mtime
+    assert s["partitions_skipped"] == 2
+    assert s["partitions_processed"] == 2
+    # reused, not rewritten: the marker mtime just before the drop is
+    # the crashed run's (a restage would have bumped it)
+    assert pre_drop_mtime == [mtime]
+    assert not os.path.exists(staged)  # dropped at completion
