@@ -7,6 +7,11 @@ builds its own SparkSession exactly as spark-submit would):
              (deterministic urls, domains, link markup; a 5% link-farm
              island whose domains rank below uniform)
     stage 1  jobs/run_linkgraph.py   crawl → per-domain PageRank table
+             (+ --edges-out: the persisted weighted edge table)
+    stage 1b jobs/run_linkgraph.py   RECRAWL (perturbed links) merged
+             incrementally: --prev-edges + --init-ranks + --decay — the
+             warm-started re-rank must converge in no more iterations
+             than the cold run (r8 incremental loop, job-shaped)
     stage 2  jobs/run_curation.py    crawl + rank table → curated chunks
              (crawl-frontier URL dedup → rank filter → quality → dedup
              funnel, all inside ONE checkpointed curate() run — the
@@ -34,7 +39,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def synthesize_crawl(sf_dir: str, out: str, cpus: int) -> dict:
+def synthesize_crawl(sf_dir: str, out: str, cpus: int, churn: int = 0) -> dict:
     """Stage 0: documents → a crawl table (doc_id, url, domain, html,
     text). 1-in-20 docs belong to a 5-domain link-farm island that only
     links internally — its domains receive no mass from the main graph
@@ -63,7 +68,8 @@ def synthesize_crawl(sf_dir: str, out: str, cpus: int) -> dict:
         F.concat(F.lit("farm"), ((F.col("doc_id") + 1) % 5).cast("string"),
                  F.lit(".spam")),
     ).otherwise(
-        F.concat(F.lit("h"), ((F.col("doc_id") * 13 + 5) % 97).cast("string"),
+        F.concat(F.lit("h"),
+                 ((F.col("doc_id") * 13 + 5 + churn) % 97).cast("string"),
                  F.lit(".example"))
     )
     link_dst2 = F.when(
@@ -71,7 +77,8 @@ def synthesize_crawl(sf_dir: str, out: str, cpus: int) -> dict:
         F.concat(F.lit("farm"), ((F.col("doc_id") + 2) % 5).cast("string"),
                  F.lit(".spam")),
     ).otherwise(
-        F.concat(F.lit("h"), ((F.col("doc_id") * 7 + 11) % 97).cast("string"),
+        F.concat(F.lit("h"),
+                 ((F.col("doc_id") * 7 + 11 + churn) % 97).cast("string"),
                  F.lit(".example"))
     )
     html = F.concat(
@@ -138,17 +145,44 @@ def main() -> None:
         "jobs/run_linkgraph.py",
         "--input", crawl,
         "--rank-out", ranks,
+        "--edges-out", f"{work}/edges1",
         "--iters", "30", "--tol", "1e-7",
     ])
     out["stage1_linkgraph"] = report
     out["stage1_wall_s"] = round(wall, 1)
+    cold_iters = report["rank_iterations"]["iterations_run"]
+
+    # stage 1b: a RECRAWL with ~2% link churn, merged into the persisted
+    # edge table and re-ranked from the previous vector — the incremental
+    # loop a production crawler runs daily
+    crawl2 = f"{work}/crawl2"
+    ranks2 = f"{work}/ranks2"
+    t0 = time.perf_counter()
+    synthesize_crawl(sf_dir, crawl2, cpus, churn=2)
+    report, wall = run_job([
+        "jobs/run_linkgraph.py",
+        "--input", crawl2,
+        "--rank-out", ranks2,
+        "--prev-edges", f"{work}/edges1",
+        "--init-ranks", ranks,
+        "--decay", "0.9",
+        "--edges-out", f"{work}/edges2",
+        "--iters", "30", "--tol", "1e-7",
+    ])
+    out["stage1b_recrawl"] = report
+    out["stage1b_wall_s"] = round(time.perf_counter() - t0, 1)
+    warm_iters = report["rank_iterations"]["iterations_run"]
+    assert report["mode_edges"] == "incremental"
+    assert report["rank_iterations"]["converged"], report
+    assert warm_iters <= cold_iters, (warm_iters, cold_iters)
+    out["iterations_cold_vs_warm"] = [cold_iters, warm_iters]
 
     report, wall = run_job([
         "jobs/run_curation.py",
         "--input", crawl,
         "--output", chunks,
         "--url-col", "url",
-        "--rank-table", ranks,
+        "--rank-table", ranks2,
         "--min-rank-ratio", "0.5",
         "--gopher-stopwords", "the,a,table,value,row,key",
         "--chunk-words", "128", "--overlap", "32",
@@ -169,7 +203,7 @@ def main() -> None:
     out["stage3_wall_s"] = round(wall, 1)
 
     out["total_wall_s"] = round(
-        out["stage0_wall_s"] + out["stage1_wall_s"]
+        out["stage0_wall_s"] + out["stage1_wall_s"] + out["stage1b_wall_s"]
         + out["stage2_wall_s"] + out["stage3_wall_s"], 1
     )
     print(json.dumps(out), flush=True)
