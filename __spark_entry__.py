@@ -2980,9 +2980,6 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check
         pass
 
-    # domain_degrees_weighted: same construction, multiplicity-weighted
-    # edges (groupBy pair, count), degrees = sum of weights; reciprocal
-    # stays the distinct-mutual-neighbor EXISTS
     # rank_filter_docs: the pagerank replay wrapped as a CTE, joined to
     # the doc->domain attribution, above-uniform filter
     _pr_cte = _pagerank_sql(

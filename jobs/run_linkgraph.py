@@ -82,6 +82,12 @@ def main() -> None:
                     help="multiplier on --prev-edges weights before "
                          "the merge (exponential forgetting; 1.0 = "
                          "pure accumulation)")
+    ap.add_argument("--prune-below", type=float, default=0.0,
+                    help="drop merged edges with weight below this — "
+                         "what makes --decay actually remove stale "
+                         "links from the RANK graph (rank runs on the "
+                         "src/dst projection, so a decayed-but-present "
+                         "edge otherwise still ranks like a live one)")
     ap.add_argument("--edges-out", default=None,
                     help="persist the (merged) weighted edge table "
                          "for the NEXT crawl's --prev-edges")
@@ -102,6 +108,7 @@ def main() -> None:
         pagerank,
         trustrank,
     )
+    from readur_spark.plans.curation import _release_checkpoint as _release
     from readur_spark.session import get_spark
 
     spark = get_spark(app_name="readur_spark_linkgraph")
@@ -120,26 +127,40 @@ def main() -> None:
         # merged into the persisted table (one union + one groupBy-sum
         # on the (src, dst) pair key); the merged pairs are unique, so
         # ranking over its (src, dst) projection is the same distinct
-        # edge set the cold path builds
-        new_w = build_domain_graph(links, weighted=True)
-        merged = merge_edge_tables(
-            spark.read.parquet(args.prev_edges), new_w, decay=args.decay
-        ).localCheckpoint(eager=True)
+        # edge set the cold path builds. The new crawl's graph is
+        # checkpointed FIRST so the extraction scan runs once — the
+        # merge and the n_edges_new_crawl metric both read the
+        # materialized table, not the regex pipeline again.
+        new_w = build_domain_graph(links, weighted=True).localCheckpoint(
+            eager=True
+        )
         report["n_edges_new_crawl"] = new_w.count()
+        merged = merge_edge_tables(
+            spark.read.parquet(args.prev_edges), new_w,
+            decay=args.decay, prune_below=args.prune_below,
+        ).localCheckpoint(eager=True)
+        _release(new_w)
         if args.edges_out:
             merged.write.mode("overwrite").parquet(args.edges_out)
             report["edges_out"] = args.edges_out
         edges = merged.select("src", "dst")
         ckpt_handle = merged
         report["mode_edges"] = "incremental"
+    elif args.edges_out:
+        # cold start that persists its edge table: build the WEIGHTED
+        # graph once (its (src, dst) pairs are already distinct) and
+        # derive the rank edges by projection — one extraction pass,
+        # not two
+        weighted = build_domain_graph(links, weighted=True).localCheckpoint(
+            eager=True
+        )
+        weighted.write.mode("overwrite").parquet(args.edges_out)
+        report["edges_out"] = args.edges_out
+        edges = weighted.select("src", "dst")
+        ckpt_handle = weighted
     else:
         edges = build_domain_graph(links).localCheckpoint(eager=True)
         ckpt_handle = edges
-        if args.edges_out:
-            build_domain_graph(links, weighted=True).write.mode(
-                "overwrite"
-            ).parquet(args.edges_out)
-            report["edges_out"] = args.edges_out
     report["n_edges"] = edges.count()
 
     init_ranks = (
@@ -193,11 +214,12 @@ def main() -> None:
 
     if args.degrees_out:
         if args.weighted_degrees:
-            # incremental mode: weighted degrees over the MERGED table
-            # (the accumulated graph), not just this crawl's links
+            # when a weighted table already exists (incremental merge,
+            # or cold --edges-out), reuse it — degrees over the
+            # accumulated graph, no second extraction pass
             deg_edges = (
                 ckpt_handle
-                if args.prev_edges
+                if (args.prev_edges or args.edges_out)
                 else build_domain_graph(links, weighted=True)
             )
         else:
@@ -239,9 +261,7 @@ def main() -> None:
         report["n_docs_in"] = docs.count()
         report["n_docs_kept"] = spark.read.parquet(args.docs_out).count()
 
-    from readur_spark.plans.curation import _release_checkpoint
-
-    _release_checkpoint(ckpt_handle)
+    _release(ckpt_handle)
     print(json.dumps(report))
     spark.stop()
 

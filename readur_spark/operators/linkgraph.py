@@ -167,6 +167,7 @@ def merge_edge_tables(
     old_edges: DataFrame,
     new_edges: DataFrame,
     decay: float = 1.0,
+    prune_below: float = 0.0,
 ) -> DataFrame:
     """Incremental link-graph maintenance: merge a NEW crawl's weighted
     edge table (``build_domain_graph(..., weighted=True)`` output,
@@ -177,13 +178,22 @@ def merge_edge_tables(
     O(|old| + |new|) with no driver materialization.
 
     ``decay`` multiplies the OLD weights before summing (exponential
-    forgetting of stale links; 1.0 keeps pure accumulation). Unweighted
-    (2-column) inputs are accepted as weight-1 edges, so a distinct
-    edge table merges too. Re-running :func:`pagerank` over the merged
-    table with ``init_ranks=`` (the previous rank vector) + ``tol``
-    completes the warm-start recrawl loop."""
+    forgetting of stale links; 1.0 keeps pure accumulation). Decay by
+    itself only shrinks weights — rank runs over the (src, dst)
+    PROJECTION, so a decayed-but-present edge still ranks like a live
+    one. ``prune_below`` is what makes forgetting real: merged edges
+    with weight < prune_below are DROPPED from the table (and therefore
+    from the rank graph) — with decay d and threshold t, an edge last
+    seen with weight w disappears after ceil(log(t/w)/log(d)) recrawls
+    in which it is not re-observed. Unweighted (2-column) inputs are
+    accepted as weight-1 edges, so a distinct edge table merges too.
+    Re-running :func:`pagerank` over the merged table with
+    ``init_ranks=`` (the previous rank vector) + ``tol`` completes the
+    warm-start recrawl loop."""
     if not 0.0 <= decay <= 1.0:
         raise ValueError(f"decay must be in [0, 1], got {decay}")
+    if prune_below < 0.0:
+        raise ValueError(f"prune_below must be >= 0, got {prune_below}")
 
     def _norm(df: DataFrame, scale: float) -> DataFrame:
         cols = df.columns
@@ -198,13 +208,16 @@ def merge_edge_tables(
             (w * F.lit(scale)).alias("weight"),
         )
 
-    return (
+    merged = (
         _norm(old_edges, decay)
         .unionByName(_norm(new_edges, 1.0))
         .groupBy("src", "dst")
         .agg(F.sum("weight").alias("weight"))
         .filter(F.col("weight") > 0)
     )
+    if prune_below > 0.0:
+        merged = merged.filter(F.col("weight") >= prune_below)
+    return merged
 
 
 def pagerank(
@@ -397,18 +410,48 @@ def pagerank(
         # then the whole vector is renormalized to a probability
         # distribution (one scalar aggregate, setup-only cost).
         icols = init_ranks.columns
-        iv = init_ranks.select(
-            F.col(icols[0]).alias("node"),
-            F.col(icols[1]).cast("double").alias("__ir"),
-        ).groupBy("node").agg(F.sum("__ir").alias("__ir"))
+        # try_cast, same rationale as the teleport path: ANSI mode would
+        # otherwise throw an opaque mid-stage cast error on a malformed
+        # rank value, and non-ANSI would silently skip it in the sum —
+        # __nbad surfaces bad rows as a loud ValueError instead.
+        iv = (
+            init_ranks.select(
+                F.col(icols[0]).alias("node"),
+                F.col(icols[1]).try_cast("double").alias("__ir"),
+                F.col(icols[1]).isNotNull().alias("__raw_nn"),
+            )
+            .groupBy("node")
+            .agg(
+                F.sum("__ir").alias("__ir"),
+                F.sum(
+                    F.when(
+                        F.col("__raw_nn") & F.col("__ir").isNull(), 1
+                    ).otherwise(0)
+                ).alias("__nbad"),
+            )
+        )
         seeded = nodes.join(iv, "node", "left").select(
             "node",
             F.coalesce("__ir", F.lit(1.0 / n)).alias("rank"),
+            F.coalesce("__nbad", F.lit(0)).alias("__nbad"),
         )
         itot = seeded.agg(
             F.coalesce(F.sum("rank"), F.lit(0.0)).alias("t"),
             F.coalesce(F.min("rank"), F.lit(0.0)).alias("lo"),
+            F.coalesce(F.sum("__nbad"), F.lit(0)).alias("nbad"),
         ).first()
+        seeded = seeded.drop("__nbad")
+        if itot["nbad"] > 0:
+            edeg.unpersist()
+            _release_checkpoint(danglers)
+            _release_checkpoint(nodes)
+            if nodes_t is not None:
+                _release_checkpoint(nodes_t)
+            _release_checkpoint(ranks)
+            raise ValueError(
+                f"init_ranks contains {itot['nbad']} non-numeric rank "
+                "value(s) on graph nodes (cast to double yields NULL)"
+            )
         if itot["lo"] < 0 or itot["t"] <= 0:
             edeg.unpersist()
             _release_checkpoint(danglers)

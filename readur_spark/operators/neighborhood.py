@@ -356,12 +356,20 @@ def hyperball(
     ep.unpersist()
     if stats is not None:
         stats["neighborhood_function"] = [round(x, 6) for x in nf]
-    return sketches.select(
+    # materialize the SMALL result (4 scalar columns, ~32 B/node) and
+    # release the register table (2^p B/node — 64x larger at p=11)
+    # before returning: without this, the caller's handle keeps the
+    # full register storage pinned through whatever runs next, and
+    # releasing a bare select() of a checkpoint is a documented no-op
+    # in _release_checkpoint (r8 review finding)
+    result = sketches.select(
         "node",
         F.col("est").alias("reach_est"),
         F.col("harm").alias("harmonic"),
         F.col("t_conv").alias("t_converged"),
-    )
+    ).localCheckpoint(eager=True)
+    _release_checkpoint(cur_ck)
+    return result
 
 
 def effective_diameter(

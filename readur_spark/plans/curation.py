@@ -190,6 +190,25 @@ def curate(
     # sf0.1 with every optional stage enabled). Checkpointing truncates
     # lineage at each boundary, so every stage starts from a leaf. On a
     # real cluster prefer reliable checkpoints for executor-loss safety.
+    # cheap parameter validation FIRST — the URL-frontier stage ahead of
+    # the rank stage is corpus-scale work; a bad argument combination
+    # must fail before it runs, not after
+    if rank_table is not None:
+        if url_col is None:
+            raise ValueError("rank_table requires url_col=")
+        if (min_rank_ratio is None) == (rank_keep_quantile is None):
+            raise ValueError(
+                "rank_table needs exactly one keep-rule: "
+                "min_rank_ratio or rank_keep_quantile"
+            )
+        if rank_keep_quantile is not None and not (
+            0.0 <= rank_keep_quantile < 1.0
+        ):
+            raise ValueError(
+                "rank_keep_quantile must be in [0, 1), got "
+                f"{rank_keep_quantile}"
+            )
+
     metrics: dict[str, int] = {}
     stage_frames: list[DataFrame] = []
 
@@ -225,28 +244,47 @@ def curate(
         docs_df = urled
 
     if rank_table is not None:
-        if url_col is None:
-            raise ValueError("rank_table requires url_col=")
-        if (min_rank_ratio is None) == (rank_keep_quantile is None):
-            raise ValueError(
-                "rank_table needs exactly one keep-rule: "
-                "min_rank_ratio or rank_keep_quantile"
-            )
         from readur_spark.operators.linkgraph import domain_of
 
         rt = rank_table.select(
             F.lower(F.col(rank_table.columns[0])).alias("__node"),
-            F.col(rank_col).cast("double").alias("__r"),
+            F.col(rank_col).try_cast("double").alias("__r"),
+            F.col(rank_col).isNotNull().alias("__raw_nn"),
         )
+        # one validation aggregate: an empty rank table or non-numeric
+        # rank values would otherwise make the semi-join (or a NULL
+        # percentile threshold) silently drop the ENTIRE corpus — the
+        # worst possible failure mode for a filter stage
+        vagg = rt.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("__raw_nn") & F.col("__r").isNull(), 1)
+                .otherwise(0)
+            ).alias("nbad"),
+            F.sum(
+                F.when(~F.col("__raw_nn"), 1).otherwise(0)
+            ).alias("nnull"),
+        ).first()
+        if vagg["n"] == 0:
+            raise ValueError(
+                "rank_table is empty — the rank stage would drop every "
+                "document; pass rank_table=None to skip the stage"
+            )
+        if vagg["nbad"] and vagg["nbad"] > 0:
+            raise ValueError(
+                f"rank_table has {vagg['nbad']} non-numeric "
+                f"'{rank_col}' value(s) (cast to double yields NULL)"
+            )
+        if vagg["nnull"] and vagg["nnull"] > 0:
+            raise ValueError(
+                f"rank_table has {vagg['nnull']} NULL '{rank_col}' "
+                "value(s) — those domains would be dropped silently"
+            )
+        rt = rt.drop("__raw_nn")
         if min_rank_ratio is not None:
-            n_nodes = rt.count()
+            n_nodes = vagg["n"]
             threshold = min_rank_ratio / max(n_nodes, 1)
         else:
-            if not 0.0 <= rank_keep_quantile < 1.0:
-                raise ValueError(
-                    "rank_keep_quantile must be in [0, 1), got "
-                    f"{rank_keep_quantile}"
-                )
             # exact percentile (one scalar): deterministic across
             # partitionings, unlike approxQuantile
             threshold = rt.agg(

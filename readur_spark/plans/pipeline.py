@@ -101,6 +101,12 @@ def run_extraction(
     planned = assign_partitions(docs_df, num_partitions)
     todo_pids = sorted(set(range(num_partitions)) - done)
     if not todo_pids:
+        # a prior batched run may have crashed between its LAST commit
+        # and its own cleanup — drop any leftover staged snapshot here
+        # too (no-op when none exists), so the corpus-sized orphan
+        # can't survive a crash-at-the-finish-line or a resume invoked
+        # without batch_partitions
+        _drop_staged_input(spark, checkpoint_path, table_format, num_partitions)
         return {
             "run_id": run_id,
             "partitions_total": num_partitions,
@@ -212,13 +218,13 @@ def run_extraction(
         total_processed += sum(r["docs_processed"] for r in rows)
         total_failed += sum(r["docs_failed"] for r in rows)
 
-    if batch_partitions is not None:
-        # every partition is now committed: drop the staged snapshot —
-        # it is corpus-sized (the whole assigned input), and leaving it
-        # under the checkpoint path would orphan ~1× the input per
-        # completed run. A later run over new docs restages from its
-        # own source scan.
-        _drop_staged_input(spark, checkpoint_path, table_format, num_partitions)
+    # every partition is now committed: drop the staged snapshot — it is
+    # corpus-sized (the whole assigned input), and leaving it under the
+    # checkpoint path would orphan ~1× the input per completed run. A
+    # later run over new docs restages from its own source scan.
+    # Unconditional (not only when THIS invocation batched): an unbatched
+    # resume of a crashed batched run must clean up too.
+    _drop_staged_input(spark, checkpoint_path, table_format, num_partitions)
 
     return {
         "run_id": run_id,

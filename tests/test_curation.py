@@ -452,6 +452,35 @@ def test_curate_rank_table_stage_matches_manual_prefilter(spark):
             rank_keep_quantile=0.5,
             **kw,
         )
+    # malformed rank tables must raise LOUDLY, not silently empty the
+    # corpus (r8 review finding: an empty table / NULL percentile made
+    # the semi-join keep nothing)
+    with pytest.raises(ValueError, match="empty"):
+        curate(
+            docs,
+            url_col="url",
+            rank_table=rank.filter(F.lit(False)),
+            min_rank_ratio=1.0,
+            **kw,
+        )
+    junk = spark.createDataFrame(
+        [("good.com", "0.5"), ("mid.com", "not-a-number")],
+        "node string, rank string",
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        curate(
+            docs, url_col="url", rank_table=junk,
+            rank_keep_quantile=0.5, **kw,
+        )
+    nullr = spark.createDataFrame(
+        [("good.com", 0.5), ("mid.com", None)],
+        "node string, rank double",
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        curate(
+            docs, url_col="url", rank_table=nullr,
+            min_rank_ratio=1.0, **kw,
+        )
 
 
 def test_curate_sentence_gate(spark):

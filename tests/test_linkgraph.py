@@ -661,6 +661,62 @@ def test_merge_edge_tables_hand_computed(spark):
         merge_edge_tables(old, new, decay=1.5)
 
 
+def test_merge_edge_tables_prune_below_drops_stale_edges(spark):
+    """Decay alone only shrinks weights — rank runs over the (src, dst)
+    projection, so a decayed-but-present edge still ranks like a live
+    one (r8 review finding). prune_below is what makes forgetting
+    reach the rank graph: merged edges below the threshold DROP."""
+    from readur_spark.operators.linkgraph import merge_edge_tables
+
+    old = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 4.0)],
+        "src string, dst string, weight double",
+    )
+    new = spark.createDataFrame(
+        [("a", "c", 1.0)], "src string, dst string, weight double"
+    )
+    # a->b decays to 0.4 (< 0.5): pruned. a->c decays to 1.6 + 1 new.
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(
+            old, new, decay=0.4, prune_below=0.5
+        ).collect()
+    }
+    assert got == {("a", "c"): pytest.approx(2.6)}
+    # without prune_below the stale edge persists at its decayed weight
+    kept = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in merge_edge_tables(old, new, decay=0.4).collect()
+    }
+    assert kept[("a", "b")] == pytest.approx(0.4)
+    with pytest.raises(ValueError, match="prune_below"):
+        merge_edge_tables(old, new, prune_below=-1.0)
+
+
+def test_pagerank_init_ranks_non_numeric_raises(spark):
+    """A malformed previous rank vector must raise loudly, not throw an
+    opaque ANSI cast error mid-stage or silently reseed the node at 1/N
+    (r8 review finding; mirrors the teleport __nbad validation)."""
+    from readur_spark.operators.linkgraph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    bad = spark.createDataFrame(
+        [("a", "0.5"), ("b", "junk"), ("c", "0.2")],
+        "node string, rank string",
+    )
+    with pytest.raises(ValueError, match="non-numeric"):
+        pagerank(edges, iters=2, init_ranks=bad)
+    # numeric strings are fine (the cast is lenient, not strict typing)
+    ok = spark.createDataFrame(
+        [("a", "0.5"), ("b", "0.3"), ("c", "0.2")],
+        "node string, rank string",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iters=0, init_ranks=ok).collect()}
+    assert ranks["a"] == pytest.approx(0.5)
+
+
 def test_pagerank_warm_start_converges_to_cold_fixpoint(spark):
     """Incremental recrawl loop (r7 verdict, next-round #8): merge a
     new crawl's edges, warm-start pagerank from the previous rank
