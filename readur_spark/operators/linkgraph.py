@@ -598,6 +598,146 @@ def trustrank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 20,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    tol: float | None = None,
+    stats: dict | None = None,
+) -> DataFrame:
+    """HITS (Kleinberg, JACM 1999): hub and authority scores by mutual
+    reinforcement over a (src, dst) edge table — authority(v) sums the
+    hub scores of pages linking TO v, hub(u) sums the authority scores
+    u links to, each vector L2-normalized per iteration (the power
+    iteration on AᵀA / AAᵀ). Complements PageRank in link-graph
+    curation: PageRank surfaces globally endorsed hosts; authorities
+    surface hosts endorsed by link HUBS, and the hub scores themselves
+    identify the directories/aggregators a crawl frontier should
+    prioritize for discovery. Reference parity note: readur itself has
+    no graph analytics; this (like pagerank) is part of the crawl-
+    curation layer the 100 TB pipeline needs.
+
+    Expects a DISTINCT edge table (:func:`build_domain_graph` output);
+    multi-edges would count multiply, as in pagerank. Returns
+    (node, hub, authority), both unit-L2 over the node set. ``tol``:
+    early stop once the L1 delta of BOTH vectors falls to ``tol``;
+    ``stats`` is filled with iterations_run / final_delta / converged.
+
+    Scale shape: nodes = distinct(src ∪ dst) computed once and
+    checkpointed; each iteration is two shuffle-hash joins + two
+    groupBys on the uniform node key plus two scalar L2 norms, ending
+    in an eager localCheckpoint so the plan stays O(1) in ``iters`` —
+    the same per-iteration cost envelope as :func:`pagerank`."""
+    from readur_spark.plans.curation import _release_checkpoint
+
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0, got {iters}")
+    if tol is not None and tol < 0:
+        raise ValueError(f"tol must be >= 0, got {tol}")
+    if stats is not None:
+        stats.update(
+            {"iterations_run": 0, "final_delta": None, "converged": False}
+        )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .repartition("node")
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        raise ValueError("edge table is empty — HITS is undefined")
+    ep = e.repartition("src").persist()
+    ep.count()
+
+    init = 1.0 / (n ** 0.5)
+    hv = nodes.select(
+        "node", F.lit(init).alias("hub"), F.lit(init).alias("authority")
+    ).localCheckpoint(eager=True)
+
+    def _norm2(df: DataFrame, col: str) -> float:
+        v = df.agg(
+            F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0))
+        ).first()[0]
+        return float(v) ** 0.5
+
+    for _ in range(iters):
+        # authority update: sum of inbound hub mass, then L2-normalize
+        a_raw = (
+            ep.join(hv.select("node", "hub"), ep["src"] == F.col("node"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        withs = (
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+        )
+        an = _norm2(withs, "a_raw")
+        if an == 0.0:
+            # no edges carried any mass (cannot happen with n>0 and a
+            # nonempty edge table, but guard the division)
+            break
+        auths = withs.select(
+            "node", (F.col("a_raw") / F.lit(an)).alias("authority")
+        )
+        # hub update from the NEW authorities, L2-normalized
+        h_raw = (
+            ep.join(auths, ep["dst"] == auths["node"])
+            .groupBy("src")
+            .agg(F.sum("authority").alias("h_raw"))
+        )
+        withh = (
+            auths.join(h_raw, auths["node"] == h_raw["src"], "left")
+            .select(
+                "node",
+                F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
+                "authority",
+            )
+        )
+        hn = _norm2(withh, "h_raw")
+        new_hv = withh.select(
+            "node",
+            (F.col("h_raw") / F.lit(hn)).alias("hub"),
+            "authority",
+        ).localCheckpoint(eager=True)
+        if stats is not None:
+            stats["iterations_run"] += 1
+        if tol is not None:
+            delta = (
+                new_hv.alias("n")
+                .join(hv.alias("o"), "node")
+                .agg(
+                    F.coalesce(
+                        F.sum(
+                            F.abs(F.col("n.hub") - F.col("o.hub"))
+                            + F.abs(
+                                F.col("n.authority")
+                                - F.col("o.authority")
+                            )
+                        ),
+                        F.lit(0.0),
+                    )
+                )
+                .first()[0]
+            )
+            if stats is not None:
+                stats["final_delta"] = delta
+        _release_checkpoint(hv)
+        hv = new_hv
+        if tol is not None and delta <= tol:
+            if stats is not None:
+                stats["converged"] = True
+            break
+    ep.unpersist()
+    _release_checkpoint(nodes)
+    return hv
+
+
 def filter_by_domain_blocklist(
     docs: DataFrame,
     blocklist: Iterable[str] | DataFrame,

@@ -878,3 +878,97 @@ def test_trustrank_null_raw_weight_rows_are_skipped_not_rejected(spark):
         [("a", 2.0), ("d", None)], "node string, w double"
     )
     assert trustrank(df, seeds, iters=2).count() > 0
+
+
+def _hits_replay(edges, iters):
+    """Pure-numpy HITS replay: same update order (authority from hubs,
+    hubs from NEW authorities), same L2 normalization per step."""
+    import numpy as np
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n))
+    for u, v in edges:
+        A[idx[u], idx[v]] = 1.0
+    h = np.full(n, 1.0 / n ** 0.5)
+    a = np.full(n, 1.0 / n ** 0.5)
+    for _ in range(iters):
+        a = A.T @ h
+        a = a / np.linalg.norm(a)
+        h = A @ a
+        h = h / np.linalg.norm(h)
+    return {v: (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def test_hits_matches_numpy_replay(spark):
+    from readur_spark.operators.linkgraph import hits
+
+    edges = [
+        ("hub1", "auth1"), ("hub1", "auth2"), ("hub1", "auth3"),
+        ("hub2", "auth1"), ("hub2", "auth2"),
+        ("auth1", "auth2"),  # authorities may link too
+        ("lone", "auth3"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=12, stats=stats).collect()
+    }
+    want = _hits_replay(edges, 12)
+    assert set(got) == set(want)
+    for v, (wh, wa) in want.items():
+        assert got[v][0] == pytest.approx(wh, abs=1e-9), ("hub", v)
+        assert got[v][1] == pytest.approx(wa, abs=1e-9), ("authority", v)
+    assert stats["iterations_run"] == 12
+    # the 3-outlink directory is the top hub; the doubly-cited page a
+    # top authority
+    top_hub = max(got, key=lambda v: got[v][0])
+    assert top_hub == "hub1"
+    import math
+
+    assert math.isclose(
+        sum(h * h for h, _ in got.values()), 1.0, abs_tol=1e-9
+    )
+    assert math.isclose(
+        sum(a * a for _, a in got.values()), 1.0, abs_tol=1e-9
+    )
+
+
+def test_hits_early_stop_matches_fixed_iterations(spark):
+    from readur_spark.operators.linkgraph import hits
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    stats: dict = {}
+    early = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=50, tol=1e-12, stats=stats).collect()
+    }
+    assert stats["converged"] is True
+    assert stats["iterations_run"] < 50
+    fixed = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(df, iters=stats["iterations_run"]).collect()
+    }
+    for v in early:
+        assert early[v][0] == pytest.approx(fixed[v][0], abs=1e-12)
+        assert early[v][1] == pytest.approx(fixed[v][1], abs=1e-12)
+
+
+def test_hits_validation_and_release(spark):
+    from readur_spark.operators.linkgraph import hits
+
+    df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    with pytest.raises(ValueError, match="iters"):
+        hits(df, iters=-1)
+    with pytest.raises(ValueError, match="tol"):
+        hits(df, iters=1, tol=-0.5)
+    with pytest.raises(ValueError, match="empty"):
+        hits(df.filter(F.lit(False)), iters=1)
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
+    hits(df, iters=3).count()
+    after = sc._jsc.getPersistentRDDs().size()
+    assert after - before <= 1  # only the returned frame
