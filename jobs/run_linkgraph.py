@@ -71,6 +71,13 @@ def main() -> None:
                          "over REVERSED edges (who can reach me), the "
                          "classic centrality direction")
     ap.add_argument("--harmonic-p", type=int, default=8)
+    ap.add_argument("--hits-out", default=None,
+                    help="also run HITS and write per-domain "
+                         "(node, hub, authority) — hubs rank the "
+                         "directories/aggregators a crawl frontier "
+                         "should prioritize; authorities complement "
+                         "PageRank as an endorsement signal")
+    ap.add_argument("--hits-iters", type=int, default=20)
     ap.add_argument("--min-rank-ratio", type=float, default=1.0,
                     help="docs-out keeps domains with rank >= ratio/N")
     ap.add_argument("--prev-edges", default=None,
@@ -245,6 +252,19 @@ def main() -> None:
             "out": args.harmonic_out,
             "rounds": hstats.get("rounds_run"),
             "converged": hstats.get("converged"),
+        }
+
+    if args.hits_out:
+        from readur_spark.operators.linkgraph import hits
+
+        hstats2: dict = {}
+        hits(
+            edges, iters=args.hits_iters, tol=args.tol, stats=hstats2
+        ).write.mode("overwrite").parquet(args.hits_out)
+        report["hits"] = {
+            "out": args.hits_out,
+            "iterations_run": hstats2.get("iterations_run"),
+            "converged": hstats2.get("converged"),
         }
 
     if args.docs_out:

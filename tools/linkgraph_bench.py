@@ -13,10 +13,12 @@ configuration), early-stop PageRank (tol), weighted + distinct degree
 stats, and connected components. Prints ONE JSON line; run quiet.
 
 Usage: python tools/linkgraph_bench.py [N_EDGES] [N_HOSTS] [HYPERBALL_P]
+[HITS_ITERS]
 (default 10_000_000 edges over 500_000 hosts; HYPERBALL_P > 0 appends a
 HyperBall leg at that precision — p=11 is the published Common Crawl
 regime, 2 KB/node registers — recording per-round walls and the exact
-per-round shuffle payload n_edge_rows × 2^p bytes).
+per-round shuffle payload n_edge_rows × 2^p bytes; HITS_ITERS > 0
+appends a HITS leg with tol=1e-7 early stop).
 """
 
 from __future__ import annotations
@@ -155,6 +157,25 @@ def main() -> None:
             out["n_edges_distinct"] * (1 << hb_p)
         )
         _release_checkpoint(hb)
+
+    hits_iters = int(sys.argv[4]) if len(sys.argv) > 4 else 0
+    if hits_iters:
+        from readur_spark.operators.linkgraph import hits
+
+        hst: dict = {}
+        t0 = time.perf_counter()
+        hb2 = hits(edges, iters=hits_iters, tol=1e-7, stats=hst)
+        out["hits_top_authority"] = round(
+            hb2.agg(F.max("authority")).collect()[0][0], 6
+        )
+        out["wall_hits_s"] = round(time.perf_counter() - t0, 2)
+        out["hits_iterations_run"] = hst.get("iterations_run")
+        out["hits_converged"] = hst.get("converged")
+        out["hits_final_delta"] = hst.get("final_delta")
+        out["wall_hits_per_iter_s"] = round(
+            out["wall_hits_s"] / max(hst.get("iterations_run", 1), 1), 2
+        )
+        _release_checkpoint(hb2)
 
     t0 = time.perf_counter()
     comp = domain_components(edges)
