@@ -881,6 +881,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["domain_trustrank"] = _q_domain_trustrank
 
+    def _q_domain_hits(s, sf):
+        # HITS (r8): hub/authority mutual reinforcement over the SAME
+        # deterministic host graph — 5 iterations, each vector
+        # L2-normalized, authority from previous hubs then hub from the
+        # NEW authorities (Kleinberg's update order). Oracle: chained-
+        # CTE replay of the identical recurrence (_hits_sql), value-
+        # checking both vectors and the normalization scalars.
+        from readur_spark.operators.linkgraph import (
+            build_domain_graph,
+            hits,
+        )
+
+        d = _docs(s, sf).select("doc_id")
+        raw = d.select(
+            F.concat(
+                F.lit("d"), (F.col("doc_id") % 53).cast("string")
+            ).alias("src_domain"),
+            F.concat(
+                F.lit("d"), ((F.col("doc_id") * 13 + 5) % 97).cast("string")
+            ).alias("dst_domain"),
+        )
+        edges = build_domain_graph(raw)
+        return hits(edges, iters=5).select("node", "hub", "authority")
+
+    q["domain_hits"] = _q_domain_hits
+
     def _q_domain_harmonic(s, sf):
         # HyperBall (Boldi-Vigna 2013, r7) over the same deterministic
         # host graph: HLL-sketched reachability balls, one
@@ -1757,12 +1783,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ann_topk_cosine"] = lambda s, sf: similarity.cosine_topk(
         load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10
     )
-    q["ann_topk_lsh"] = lambda s, sf: similarity.ann_topk_lsh(
-        load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10, num_planes=4
-    )
-    q["ann_topk_ivf"] = lambda s, sf: similarity.ivf_topk(
-        load_table(s, sf, "embeddings"), _q_query_vec(s, sf), k=10, n_probe=4
-    )
+    def _q_ann_topk_indexed(s, sf):
+        # r8 registry consolidation (same pattern as fts_modes): the
+        # SRP-LSH and IVF approximate-NN variants share the
+        # (vec_id, cosine) result shape; one union row (mode column
+        # disambiguates) keeps both index structures value-oracled in
+        # a single window slot.
+        emb = load_table(s, sf, "embeddings")
+        qv = _q_query_vec(s, sf)
+        return (
+            similarity.ann_topk_lsh(emb, qv, k=10, num_planes=4)
+            .withColumn("mode", F.lit("lsh"))
+            .unionByName(
+                similarity.ivf_topk(emb, qv, k=10, n_probe=4).withColumn(
+                    "mode", F.lit("ivf")
+                )
+            )
+        )
+
+    q["ann_topk_indexed"] = _q_ann_topk_indexed
 
     # ---- relational checklist (§2.10) ----
     q["q1_pricing_summary"] = lambda s, sf: relational.pricing_summary(
@@ -1895,8 +1934,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r6-green remainder (embedding/ANN family)
         "embedding_quantize",
         "ann_topk_cosine",
-        "ann_topk_lsh",
-        "ann_topk_ivf",
+        "ann_topk_indexed",  # consolidated: ann_topk_lsh+ann_topk_ivf
+        "domain_hits",  # NEW r8 (HITS hubs/authorities, CTE-replay oracle)
         # --- r6-green remainder (relational/streaming family)
         "incremental_sync",
         "top_customers",
@@ -2014,6 +2053,63 @@ def _pagerank_sql(edges_cte: str, damping: float, iters: int) -> str:
             f") m ON no.node = m.node)"
         )
     return ",\n".join(parts) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def _hits_sql(edges_cte: str, iters: int) -> str:
+    """DuckDB replay of operators.linkgraph.hits as chained CTEs — the
+    identical mutual-reinforcement iteration (authority(v) = Σ hub of
+    in-linkers from the PREVIOUS hub vector, hub(u) = Σ authority of
+    out-targets from the NEW authority vector, each L2-normalized), so
+    the distributed two-join assembly is value-checked against the
+    definitional recurrence. ``edges_cte`` must select (src, dst),
+    already distinct / self-loop-free."""
+    # every iteration CTE is MATERIALIZED: each level is referenced
+    # 2-3 times (norm scalar + next level + final join), and DuckDB
+    # inlines plain CTEs — un-materialized, the 5-deep chain expands
+    # multiplicatively and the query never finishes. (_pagerank_sql
+    # survives un-hinted because its chain branches only 2x per level;
+    # this one branches ~8x.)
+    parts = [
+        f"WITH edges AS MATERIALIZED ({edges_cte})",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n "
+        "FROM nodes)",
+        "h0 AS MATERIALIZED (SELECT node, 1.0/sqrt((SELECT n FROM nn)) "
+        "AS hub FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        parts.extend(
+            [
+                f"ar{i} AS MATERIALIZED (SELECT no.node, "
+                f"coalesce(m.s, 0.0) AS a_raw "
+                f"FROM nodes no LEFT JOIN ("
+                f"SELECT e.dst AS node, sum(h.hub) AS s FROM edges e "
+                f"JOIN {p} h ON e.src = h.node GROUP BY e.dst"
+                f") m ON no.node = m.node)",
+                f"an{i} AS MATERIALIZED (SELECT sqrt(sum(a_raw*a_raw)) "
+                f"AS nrm FROM ar{i})",
+                f"a{i} AS MATERIALIZED (SELECT node, "
+                f"a_raw/(SELECT nrm FROM an{i}) AS authority FROM ar{i})",
+                f"hr{i} AS MATERIALIZED (SELECT no.node, "
+                f"coalesce(m.s, 0.0) AS h_raw "
+                f"FROM nodes no LEFT JOIN ("
+                f"SELECT e.src AS node, sum(a.authority) AS s "
+                f"FROM edges e JOIN a{i} a ON e.dst = a.node "
+                f"GROUP BY e.src"
+                f") m ON no.node = m.node)",
+                f"hn{i} AS MATERIALIZED (SELECT sqrt(sum(h_raw*h_raw)) "
+                f"AS nrm FROM hr{i})",
+                f"h{i} AS MATERIALIZED (SELECT node, "
+                f"h_raw/(SELECT nrm FROM hn{i}) AS hub FROM hr{i})",
+            ]
+        )
+    return (
+        ",\n".join(parts)
+        + f"\nSELECT h.node, h.hub, a.authority FROM h{iters} h "
+        f"JOIN a{iters} a ON h.node = a.node"
+    )
 
 
 def _trustrank_sql(
@@ -2921,6 +3017,17 @@ def oracle_sql() -> dict[str, str]:
         iters=5,
     )
 
+    # domain_hits: the HITS replay (chained CTEs, see _hits_sql) over
+    # the same edge construction
+    o["domain_hits"] = _hits_sql(
+        """SELECT DISTINCT 'd' || CAST(doc_id % 53 AS VARCHAR) AS src,
+                  'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR) AS dst
+           FROM documents
+           WHERE 'd' || CAST(doc_id % 53 AS VARCHAR)
+                 <> 'd' || CAST((doc_id * 13 + 5) % 97 AS VARCHAR)""",
+        iters=5,
+    )
+
     # domain_harmonic: the HyperBall run replayed exactly in pure
     # Python (same md5 registers, same estimator, same merge schedule)
     # on the same derived edge list, shipped as a VALUES literal. The
@@ -3355,7 +3462,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM pairs UNION ALL SELECT * FROM mass
     """
 
-    # dedup_simhash / ann_topk_lsh / ann_topk_ivf / snippets_full depend on
+    # dedup_simhash / ann_topk_indexed / snippets_full depend on
     # seeded hashes (blake2b bit folds, SRP hyperplanes, k-means init) or an
     # imperative scan, so no relational SQL over the base tables exists.
     # Oracle strategy: a driver-side pure-Python/numpy replica (tools/
@@ -3391,15 +3498,21 @@ def oracle_sql() -> dict[str, str]:
             ["BIGINT", "DOUBLE"],
             _exp.quality_classifier_expected(_osf)[0],
         )
-        o["ann_topk_lsh"] = _exp.values_sql(
-            ["vec_id", "cosine"],
-            ["BIGINT", "DOUBLE"],
-            _exp.ann_topk_lsh_expected(_osf, k=10, num_planes=4),
-        )
-        o["ann_topk_ivf"] = _exp.values_sql(
-            ["vec_id", "cosine"],
-            ["BIGINT", "DOUBLE"],
-            _exp.ivf_topk_expected(_osf, k=10, n_centroids=16, n_probe=4),
+        o["ann_topk_indexed"] = _exp.values_sql(
+            ["mode", "vec_id", "cosine"],
+            ["VARCHAR", "BIGINT", "DOUBLE"],
+            [
+                ("lsh",) + tuple(r)
+                for r in _exp.ann_topk_lsh_expected(
+                    _osf, k=10, num_planes=4
+                )
+            ]
+            + [
+                ("ivf",) + tuple(r)
+                for r in _exp.ivf_topk_expected(
+                    _osf, k=10, n_centroids=16, n_probe=4
+                )
+            ],
         )
         o["semdedup"] = _exp.values_sql(
             ["vec_id"],
