@@ -1882,6 +1882,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # paths; anchor_quality_features is NEW r8), then the 38 r6-green
     # remainder. That is 51 candidates for 50 slots; the single
     # overflow rides the FROZEN_TIER rule (see that constant).
+    # (Late-r8, window-neutral: ann_topk_lsh+ann_topk_ivf consolidated
+    # into ann_topk_indexed and domain_hits added — both slotted into
+    # the two freed window positions, both gated green locally.)
+    #
+    # R9 ROTATION (mechanical): lead the r9 window with the 50 entries
+    # that get NO row in CORRECTNESS_r08.json — i.e. everything BELOW
+    # the 50-row cut here (q1_pricing_summary first: it rode FROZEN_TIER
+    # through r8 and will be 3 rounds without a driver row otherwise),
+    # then this round's window entries fill r10. Any entry whose
+    # implementation file changes in r9 jumps to the front regardless.
     priority = [
         # --- the 7 r7-verdict-ordered leaders (no driver row on
         # current code)
