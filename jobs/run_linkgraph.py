@@ -78,6 +78,13 @@ def main() -> None:
                          "should prioritize; authorities complement "
                          "PageRank as an endorsement signal")
     ap.add_argument("--hits-iters", type=int, default=20)
+    ap.add_argument("--hits-tol", type=float, default=None,
+                    help="HITS early-stop L1 threshold (separate from "
+                         "--tol, which tunes PageRank; HITS converges "
+                         "at the A^T A spectral-gap rate and 1e-7 is "
+                         "rarely reachable — default None runs the "
+                         "fixed iteration count with no per-step "
+                         "delta aggregate)")
     ap.add_argument("--min-rank-ratio", type=float, default=1.0,
                     help="docs-out keeps domains with rank >= ratio/N")
     ap.add_argument("--prev-edges", default=None,
@@ -255,17 +262,24 @@ def main() -> None:
         }
 
     if args.hits_out:
-        from readur_spark.operators.linkgraph import hits
+        if report["n_edges"] == 0:
+            # an edge-less crawl must not crash the job after rank-out
+            # is already written (hits() raises on an empty table by
+            # contract); record the skip and keep going
+            report["hits"] = {"out": None, "skipped": "no edges"}
+        else:
+            from readur_spark.operators.linkgraph import hits
 
-        hstats2: dict = {}
-        hits(
-            edges, iters=args.hits_iters, tol=args.tol, stats=hstats2
-        ).write.mode("overwrite").parquet(args.hits_out)
-        report["hits"] = {
-            "out": args.hits_out,
-            "iterations_run": hstats2.get("iterations_run"),
-            "converged": hstats2.get("converged"),
-        }
+            hstats2: dict = {}
+            hits(
+                edges, iters=args.hits_iters, tol=args.hits_tol,
+                stats=hstats2,
+            ).write.mode("overwrite").parquet(args.hits_out)
+            report["hits"] = {
+                "out": args.hits_out,
+                "iterations_run": hstats2.get("iterations_run"),
+                "converged": hstats2.get("converged"),
+            }
 
     if args.docs_out:
         threshold = args.min_rank_ratio / max(n_graph_nodes, 1)

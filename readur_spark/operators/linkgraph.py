@@ -626,9 +626,13 @@ def hits(
 
     Scale shape: nodes = distinct(src ∪ dst) computed once and
     checkpointed; each iteration is two shuffle-hash joins + two
-    groupBys on the uniform node key plus two scalar L2 norms, ending
-    in an eager localCheckpoint so the plan stays O(1) in ``iters`` —
-    the same per-iteration cost envelope as :func:`pagerank`."""
+    groupBys on the uniform node key — each executed exactly ONCE (the
+    raw vectors are eagerly checkpointed BEFORE their norm scalars are
+    read, the pagerank pattern, so the norm aggregate and the next
+    stage both read the materialized table instead of re-running the
+    join) — plus two scalar L2 norms and one cheap projection. The
+    plan stays O(1) in ``iters``; the same per-iteration cost envelope
+    as :func:`pagerank` at ~2× the join count."""
     from readur_spark.plans.curation import _release_checkpoint
 
     if iters < 0:
@@ -651,6 +655,9 @@ def hits(
     )
     n = nodes.count()
     if n == 0:
+        # release before raising — error paths must not leak the
+        # eagerly-checkpointed node table (r8 review finding)
+        _release_checkpoint(nodes)
         raise ValueError("edge table is empty — HITS is undefined")
     ep = e.repartition("src").persist()
     ep.count()
@@ -659,6 +666,7 @@ def hits(
     hv = nodes.select(
         "node", F.lit(init).alias("hub"), F.lit(init).alias("authority")
     ).localCheckpoint(eager=True)
+    cur_ck = hv  # the live checkpoint handle hv reads from
 
     def _norm2(df: DataFrame, col: str) -> float:
         v = df.agg(
@@ -667,44 +675,56 @@ def hits(
         return float(v) ** 0.5
 
     for _ in range(iters):
-        # authority update: sum of inbound hub mass, then L2-normalize
+        # authority update: sum of inbound hub mass; checkpoint the RAW
+        # vector first so the norm scalar and the hub stage both read
+        # the materialized table (one execution of the join+groupBy)
         a_raw = (
             ep.join(hv.select("node", "hub"), ep["src"] == F.col("node"))
             .groupBy("dst")
             .agg(F.sum("hub").alias("a_raw"))
         )
-        withs = (
+        a_ck = (
             nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
             .select("node", F.coalesce("a_raw", F.lit(0.0)).alias("a_raw"))
+            .localCheckpoint(eager=True)
         )
-        an = _norm2(withs, "a_raw")
+        an = _norm2(a_ck, "a_raw")
         if an == 0.0:
             # no edges carried any mass (cannot happen with n>0 and a
             # nonempty edge table, but guard the division)
+            _release_checkpoint(a_ck)
             break
-        auths = withs.select(
+        auths = a_ck.select(
             "node", (F.col("a_raw") / F.lit(an)).alias("authority")
         )
-        # hub update from the NEW authorities, L2-normalized
+        # hub update from the NEW authorities; same checkpoint-first
+        # discipline
         h_raw = (
             ep.join(auths, ep["dst"] == auths["node"])
             .groupBy("src")
             .agg(F.sum("authority").alias("h_raw"))
         )
-        withh = (
+        h_ck = (
             auths.join(h_raw, auths["node"] == h_raw["src"], "left")
             .select(
                 "node",
                 F.coalesce("h_raw", F.lit(0.0)).alias("h_raw"),
                 "authority",
             )
+            .localCheckpoint(eager=True)
         )
-        hn = _norm2(withh, "h_raw")
-        new_hv = withh.select(
+        _release_checkpoint(a_ck)
+        hn = _norm2(h_ck, "h_raw")
+        if hn == 0.0:
+            # mirror the an guard: dividing by 0.0 would silently NULL
+            # every hub and fake a converged verdict (r8 review finding)
+            _release_checkpoint(h_ck)
+            break
+        new_hv = h_ck.select(
             "node",
             (F.col("h_raw") / F.lit(hn)).alias("hub"),
             "authority",
-        ).localCheckpoint(eager=True)
+        )
         if stats is not None:
             stats["iterations_run"] += 1
         if tol is not None:
@@ -727,7 +747,8 @@ def hits(
             )
             if stats is not None:
                 stats["final_delta"] = delta
-        _release_checkpoint(hv)
+        _release_checkpoint(cur_ck)
+        cur_ck = h_ck
         hv = new_hv
         if tol is not None and delta <= tol:
             if stats is not None:
@@ -735,7 +756,12 @@ def hits(
             break
     ep.unpersist()
     _release_checkpoint(nodes)
-    return hv
+    # materialize the returned projection and release the iteration
+    # checkpoint it reads from, so the caller holds exactly one small
+    # table (same pattern as hyperball's return)
+    result = hv.localCheckpoint(eager=True)
+    _release_checkpoint(cur_ck)
+    return result
 
 
 def filter_by_domain_blocklist(

@@ -961,14 +961,17 @@ def test_hits_validation_and_release(spark):
     from readur_spark.operators.linkgraph import hits
 
     df = spark.createDataFrame([("a", "b")], "src string, dst string")
+    sc = spark.sparkContext
+    before = sc._jsc.getPersistentRDDs().size()
     with pytest.raises(ValueError, match="iters"):
         hits(df, iters=-1)
     with pytest.raises(ValueError, match="tol"):
         hits(df, iters=1, tol=-0.5)
     with pytest.raises(ValueError, match="empty"):
         hits(df.filter(F.lit(False)), iters=1)
-    sc = spark.sparkContext
-    before = sc._jsc.getPersistentRDDs().size()
+    # the raising paths must not leak checkpoints either (the empty-
+    # table raise releases the node table before raising)
+    assert sc._jsc.getPersistentRDDs().size() == before
     hits(df, iters=3).count()
     after = sc._jsc.getPersistentRDDs().size()
     assert after - before <= 1  # only the returned frame
