@@ -1886,30 +1886,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # into ann_topk_indexed and domain_hits added — both slotted into
     # the two freed window positions, both gated green locally.)
     #
-    # R9 ROTATION (mechanical): lead the r9 window with the 50 entries
-    # that get NO row in CORRECTNESS_r08.json — i.e. everything BELOW
-    # the 50-row cut here (q1_pricing_summary first: it rode FROZEN_TIER
-    # through r8 and will be 3 rounds without a driver row otherwise),
-    # then this round's window entries fill r10. Any entry whose
-    # implementation file changes in r9 jumps to the front regardless.
+    # R9 ROTATION (mechanical, EXECUTED at r9 open): the r9 window =
+    # the 50 entries with no row in CORRECTNESS_r08.json
+    # (q1_pricing_summary first — it rode FROZEN_TIER through r8), then
+    # the 50 r8-checked entries, which re-enter the window at r10 under
+    # the alternating-halves rule. Any entry whose implementation file
+    # changes in a round jumps to the front regardless.
     priority = [
-        # --- the 7 r7-verdict-ordered leaders (no driver row on
-        # current code)
+        # --- R9 WINDOW: the 50 entries with NO row in CORRECTNESS_r08
+        # (q1_pricing_summary first — clears its FROZEN_TIER debt) ---
+        "q1_pricing_summary",
+        "extract_text_spans",
+        "filter_lang",
+        "filter_labels",
+        "facet_tags",
+        "filter_role",
+        "search_ranked_ts",
+        "snippets",
+        "snippets_full",
+        "list_documents",
+        "doc_stats",
+        "sql_search",
+        "extract_binary_roundtrip",
+        "image_quality_stats",
+        "image_ocr_fake",
+        "pdf_ocr_glyph",
+        "dedup_exact",
+        "dedup_keep_first",
+        "dedup_ngram_jaccard",
+        "dedup_ngram_capped",
+        "lm_perplexity",
+        "dedup_lines",
+        "warc_roundtrip",
+        "dedup_incremental",
+        "lm_backoff",
+        "dedup_minhash_incremental",
+        "corpus_stats",
+        "dsir_weights",
+        "curriculum_order",
+        "semdedup",
+        "pack_stats",
+        "dedup_minhash_lsh",
+        "dedup_simhash",
+        "dedup_embedding",
+        "winnow_overlap",
+        "dup_spans",
+        "decontaminate",
+        "pack_sequences",
+        "bpe_token_counts_sparkloop",
+        "pack_sequences_bpe",
+        "chunk_pack_roundtrip",
+        "pdf_layout_roundtrip",
+        "pack_materialize_bpe",
+        "quality_classifier_scores",
+        "repetition_filters",
+        "split_assign",
+        "sample_weighted",
+        "mix_sources",
+        "dedup_cluster",
+        "event_windowed_metrics",
+        # ---------------- 50-row window cut ----------------
+        # --- the r8-checked half (green CORRECTNESS_r08 rows); these
+        # re-enter the window at r10 under the alternating-halves rule ---
         "curriculum_pack_roundtrip",
-        "domain_degrees",  # consolidated: absorbs domain_degrees_weighted
+        "domain_degrees",
         "mix_sources_temperature",
         "domain_harmonic",
         "domain_trustrank",
         "outlink_domains",
         "anchor_profile",
-        # --- consolidated rows (merged queries = changed code) + the
-        # r8-new anchor-feature operator
-        "fingerprint",  # consolidated: absorbs fingerprint_sha256
-        "fts_modes",  # consolidated: fts_simple+fts_phrase+fts_boolean
-        "facet_source_lang",  # consolidated: facet_source+facet_lang
-        "customers_semi_anti",  # consolidated: anti+semi join rows
-        "anchor_quality_features",  # NEW r8 (r7 verdict next-round #6)
-        # --- r6-green remainder (text/kernel family)
+        "fingerprint",
+        "fts_modes",
+        "facet_source_lang",
+        "customers_semi_anti",
+        "anchor_quality_features",
         "normalize_text",
         "word_count_simple",
         "token_count",
@@ -1920,12 +1970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_metadata",
         "sentence_stats",
         "scrub_pii",
-        # --- r6-green remainder (search family)
         "fuzzy_search",
         "search_ranked",
         "paginate",
         "count_matching",
-        # --- r6-green remainder (dedup/sampling/link-graph family)
         "decontaminate_ngrams",
         "tfidf_top_terms",
         "dsir_resample_largek",
@@ -1935,29 +1983,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_filter",
         "rank_filter_docs",
         "domain_islands",
-        # --- r6-green remainder (packing/interleave/BPE family)
         "interleave_pack",
         "interleave_fill_stats",
         "interleave_materialize",
         "bpe_token_counts",
         "chunk_by_tokens",
-        # --- r6-green remainder (embedding/ANN family)
         "embedding_quantize",
         "ann_topk_cosine",
-        "ann_topk_indexed",  # consolidated: ann_topk_lsh+ann_topk_ivf
-        "domain_hits",  # NEW r8 (HITS hubs/authorities, CTE-replay oracle)
-        # --- r6-green remainder (relational/streaming family)
+        "ann_topk_indexed",
+        "domain_hits",
         "incremental_sync",
         "top_customers",
         "revenue_by_nation",
         "event_type_stats",
         "user_event_windows",
         "sessionize",
-        # ---------------- 50-row window cut ----------------
-        # FROZEN_TIER overflow (the 51st no-r7-row entry): see the
-        # FROZEN_TIER constant for the rule and this round's
-        # justification.
-        "q1_pricing_summary",
     ]
     assert all(k in q for k in priority), sorted(set(priority) - set(q))
     return {k: q[k] for k in priority} | {
