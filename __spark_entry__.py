@@ -1676,19 +1676,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rest, deterministic to the bit (DECIMAL-summed gradients, fixed
         # fold order) so the pure-Python replica in tools/expected.py IS
         # the oracle. Scores every document.
+        from readur_spark.operators.dedup import _materialize_release
         from readur_spark.operators.quality_classifier import (
+            doc_features,
             score_quality,
             train_quality_classifier,
         )
 
         docs_df = _docs(s, sf)
+        # train+score share ONE featurize pass: labeled = en ∪ non-en =
+        # the whole corpus, so the same persisted feature table feeds
+        # both (released once the scores are materialized)
+        feats = doc_features(docs_df, 512).persist()
         model = train_quality_classifier(
             docs_df.filter(F.col("lang") == "en").select("doc_id", "text"),
             docs_df.filter(F.col("lang") != "en").select("doc_id", "text"),
             num_buckets=512,
             iters=15,
+            features=feats,
         )
-        return score_quality(docs_df, model)
+        return _materialize_release(score_quality(docs_df, model, features=feats), feats)
 
     q["quality_classifier_scores"] = _q_quality_classifier
 

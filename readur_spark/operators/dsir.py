@@ -60,14 +60,26 @@ def hashed_ngram_features(
     bag-of-features, not a set."""
     from readur_spark.operators.lm import words_col
 
-    w = words_col(F.col(text_col))
+    # Materialize the token array ONCE behind a Generate barrier
+    # (explode of a 1-element array): Catalyst's projection collapse
+    # otherwise inlines the split(lower(text)) expression into every
+    # slice/size reference — the plan showed the tokenizer evaluated
+    # 4-8× per row (guide §1/§2.3: shuffle and compute fewer bytes).
+    # Generate is not collapsed, so downstream slices reference the
+    # materialized attribute. Output is bit-identical (measured, and
+    # the DuckDB oracles replay the same values).
+    based = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(words_col(F.col(text_col)))).alias("w"),
+    )
+    w = F.col("w")
     size = F.size(w)
     parts = [
         F.slice(w, i + 1, size - (n - 1)).alias(f"g{i}") for i in range(n)
     ]
     gram = F.concat_ws(" ", *[F.col(f"z.g{i}") for i in range(n)])
     return (
-        docs.select(F.col(id_col).alias("id"), F.arrays_zip(*parts).alias("zs"))
+        based.select("id", F.arrays_zip(*parts).alias("zs"))
         .where(size >= n)
         .select("id", F.explode("zs").alias("z"))
         .select("id", _bucket_col(gram, num_buckets))

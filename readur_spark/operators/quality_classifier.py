@@ -60,6 +60,14 @@ from readur_spark.operators.dsir import hashed_ngram_features
 #: document finite instead of log(0) (identical in every path + replica)
 P_EPS = 1e-12
 
+#: distributed-training chunking: documents per task for the gradient
+#: pass. Each doc costs microseconds of Python, so small corpora are
+#: latency-bound — re-chunk so a task amortizes task/Arrow overhead over
+#: at least this many docs (never above the input's own partition count,
+#: so big corpora keep their parallelism). Partitioning cannot change
+#: the result: addends are quantized per document and summed exactly.
+_TRAIN_ROWS_PER_TASK = 4096
+
 
 def _sigmoid(acc: float) -> float:
     """Numerically-stable logistic — THE formula every path and the
@@ -88,54 +96,111 @@ def _doc_features(
     )
 
 
+def doc_features(
+    docs: DataFrame,
+    num_buckets: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Public feature-table builder for callers that train AND score over
+    the same corpus: compute it once, ``persist()`` it, and pass it to
+    both :func:`train_quality_classifier` and :func:`score_quality` via
+    their ``features=`` parameter so the corpus is tokenized+hashed once
+    instead of once per consumer. The caller owns the persist lifecycle.
+    MUST be built with the same ``num_buckets`` the model uses."""
+    return _flat_cols(_doc_features(docs, num_buckets, id_col, text_col))
+
+
+def _flat_cols(fs_df: DataFrame) -> DataFrame:
+    """Derive primitive-array twins of ``fs`` (computed once per persisted
+    row, not once per iteration): ``bs`` buckets, ``cs`` counts-as-double,
+    ``vals`` cnt/total — so each training iteration ships flat
+    list<int>/list<double> Arrow columns to Python (fast numpy rows)
+    instead of list<struct> (per-row dict materialization), and the
+    gradient addends can be expanded JVM-side. ``vals[i]`` equals the
+    Python ``cnt / t`` of the reference loop bit-for-bit (one float64
+    division of exactly-represented operands in either engine)."""
+    return (
+        fs_df.withColumn(
+            "bs", F.transform("fs", lambda x: x["bucket"].cast("int"))
+        )
+        .withColumn("cs", F.transform("fs", lambda x: x["cnt"].cast("double")))
+        .withColumn(
+            "vals",
+            F.transform("fs", lambda x: x["cnt"].cast("double") / F.col("total")),
+        )
+    )
+
+
 def _score_udf(weights: list[float], bias: float):
     w = np.asarray(weights, dtype=np.float64)
     b = float(bias)
 
     @F.pandas_udf("double")
-    def score(fs: pd.Series, total: pd.Series) -> pd.Series:
+    def score(bs: pd.Series, vals: pd.Series) -> pd.Series:
         out = []
-        for row, tot in zip(fs, total):
+        for bks, vs in zip(bs, vals):
             acc = b
-            t = float(tot)
-            for item in row:  # ascending bucket order — fixed fold
-                acc += (item["cnt"] / t) * w[item["bucket"]]
+            for bk, v in zip(bks, vs):  # ascending bucket order — fixed fold
+                acc += v * w[bk]
             out.append(_sigmoid(acc))
         return pd.Series(out)
 
     return score
 
 
-def _grad_udf(weights: list[float], bias: float):
-    """One pass per document: probability, clamped error/loss, and ALL
-    gradient addends (bucket -1 = bias, -2 = loss) as one array — the
-    iteration's only UDF evaluation."""
+def _grad_partials_fn(weights: list[float], bias: float, num_buckets: int):
+    """One distributed iteration as a ``mapInPandas`` partial aggregation:
+    each task folds its whole partition into ≤ ``num_buckets``+2 rows of
+    (bucket, partial decimal gradient) — no explode, no shuffle, map-side
+    total aggregation (guide §2.3/§2.4). Arithmetic is byte-identical to
+    the reference loop: same float64 ascending-bucket fold, same stable
+    sigmoid + clamp, and each addend ``err * c / total`` is quantized to
+    DECIMAL(30,15) HALF_UP from its shortest decimal repr (what Spark's
+    double→decimal cast does) then summed EXACTLY as integers in 1e-15
+    units — so partitioning/batching cannot perturb the result. Buckets
+    -1/-2 carry the bias gradient and the loss, as before."""
+    from decimal import ROUND_HALF_UP, Decimal
+
     w = np.asarray(weights, dtype=np.float64)
     b = float(bias)
+    q15 = Decimal("1e-15")
 
-    @F.pandas_udf("array<struct<bucket:int,g:double>>")
-    def grad(fs: pd.Series, total: pd.Series, y: pd.Series) -> pd.Series:
-        rows = []
-        for row, tot, yy in zip(fs, total, y):
-            acc = b
-            t = float(tot)
-            for item in row:
-                acc += (item["cnt"] / t) * w[item["bucket"]]
-            p = min(max(_sigmoid(acc), P_EPS), 1.0 - P_EPS)
-            err = p - yy
-            out = [
-                {"bucket": int(item["bucket"]), "g": err * item["cnt"] / t}
-                for item in row
-            ]
-            out.append({"bucket": -1, "g": err})
-            out.append(
-                {"bucket": -2,
-                 "g": -(yy * math.log(p) + (1.0 - yy) * math.log(1.0 - p))}
-            )
-            rows.append(out)
-        return pd.Series(rows)
+    def dec15i(x: float) -> int:
+        return int(
+            Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP).scaleb(15)
+        )
 
-    return grad
+    def grad_partials(batches):
+        sums: dict[int, int] = {}
+        for pdf in batches:
+            for bks, vs, cs, tot, yy in zip(
+                pdf["bs"], pdf["vals"], pdf["cs"], pdf["total"], pdf["__y__"]
+            ):
+                acc = b
+                for bk, v in zip(bks, vs):  # ascending buckets — fixed fold
+                    acc += v * w[bk]
+                p = min(max(_sigmoid(acc), P_EPS), 1.0 - P_EPS)
+                err = p - yy
+                t = float(tot)
+                memo: dict[float, int] = {}
+                for bk, c in zip(bks.tolist(), cs.tolist()):
+                    mi = memo.get(c)
+                    if mi is None:
+                        memo[c] = mi = dec15i(err * c / t)
+                    sums[bk] = sums.get(bk, 0) + mi
+                sums[-1] = sums.get(-1, 0) + dec15i(err)
+                sums[-2] = sums.get(-2, 0) + dec15i(
+                    -(yy * math.log(p) + (1.0 - yy) * math.log(1.0 - p))
+                )
+        yield pd.DataFrame(
+            {
+                "bucket": pd.array(list(sums), dtype="int32"),
+                "g": [Decimal(v).scaleb(-15) for v in sums.values()],
+            }
+        )
+
+    return grad_partials
 
 
 def train_quality_classifier(
@@ -148,6 +213,7 @@ def train_quality_classifier(
     id_col: str = "doc_id",
     text_col: str = "text",
     driver_train_max: int = 20_000,
+    features: DataFrame | None = None,
 ) -> dict:
     """Train the filter: ``positive`` = reference-quality docs,
     ``negative`` = raw/web sample. Returns
@@ -186,10 +252,14 @@ def train_quality_classifier(
             "more than once across positive+negative — ids must be unique "
             "and the two sides disjoint"
         )
-    fs = _doc_features(labeled, num_buckets, id_col, text_col)
+    fs = (
+        _flat_cols(_doc_features(labeled, num_buckets, id_col, text_col))
+        if features is None
+        else features
+    )
     data = (
         fs.join(labeled.select(F.col(id_col).alias("id"), "__y__"), "id")
-        .select("id", "fs", "total", "__y__")
+        .select("id", "fs", "total", "bs", "cs", "vals", "__y__")
         .persist()
     )
     try:
@@ -200,40 +270,63 @@ def train_quality_classifier(
                 "num_buckets": num_buckets, "losses": [],
             }
         if n <= driver_train_max:
+            # Arrow-batched transfer of the FLAT arrays (bs/cs) — one
+            # parallel job instead of toLocalIterator's partition-at-a-
+            # time row stream (measured 5.1 s → 0.3 s at 5k docs). The
+            # driver working set stays bounded by ``driver_train_max``
+            # docs of (int, double) pairs — the same bound as before.
+            pdf = data.select("bs", "cs", "total", "__y__").toPandas()
             local = [
                 (
-                    [(int(f["bucket"]), int(f["cnt"])) for f in r["fs"]],
-                    float(r["total"]),
-                    float(r["__y__"]),
+                    [(int(b), int(c)) for b, c in zip(bs, cs)],
+                    float(t),
+                    float(y),
                 )
-                for r in data.toLocalIterator()
+                for bs, cs, t, y in zip(
+                    pdf["bs"], pdf["cs"], pdf["total"], pdf["__y__"]
+                )
             ]
             return _train_local(local, num_buckets, iters, lr, l2)
 
+        from decimal import Decimal
+
+        # Iteration input: only the columns the gradient pass reads,
+        # re-chunked so each task carries enough documents to amortize
+        # task/Arrow overhead (a 5k-doc table in 64 shuffle partitions
+        # spent more on scheduling than on math — guide §2.6). coalesce
+        # is narrow; partitioning CANNOT change the result (addends are
+        # quantized per-document and summed exactly).
+        parts = max(1, min(data.rdd.getNumPartitions(), -(-n // _TRAIN_ROWS_PER_TASK)))
+        it_in = data.select("bs", "cs", "vals", "total", "__y__").coalesce(
+            parts
+        )
+        schema = "bucket int, g decimal(30,15)"
         w = [0.0] * num_buckets
         bias = 0.0
         losses: list[float] = []
-        dec = "decimal(30,15)"
         for _ in range(iters):
-            items = _grad_udf(w, bias)(
-                F.col("fs"), F.col("total"), F.col("__y__")
+            partials = it_in.mapInPandas(
+                _grad_partials_fn(w, bias, num_buckets), schema
             )
-            rows = (
-                data.select(F.explode(items).alias("it"))
-                .groupBy(F.col("it.bucket").alias("bucket"))
-                .agg(F.sum(F.col("it.g").cast(dec)).alias("g"))
-                .collect()
-            )
-            grad = [0.0] * num_buckets
-            gb = loss_tot = 0.0
+            if parts * (num_buckets + 2) > 1_048_576:
+                # bound the driver collect at wide configurations: one
+                # tiny shuffle reduces tasks×buckets rows to ≤ buckets+2
+                partials = partials.groupBy("bucket").agg(
+                    F.sum("g").alias("g")
+                )
+            rows = partials.collect()
+            gsum: dict[int, Decimal] = {}
             for r in rows:
-                b = int(r["bucket"])
-                if b == -1:
-                    gb = float(r["g"] or 0.0)
-                elif b == -2:
-                    loss_tot = float(r["g"] or 0.0)
-                else:
-                    grad[b] = float(r["g"])
+                bkt = int(r["bucket"])
+                gv = r["g"]
+                if gv is not None:
+                    gsum[bkt] = gsum.get(bkt, Decimal(0)) + gv
+            gb = float(gsum.get(-1, Decimal(0)))
+            loss_tot = float(gsum.get(-2, Decimal(0)))
+            grad = [0.0] * num_buckets
+            for bkt, gv in gsum.items():
+                if bkt >= 0:
+                    grad[bkt] = float(gv)
             losses.append(round(loss_tot / n, 9))
             w = [
                 wi - lr * (gi / n + l2 * wi) for wi, gi in zip(w, grad)
@@ -251,37 +344,74 @@ def _train_local(data, num_buckets: int, iters: int, lr: float, l2: float) -> di
     """Driver-side twin of the distributed loop — byte-for-byte the same
     arithmetic (stable sigmoid, [P_EPS, 1-P_EPS] clamp, float64
     ascending-bucket folds, DECIMAL(30,15) HALF_UP quantized gradient
-    addends summed exactly, Python float updates)."""
+    addends summed exactly, Python float updates).
+
+    Implementation notes (r9 optimization — values unchanged, pinned by
+    test_matches_sequential_replica_both_paths against the independent
+    pure-Python replica):
+
+    * per-doc feature values ``c / total`` are precomputed once (the same
+      float64 division the reference loop performs every iteration);
+    * the dot-product fold multiplies elementwise via numpy (bitwise the
+      scalar mult) and then folds the products sequentially in ascending
+      bucket order — the identical addition sequence;
+    * the quantized gradient addend ``dec15(err * c / total)`` depends
+      only on (err, total, c), and within one document err/total are
+      fixed — so it is quantized once per DISTINCT count (unigram counts
+      are overwhelmingly 1-3) instead of once per feature;
+    * addends are accumulated as exact integers in 1e-15 units (a
+      Decimal with scale 15 IS such an integer); the final
+      ``float(Decimal(sum).scaleb(-15))`` is the same correctly-rounded
+      conversion as ``float()`` of the old Decimal running sum.
+    """
     from decimal import ROUND_HALF_UP, Decimal
 
     q15 = Decimal("1e-15")
 
-    def dec15(x: float) -> Decimal:
-        return Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP)
+    def dec15i(x: float) -> int:
+        # integer micro-units of the quantized addend — exact
+        return int(
+            Decimal(repr(x)).quantize(q15, rounding=ROUND_HALF_UP).scaleb(15)
+        )
 
-    w = [0.0] * num_buckets
+    # one-time preprocessing: flat arrays + distinct counts per doc
+    prepped = []
+    for fs, total, y in data:
+        bs = np.array([b for b, _ in fs], dtype=np.intp)
+        cs = [c for _, c in fs]
+        vs = np.array([c / total for c in cs], dtype=np.float64)
+        prepped.append((bs, cs, vs, sorted(set(cs)), total, y))
+
+    w = np.zeros(num_buckets, dtype=np.float64)
     bias = 0.0
     n = len(data)
     losses: list[float] = []
     for _ in range(iters):
-        grad = [Decimal(0)] * num_buckets
-        gb = Decimal(0)
-        loss = Decimal(0)
-        for fs, total, y in data:
+        grad = [0] * num_buckets  # exact 1e-15 units
+        gb = 0
+        loss = 0
+        for bs, cs, vs, distinct, total, y in prepped:
             acc = bias
-            for b, c in fs:
-                acc += (c / total) * w[b]
+            # elementwise product is the same float64 mult as the scalar
+            # loop; the fold below adds them in the same ascending order
+            for x in (vs * w[bs]).tolist():
+                acc += x
             p = min(max(_sigmoid(acc), P_EPS), 1.0 - P_EPS)
             err = p - y
-            for b, c in fs:
-                grad[b] += dec15(err * c / total)
-            gb += dec15(err)
-            loss += dec15(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)))
-        losses.append(round(float(loss) / n, 9))
-        w = [wi - lr * (float(gi) / n + l2 * wi) for wi, gi in zip(w, grad)]
-        bias -= lr * (float(gb) / n)
+            memo = {c: dec15i(err * c / total) for c in distinct}
+            for b, c in zip(bs.tolist(), cs):
+                grad[b] += memo[c]
+            gb += dec15i(err)
+            loss += dec15i(-(y * math.log(p) + (1.0 - y) * math.log(1.0 - p)))
+        losses.append(round(float(Decimal(loss).scaleb(-15)) / n, 9))
+        w_list = [
+            wi - lr * (float(Decimal(gi).scaleb(-15)) / n + l2 * wi)
+            for wi, gi in zip(w.tolist(), grad)
+        ]
+        w = np.array(w_list, dtype=np.float64)
+        bias -= lr * (float(Decimal(gb).scaleb(-15)) / n)
     return {
-        "weights": w, "bias": bias,
+        "weights": w.tolist(), "bias": bias,
         "num_buckets": num_buckets, "losses": losses,
     }
 
@@ -291,13 +421,22 @@ def score_quality(
     model: dict,
     id_col: str = "doc_id",
     text_col: str = "text",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id_col, quality_prob) for every document with ≥1 token — the
     corpus-wide linear pass. Docs whose tokens all miss (empty text)
-    produce no row; gate those on length filters."""
-    fs = _doc_features(docs, int(model["num_buckets"]), id_col, text_col)
+    produce no row; gate those on length filters. ``features``: a
+    prebuilt :func:`doc_features` table for exactly these docs (caller-
+    persisted) so train+score share one featurize pass."""
+    fs = (
+        _flat_cols(
+            _doc_features(docs, int(model["num_buckets"]), id_col, text_col)
+        )
+        if features is None
+        else features
+    )
     p = _score_udf(model["weights"], model["bias"])(
-        F.col("fs"), F.col("total")
+        F.col("bs"), F.col("vals")
     )
     return fs.select(
         F.col("id").alias(id_col), F.round(p, 6).alias("quality_prob")
