@@ -113,7 +113,12 @@ def dsir_weights(
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("ct"))
     ).persist()
-    rawc = feats.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    # rawc persisted too (≤ num_buckets rows): the totals collect below
+    # materializes feats AND rawc in ONE corpus pass, and the ratio
+    # broadcast build then reads the B-row cache instead of re-running
+    # the bucket aggregation over the corpus-sized feature cache (the
+    # plan showed that aggregation executing twice — guide §2.4)
+    rawc = feats.groupBy("bucket").agg(F.sum("cnt").alias("cr")).persist()
     tot = rawc.agg(
         F.sum("cr").alias("tr")
     ).collect()[0]
@@ -142,7 +147,7 @@ def dsir_weights(
             F.sum(F.col("cnt") * F.col("log_ratio")).alias("log_w"),
         )
     )
-    return _materialize_release(result, feats, tgt)
+    return _materialize_release(result, feats, tgt, rawc)
 
 
 def dsir_resample(
