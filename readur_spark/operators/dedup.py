@@ -80,14 +80,44 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     as ONE partition (maxPartitionBytes), serializing everything downstream
     onto a single core. Repartitioning a small input is one cheap shuffle;
     a real at-scale input already has ≥ defaultParallelism splits and is
-    left untouched."""
+    left untouched.
+
+    The split estimate comes from file METADATA (``inputFiles`` + driver
+    FileSystem status calls), never from ``df.rdd.getNumPartitions()``:
+    under AQE, ``.rdd`` resolves the final physical plan and was measured
+    costing 0.9-1.5 s of driver work PER CALL (and can execute whole
+    upstream query stages for shuffle-derived inputs) — a silent tax on
+    every shingle/fingerprint operator. Plans with no file sources
+    (in-memory test relations, post-shuffle inputs) are left untouched:
+    shuffle outputs already carry ``spark.sql.shuffle.partitions``-level
+    parallelism."""
     try:
-        target = df.sparkSession.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < target:
-            return df.repartition(target)
+        sc = df.sparkSession.sparkContext
+        target = sc.defaultParallelism
+        files = df.inputFiles()
+        if not files or len(files) >= target:
+            return df
+        conf = sc._jsc.hadoopConfiguration()
+        jvm = sc._jvm
+        try:
+            max_bytes = int(
+                df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes")
+                .lower()
+                .rstrip("b")
+            )
+        except (TypeError, ValueError):
+            max_bytes = 128 * 1024 * 1024
+        splits = 0
+        for f in files:
+            p = jvm.org.apache.hadoop.fs.Path(f)
+            fs = p.getFileSystem(conf)
+            size = fs.getFileStatus(p).getLen()
+            splits += max(1, -(-size // max_bytes))
+            if splits >= target:
+                return df
+        return df.repartition(target)
     except Exception:
-        pass
-    return df
+        return df
 
 
 def _shingles(

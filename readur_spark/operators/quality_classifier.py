@@ -296,7 +296,10 @@ def train_quality_classifier(
         # spent more on scheduling than on math — guide §2.6). coalesce
         # is narrow; partitioning CANNOT change the result (addends are
         # quantized per-document and summed exactly).
-        parts = max(1, min(data.rdd.getNumPartitions(), -(-n // _TRAIN_ROWS_PER_TASK)))
+        # coalesce never increases partition count, so no need to read
+        # the input's partitioning (df.rdd costs ~1 s of driver-side
+        # plan resolution under AQE — measured)
+        parts = max(1, -(-n // _TRAIN_ROWS_PER_TASK))
         it_in = data.select("bs", "cs", "vals", "total", "__y__").coalesce(
             parts
         )
