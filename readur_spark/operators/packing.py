@@ -173,23 +173,25 @@ def pack_sequences(
         key.alias("key"),
         token_counter(F.col(text_col)).cast("long").alias("n"),
     ).filter(F.col("n") > 0)
-    custom_counter = token_counter is not token_count_col
-    if custom_counter:
-        # custom counters are typically Arrow UDFs (BPE encode): persist
-        # the slim (id, key, n) projection so the three consumers below
-        # (min/max, bucket sums, the manifest itself) tokenize ONCE. The
-        # cache is RELEASED before returning (CacheManager holds caches
-        # until explicit unpersist — review r5) by eagerly checkpointing
-        # the manifest, which is itself slim (5 longs per doc-seq
-        # overlap, smaller than the text it indexes).
-        base = base.persist()
+    # persist the slim (id, key, n) projection: the three consumers below
+    # (min/max, bucket sums, the manifest itself) would otherwise each
+    # re-run the full upstream — for a BPE token_counter that is three
+    # Arrow UDF passes, and even the built-in regex counter re-tokenizes
+    # the corpus (and re-executes any expensive upstream such as
+    # chunk_texts' Python chunker — measured 3x the whole pipeline in
+    # chunk_pack_roundtrip) per consumer. Three longs per doc is always
+    # cheaper to cache than to recompute. The cache is RELEASED before
+    # returning (CacheManager holds caches until explicit unpersist —
+    # review r5) by eagerly checkpointing the manifest, which is itself
+    # slim (5 longs per doc-seq overlap, smaller than the text it
+    # indexes).
+    base = base.persist()
     # phases 1-3: the shared bucketed prefix scan (one collect per
     # bucket, broadcast bases, per-bucket window — no Exchange
     # SinglePartition anywhere in this plan)
     offs = bucketed_stream_offsets(base, ("id",), num_buckets)
     if offs is None:
-        if custom_counter:
-            base.unpersist()
+        base.unpersist()
         return spark.createDataFrame(
             [],
             f"seq_id long, {id_col} {id_type}, tok_start long, tok_end long, "
@@ -213,11 +215,9 @@ def pack_sequences(
         (seg_end - F.col("gstart")).alias("tok_end"),
         (seg_end - seg_start).alias("n_tokens"),
     )
-    if custom_counter:
-        from readur_spark.operators.dedup import _materialize_release
+    from readur_spark.operators.dedup import _materialize_release
 
-        manifest = _materialize_release(manifest, base)
-    return manifest
+    return _materialize_release(manifest, base)
 
 
 def packing_stats(manifest: DataFrame, seq_len: int) -> DataFrame:
