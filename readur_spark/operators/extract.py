@@ -100,6 +100,20 @@ def plan_partitions(
     when the size distribution is extreme; both modes are pure Catalyst.
     """
     if not size_binned:
+        # Skip the payload shuffle when the input already carries at
+        # least the requested parallelism (guide §2.4 "remove shuffles
+        # outright" / §8 "move heavy bytes once"): scan partitions are
+        # byte-bounded by maxPartitionBytes and shuffle outputs are
+        # hash-spread, so re-shuffling the span payloads buys nothing —
+        # measured a third of the flagship's wall. Inputs with FEWER
+        # partitions than requested (single-split small corpus, skewed
+        # unions) still get the defusing hash repartition, and
+        # ``size_binned=True`` always forces the explicit binning.
+        try:
+            if docs_df.rdd.getNumPartitions() >= num_partitions:
+                return docs_df
+        except Exception:
+            pass
         return docs_df.repartition(num_partitions, F.xxhash64("doc_id"))
     weighted = docs_df.withColumn(
         "doc_bytes",
