@@ -289,21 +289,39 @@ def pagerank(
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    nodes = (
+    nodes_ck = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n = nodes.count()
+    n = nodes_ck.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
+        return nodes_ck.withColumn("rank", F.lit(0.0))
+    # Scale-derived graph partitioning: a web-scale graph keeps the
+    # session's configured shuffle parallelism, but a small graph (the
+    # per-domain graphs these pipelines mostly rank: 10^2-10^4 hosts)
+    # collapses to a handful of partitions so each of the ``iters``
+    # sequential jobs schedules a few tasks instead of
+    # spark.sql.shuffle.partitions near-empty ones — the iteration loop
+    # on small graphs is pure scheduling latency (guide §2.6).
+    # Partitioning never changes the computed ranks.
+    spark = edges.sparkSession
+    try:
+        shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        shuffle_p = 200
+    graph_p = max(1, min(shuffle_p, -(-n // 2000)))
+    # narrow coalesced view for the loop; nodes_ck stays the handle the
+    # release paths unpersist (coalesce wraps the checkpointed RDD — an
+    # unpersist through the wrapper would miss it)
+    nodes = nodes_ck.coalesce(graph_p)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edges ⋈ outdeg once, pre-partitioned on src — every iteration's
     # join reuses this layout instead of re-shuffling the edge table
     edeg = (
         e.join(outdeg, "src")
-        .repartition("src")
+        .repartition(graph_p, "src")
         .persist()
     )
     edeg.count()  # materialize before the loop
@@ -312,11 +330,15 @@ def pagerank(
     # the whole upstream edge plan — corpus-scale extraction work ×
     # iters when edges is a lazy view over extract_outlinks (review
     # finding); only the rank MASS on these nodes changes per step.
-    danglers = nodes.join(
-        edeg.select("src").distinct(),
-        nodes["node"] == F.col("src"),
-        "left_anti",
-    ).localCheckpoint(eager=True)
+    danglers = (
+        nodes.join(
+            edeg.select("src").distinct(),
+            nodes["node"] == F.col("src"),
+            "left_anti",
+        )
+        .coalesce(graph_p)
+        .localCheckpoint(eager=True)
+    )
 
     # teleport vector: uniform stays the scalar formulation below
     # (bit-identical to the oracle-pinned classic path); a
@@ -364,7 +386,7 @@ def pagerank(
         if agg["nbad"] > 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
-            _release_checkpoint(nodes)
+            _release_checkpoint(nodes_ck)
             raise ValueError(
                 f"teleport weights contain {agg['nbad']} non-numeric "
                 "value(s) on graph nodes (cast to double yields NULL)"
@@ -372,7 +394,7 @@ def pagerank(
         if agg["lo"] < 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
-            _release_checkpoint(nodes)
+            _release_checkpoint(nodes_ck)
             raise ValueError(
                 "teleport weights must be non-negative "
                 f"(min on graph nodes: {agg['lo']})"
@@ -380,7 +402,7 @@ def pagerank(
         if total <= 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
-            _release_checkpoint(nodes)
+            _release_checkpoint(nodes_ck)
             raise ValueError(
                 "teleport vector has no positive mass on graph nodes"
             )
@@ -444,7 +466,7 @@ def pagerank(
         if itot["nbad"] > 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
-            _release_checkpoint(nodes)
+            _release_checkpoint(nodes_ck)
             if nodes_t is not None:
                 _release_checkpoint(nodes_t)
             _release_checkpoint(ranks)
@@ -455,7 +477,7 @@ def pagerank(
         if itot["lo"] < 0 or itot["t"] <= 0:
             edeg.unpersist()
             _release_checkpoint(danglers)
-            _release_checkpoint(nodes)
+            _release_checkpoint(nodes_ck)
             if nodes_t is not None:
                 _release_checkpoint(nodes_t)
             _release_checkpoint(ranks)
@@ -470,11 +492,15 @@ def pagerank(
         _release_checkpoint(old_init)
     base = (1.0 - damping) / n
     for _ in range(iters):
-        # rank mass parked on dangling nodes (no outgoing edges)
-        dangling = (
+        # rank mass parked on dangling nodes (no outgoing edges) — a
+        # 1-row aggregate broadcast INTO the iteration job instead of a
+        # separate .first() round trip: one job per iteration, not two
+        # (driver latency on small graphs, and one fewer full pass over
+        # the rank vector at corpus scale). The joined scalar is the
+        # identical float64 the old collect carried back.
+        dang_df = (
             ranks.join(danglers, "node", "left_semi")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
         contribs = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
@@ -488,6 +514,7 @@ def pagerank(
         if nodes_t is not None:
             new_ranks = (
                 nodes_t.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang_df))
                 .select(
                     "node",
                     (
@@ -495,7 +522,7 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("inmass"), F.lit(0.0))
-                            + F.lit(dangling) * F.col("__t")
+                            + F.col("__dang") * F.col("__t")
                         )
                     ).alias("rank"),
                 )
@@ -503,6 +530,7 @@ def pagerank(
         else:
             new_ranks = (
                 nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dang_df))
                 .select(
                     "node",
                     (
@@ -510,7 +538,7 @@ def pagerank(
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("inmass"), F.lit(0.0))
-                            + F.lit(dangling / n)
+                            + F.col("__dang") / F.lit(float(n))
                         )
                     ).alias("rank"),
                 )
@@ -545,7 +573,7 @@ def pagerank(
         _release_checkpoint(old)
     edeg.unpersist()
     _release_checkpoint(danglers)
-    _release_checkpoint(nodes)
+    _release_checkpoint(nodes_ck)
     if nodes_t is not None:
         _release_checkpoint(nodes_t)
     return ranks
