@@ -240,7 +240,15 @@ def _synthesize_pngs(spark: SparkSession, sf: str, w: int, h: int) -> DataFrame:
     correctness gate runs on closed-form synthetic rasters."""
     import pandas as pd
 
-    docs = _docs(spark, sf).select("doc_id")
+    # a small corpus is one parquet split = ONE partition, which would
+    # serialize the whole synth+decode+analyze chain onto a single core
+    # (measured: the entire image query ran as 1 task); spreading the
+    # 8-byte ids is one trivial shuffle
+    docs = (
+        _docs(spark, sf)
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
 
     def build(batches):
         from readur_spark.corpus import quality_png_bytes

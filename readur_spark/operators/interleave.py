@@ -138,11 +138,13 @@ def build_interleaved_sequences(
         "media_ref",
         _cost_col(media_token_cost, token_counter, text_kinds).alias("n"),
     ).filter(F.col("n") > 0)
-    custom_counter = token_counter is not token_count_col
-    if custom_counter:
-        # Arrow-UDF counters (BPE) tokenize once into a slim persisted
-        # projection; released via the eager-checkpoint pattern below.
-        base = base.persist()
+    # persist the slim span-cost projection: the prefix scan's three
+    # consumers (min/max, bucket sums, the manifest) would otherwise
+    # each re-run the upstream span explode + token counting — three
+    # Arrow passes for a BPE counter, three tokenize passes even for
+    # the built-in regex counter. Released via the eager-checkpoint
+    # pattern below.
+    base = base.persist()
     # the shared bucketed prefix scan (packing.bucketed_stream_offsets):
     # bucketing on the DOC key alone keeps a document's spans in one
     # bucket; the within-bucket order extends to (key, id, span_idx)
@@ -155,8 +157,7 @@ def build_interleaved_sequences(
         "seq_pos long, straddles boolean"
     )
     if offs is None:
-        if custom_counter:
-            base.unpersist()
+        base.unpersist()
         return spark.createDataFrame([], empty_schema)
     first_seq = F.floor(F.col("gstart") / seq_len)
     last_seq = F.floor((F.col("gstart") + F.col("n") - 1) / seq_len)
@@ -184,11 +185,9 @@ def build_interleaved_sequences(
         (seg_start - F.col("seq_id") * seq_len).alias("seq_pos"),
         "straddles",
     )
-    if custom_counter:
-        from readur_spark.operators.dedup import _materialize_release
+    from readur_spark.operators.dedup import _materialize_release
 
-        manifest = _materialize_release(manifest, base)
-    return manifest
+    return _materialize_release(manifest, base)
 
 
 def interleave_stats(

@@ -365,9 +365,16 @@ def tfidf_top_terms(
 
     from readur_spark.operators.dedup import _token_rows
 
+    from readur_spark.operators.dedup import _materialize_release
+
     n_docs = docs.count()
     toks = _token_rows(docs, id_col, text_col)
-    tf = toks.groupBy("id", "tk").agg(F.count("*").alias("tf"))
+    # persisted: the (doc, term, tf) table feeds BOTH the corpus df
+    # aggregation and the scoring join — without the persist the token
+    # explode + per-doc aggregation over the whole corpus executes twice
+    # (measured as the two dominant stages of this operator). Released
+    # via the eager checkpoint of the k-per-doc result below.
+    tf = toks.groupBy("id", "tk").agg(F.count("*").alias("tf")).persist()
     df = tf.groupBy("tk").agg(F.count("*").alias("df")).filter(
         F.col("df") >= min_df
     )
@@ -376,7 +383,7 @@ def tfidf_top_terms(
         "id", "tk", F.round(F.col("tf") * idf, 6).alias("tfidf")
     )
     w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("tk"))
-    return (
+    result = (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select(
@@ -386,3 +393,4 @@ def tfidf_top_terms(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+    return _materialize_release(result, tf)
