@@ -63,6 +63,7 @@ def main() -> None:
                     s["stageId"],
                     s.get("executorRunTime", 0) / 1000.0,
                     s.get("executorCpuTime", 0) / 1e9,
+                    s.get("jvmGcTime", 0) / 1000.0,
                     s.get("inputBytes", 0) / 1e6,
                     s.get("shuffleReadBytes", 0) / 1e6,
                     s.get("shuffleWriteBytes", 0) / 1e6,
@@ -72,13 +73,13 @@ def main() -> None:
             )
         rows.sort(key=lambda r: -r[1])
         print(
-            f"{'stage':>5} {'runT(s)':>8} {'cpuT(s)':>8} {'in(MB)':>8} "
+            f"{'stage':>5} {'runT(s)':>8} {'cpuT(s)':>8} {'gc(s)':>7} {'in(MB)':>8} "
             f"{'shR(MB)':>8} {'shW(MB)':>8} {'tasks':>5}  name"
         )
         for r in rows[:14]:
             print(
-                f"{r[0]:>5} {r[1]:>8.2f} {r[2]:>8.2f} {r[3]:>8.1f} "
-                f"{r[4]:>8.1f} {r[5]:>8.1f} {r[6]:>5}  {r[7]}"
+                f"{r[0]:>5} {r[1]:>8.2f} {r[2]:>8.2f} {r[3]:>7.2f} {r[4]:>8.1f} "
+                f"{r[5]:>8.1f} {r[6]:>8.1f} {r[7]:>5}  {r[8]}"
             )
         tot_rt = sum(r[1] for r in rows)
         print(f"total executorRunTime {tot_rt:.1f}s across {len(rows)} stages")
