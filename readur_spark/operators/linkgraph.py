@@ -415,12 +415,24 @@ def pagerank(
             .select("node", F.coalesce("__t", F.lit(0.0)).alias("__t"))
             .localCheckpoint(eager=True)
         )
-        ranks = nodes_t.select(
-            "node", F.col("__t").alias("rank")
-        ).localCheckpoint(eager=True)
+        # warm starts never read the teleport-derived init vector — it
+        # would be built, checkpointed, and immediately replaced below
+        # (one wasted corpus-scale materialization per warm-started
+        # recrawl; r8 advisor finding). Only nodes_t is needed then.
+        ranks = (
+            None
+            if init_ranks is not None
+            else nodes_t.select(
+                "node", F.col("__t").alias("rank")
+            ).localCheckpoint(eager=True)
+        )
     else:
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
-            eager=True
+        ranks = (
+            None
+            if init_ranks is not None
+            else nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint(
+                eager=True
+            )
         )
     if init_ranks is not None:
         # warm start (incremental recrawl): seed the iteration from a
@@ -469,7 +481,6 @@ def pagerank(
             _release_checkpoint(nodes_ck)
             if nodes_t is not None:
                 _release_checkpoint(nodes_t)
-            _release_checkpoint(ranks)
             raise ValueError(
                 f"init_ranks contains {itot['nbad']} non-numeric rank "
                 "value(s) on graph nodes (cast to double yields NULL)"
@@ -480,16 +491,13 @@ def pagerank(
             _release_checkpoint(nodes_ck)
             if nodes_t is not None:
                 _release_checkpoint(nodes_t)
-            _release_checkpoint(ranks)
             raise ValueError(
                 "init_ranks must be non-negative with positive total "
                 f"mass on graph nodes (min {itot['lo']}, sum {itot['t']})"
             )
-        old_init = ranks
         ranks = seeded.select(
             "node", (F.col("rank") / itot["t"]).alias("rank")
         ).localCheckpoint(eager=True)
-        _release_checkpoint(old_init)
     base = (1.0 - damping) / n
     for _ in range(iters):
         # rank mass parked on dangling nodes (no outgoing edges) — a

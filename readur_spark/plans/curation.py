@@ -257,6 +257,11 @@ def curate(
         # worst possible failure mode for a filter stage
         vagg = rt.agg(
             F.count("*").alias("n"),
+            # distinct NODES, not raw rows: duplicate (or case-aliased)
+            # rank-table rows would inflate N and silently lower the
+            # min_rank_ratio/N threshold below the documented semantics
+            # (r8 advisor finding)
+            F.countDistinct("__node").alias("n_nodes"),
             F.sum(
                 F.when(F.col("__raw_nn") & F.col("__r").isNull(), 1)
                 .otherwise(0)
@@ -282,7 +287,7 @@ def curate(
             )
         rt = rt.drop("__raw_nn")
         if min_rank_ratio is not None:
-            n_nodes = vagg["n"]
+            n_nodes = vagg["n_nodes"]
             threshold = min_rank_ratio / max(n_nodes, 1)
         else:
             # exact percentile (one scalar): deterministic across

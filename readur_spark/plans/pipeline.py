@@ -262,13 +262,26 @@ def _stage_assigned_input(
                 F.col("partition_id")
             ).create()
     else:
-        import os
-
-        if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        # Hadoop FileSystem, not driver-local os.path: run_extraction is
+        # a spark-submit entry point, and on HDFS/S3 a local existence
+        # probe always misses — every resume would re-stage the corpus
+        # snapshot and lose the pinned-snapshot guarantee (r8 advisor
+        # finding).
+        fs, p, jvm = _hadoop_fs(spark, staged)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(staged + "/_SUCCESS")):
             planned.write.mode("overwrite").partitionBy(
                 "partition_id"
             ).parquet(staged)
     return read_table(spark, staged, table_format)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path, jvm) for ``path`` through the session's Hadoop
+    configuration — works for file://, hdfs://, s3a://, ... alike."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), p, jvm
 
 
 def _drop_staged_input(
@@ -284,6 +297,17 @@ def _drop_staged_input(
     if table_format == "iceberg":
         spark.sql(f"DROP TABLE IF EXISTS {staged}")
     else:
-        import shutil
-
-        shutil.rmtree(staged, ignore_errors=True)
+        # drop ALL _staged_p* siblings, not only the current partition
+        # count: a resume with a different num_partitions would otherwise
+        # orphan the previous corpus-sized snapshot forever (r8 advisor
+        # finding). Hadoop FS for the same cluster-correctness reason as
+        # the existence probe above.
+        try:
+            fs, _, jvm = _hadoop_fs(spark, checkpoint_path)
+            pat = jvm.org.apache.hadoop.fs.Path(
+                f"{checkpoint_path}_staged_p*"
+            )
+            for st in fs.globStatus(pat) or []:
+                fs.delete(st.getPath(), True)
+        except Exception:
+            pass  # cleanup is best-effort; a leftover snapshot is inert

@@ -508,3 +508,45 @@ def test_curate_sentence_gate(spark):
     ids = {r["doc_id"] for r in chunks.select("doc_id").distinct().collect()}
     assert ids == {1}
     assert m["after_quality_filter"] == 1
+
+
+def test_curate_rank_table_duplicate_nodes_keep_documented_threshold(spark):
+    """r8 advisor finding: the min_rank_ratio threshold divides by the
+    number of DISTINCT domains, so a rank table with duplicate (or
+    case-aliased) node rows must behave exactly like its deduplicated
+    form instead of silently lowering the keep threshold."""
+    base = "The quick brown fox jumps over the lazy dog near the river bank. " * 8
+    rows = [
+        (1, "https://good.com/a", base + "one"),
+        (2, "https://mid.com/c",
+         "A third page on gardening with tomatoes and long rows of "
+         "beans under the late summer sun in the valley field. " * 8),
+        (3, "https://farm.spam/d",
+         "A fourth page describing mountain trails and the slow climb "
+         "toward the granite summit before the autumn snows arrive. " * 8),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    clean = spark.createDataFrame(
+        [("good.com", 0.55), ("mid.com", 1 / 3), ("farm.spam", 0.1167)],
+        "node string, rank double",
+    )
+    # the same table with duplicated/case-aliased rows: raw count 6,
+    # distinct domains still 3 — the threshold must not halve
+    dup = spark.createDataFrame(
+        [
+            ("good.com", 0.55), ("GOOD.com", 0.55),
+            ("mid.com", 1 / 3), ("MID.COM", 1 / 3),
+            ("farm.spam", 0.1167), ("farm.SPAM", 0.1167),
+        ],
+        "node string, rank double",
+    )
+    kw = dict(require_gopher=False, chunk_words=40, overlap_words=8)
+    want, _ = curate(
+        docs, url_col="url", rank_table=clean, min_rank_ratio=1.0, **kw
+    )
+    got, _ = curate(
+        docs, url_col="url", rank_table=dup, min_rank_ratio=1.0, **kw
+    )
+    want_ids = {r["doc_id"] for r in want.select("doc_id").distinct().collect()}
+    got_ids = {r["doc_id"] for r in got.select("doc_id").distinct().collect()}
+    assert want_ids == got_ids == {1, 2}
