@@ -56,6 +56,26 @@ def get_spark(
             str(ARROW_MAX_RECORDS_PER_BATCH),
         )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # JIT code cache sized for LONG sessions: every query compiles
+        # fresh whole-stage-codegen classes, and at the JVM's default
+        # ~240 MB reserved code cache a multi-query session exhausts it
+        # mid-run — the JIT then stops compiling and later queries run
+        # partly interpreted (measured: the same warm query 2.2× slower
+        # late in a 40-query session, no spill, flat GC; 2.6× recovered
+        # with the larger cache). Scale-independent JVM sizing, applied
+        # to executors too for cluster parity; override via env.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTIONS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            os.environ.get(
+                "SPARK_EXECUTOR_JAVA_OPTIONS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
