@@ -222,7 +222,28 @@ def dsir_resample(
     hi_q = min(1.0, q + 2.0 * err)
     lo_q = max(0.0, q - 2.0 * err)
     lo, hi = keyed.stat.approxQuantile("gumbel_key", [lo_q, hi_q], err)
-    c_hi = keyed.filter(F.col("gumbel_key") > hi).count()
+
+    def _counts(lo_v: float, hi_v: float) -> tuple[int, int]:
+        # ONE pass for both bracket counts (above-hi and in-band) —
+        # these were two sequential jobs over the same checkpointed
+        # table (guide §2.4: don't re-scan to count twice)
+        row = keyed.agg(
+            F.coalesce(
+                F.sum((F.col("gumbel_key") > hi_v).cast("long")), F.lit(0)
+            ).alias("c_hi"),
+            F.coalesce(
+                F.sum(
+                    (
+                        (F.col("gumbel_key") <= hi_v)
+                        & (F.col("gumbel_key") > lo_v)
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("c_band"),
+        ).first()
+        return int(row["c_hi"]), int(row["c_band"])
+
+    c_hi, band_cnt = _counts(lo, hi)
     widen = 0
     while c_hi > k and widen < 3:
         # sketch guarantee violated (shouldn't happen at the documented
@@ -230,7 +251,7 @@ def dsir_resample(
         widen += 1
         hi_q = min(1.0, hi_q + 2.0 * err)
         hi = keyed.stat.approxQuantile("gumbel_key", [hi_q], err)[0]
-        c_hi = keyed.filter(F.col("gumbel_key") > hi).count()
+        c_hi, band_cnt = _counts(lo, hi)
     if c_hi > k:
         raise RuntimeError(
             "dsir_resample: approxQuantile bracket failed to cover the "
@@ -242,7 +263,6 @@ def dsir_resample(
     band = keyed.filter(
         (F.col("gumbel_key") <= hi) & (F.col("gumbel_key") > lo)
     )
-    band_cnt = band.count()
     widen = 0
     while c_hi + band_cnt < k and widen < 3:
         # lower bracket cut too high (violated guarantee): widen the band
@@ -258,7 +278,7 @@ def dsir_resample(
         band = keyed.filter(
             (F.col("gumbel_key") <= hi) & (F.col("gumbel_key") > lo)
         )
-        band_cnt = band.count()
+        _, band_cnt = _counts(lo, hi)
     # symmetric guard (round-5 review): under the sketch guarantee both
     # `need` and the band stay O(boundary_band); a wild overshoot of `hi`
     # upward would otherwise silently funnel ~k rows through the limit

@@ -90,7 +90,10 @@ def plan_partitions(
     ``xxhash64(doc_id)`` — a single shuffle, no extra pass, uniform doc
     spread (the north rule's salt-by-doc_id). This is the right default:
     document costs are long-tailed but hashing 10^12 docs over ~10^5
-    partitions averages the tail out.
+    partitions averages the tail out. Inputs that ALREADY carry at least
+    ``num_partitions`` partitions skip the payload shuffle entirely
+    (r9): scan splits are byte-bounded and shuffle outputs hash-spread,
+    so re-shuffling the span payloads buys nothing there.
 
     ``size_binned=True`` adds readur's size→priority binning
     (batch_ingest.rs:281-294) via ``repartitionByRange`` on
