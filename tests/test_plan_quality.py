@@ -248,16 +248,36 @@ def test_lm_scoring_plan_no_python_no_cartesian(spark, docs):
 def test_interleave_pack_no_single_partition(spark):
     """The span-stream prefix scan windows PARTITION BY bucket and the
     bases arrive broadcast — no Exchange SinglePartition (the failure
-    mode of a naive global ORDER BY window over the span stream)."""
-    from readur_spark.corpus import docs_dataframe
-    from readur_spark.operators.interleave import build_interleaved_sequences
+    mode of a naive global ORDER BY window over the span stream).
 
-    man = build_interleaved_sequences(
-        docs_dataframe(spark, 40, seed=3),
-        seq_len=128,
-        media_token_cost={"media": 64},
-        text_kinds=("text", "html"),
+    Since r9 the operator eagerly checkpoints its manifest (releasing
+    the persisted base), so the RETURNED frame's plan is lineage-
+    truncated; the invariant is asserted on the prefix-scan component
+    the operator executes — the same plan that ran inside the
+    checkpoint."""
+    from pyspark.sql import functions as F
+
+    from readur_spark.corpus import docs_dataframe
+    from readur_spark.operators.interleave import (
+        _cost_col,
+        explode_spans,
     )
-    plan = plan_of(man)
+    from readur_spark.operators.packing import bucketed_stream_offsets
+    from readur_spark.functions.textstats import token_count_col
+
+    docs = docs_dataframe(spark, 40, seed=3)
+    spans = explode_spans(docs, id_col="doc_id", spans_col="spans")
+    base = spans.select(
+        F.col("doc_id").alias("id"),
+        F.xxhash64("doc_id").alias("key"),
+        "span_idx",
+        "kind",
+        "media_ref",
+        _cost_col({"media": 64}, token_count_col, ("text", "html")).alias(
+            "n"
+        ),
+    ).filter(F.col("n") > 0)
+    offs = bucketed_stream_offsets(base, ("id", "span_idx"))
+    plan = plan_of(offs)
     assert "Exchange SinglePartition" not in plan, plan
     assert "BroadcastExchange" in plan, plan
