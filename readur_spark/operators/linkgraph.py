@@ -314,31 +314,39 @@ def pagerank(
     graph_p = max(1, min(shuffle_p, -(-n // 2000)))
     # narrow coalesced view for the loop; nodes_ck stays the handle the
     # release paths unpersist (coalesce wraps the checkpointed RDD — an
-    # unpersist through the wrapper would miss it)
-    nodes = nodes_ck.coalesce(graph_p)
+    # unpersist through the wrapper would miss it). Only wrap when the
+    # count actually shrinks: a no-op coalesce still erases the
+    # checkpoint's hash-partitioning info and forced an extra exchange
+    # of the node table every iteration at corpus scale (10M-edge A/B).
+    nodes = nodes_ck if graph_p >= shuffle_p else nodes_ck.coalesce(graph_p)
     outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
     # edges ⋈ outdeg once, pre-partitioned on src — every iteration's
-    # join reuses this layout instead of re-shuffling the edge table
+    # join reuses this layout instead of re-shuffling the edge table.
+    # The explicit partition count is only forced when it SHRINKS the
+    # layout (small graphs); a web-scale graph keeps the keyless-count
+    # form so AQE stays free to size the exchange (an explicit count
+    # disables AQE coalescing for that exchange — measured +20 % per
+    # iteration at 10M edges).
+    edeg = e.join(outdeg, "src")
     edeg = (
-        e.join(outdeg, "src")
-        .repartition(graph_p, "src")
-        .persist()
-    )
+        edeg.repartition(graph_p, "src")
+        if graph_p < shuffle_p
+        else edeg.repartition("src")
+    ).persist()
     edeg.count()  # materialize before the loop
     # the DANGLING NODE SET is loop-invariant: materialize it once.
     # Re-deriving it per iteration (ranks anti-join outdeg) re-executed
     # the whole upstream edge plan — corpus-scale extraction work ×
     # iters when edges is a lazy view over extract_outlinks (review
     # finding); only the rank MASS on these nodes changes per step.
-    danglers = (
-        nodes.join(
-            edeg.select("src").distinct(),
-            nodes["node"] == F.col("src"),
-            "left_anti",
-        )
-        .coalesce(graph_p)
-        .localCheckpoint(eager=True)
+    danglers_df = nodes.join(
+        edeg.select("src").distinct(),
+        nodes["node"] == F.col("src"),
+        "left_anti",
     )
+    if graph_p < shuffle_p:
+        danglers_df = danglers_df.coalesce(graph_p)
+    danglers = danglers_df.localCheckpoint(eager=True)
 
     # teleport vector: uniform stays the scalar formulation below
     # (bit-identical to the oracle-pinned classic path); a
@@ -499,17 +507,30 @@ def pagerank(
             "node", (F.col("rank") / itot["t"]).alias("rank")
         ).localCheckpoint(eager=True)
     base = (1.0 - damping) / n
+    # Dangling-mass dispatch (measured both ways at both scales): on
+    # SMALL graphs the per-iteration `.first()` round trip dominates, so
+    # the 1-row aggregate is broadcast INTO the iteration job (one job
+    # per iteration instead of two). On LARGE graphs the fused form is
+    # net SLOWER — the broadcast subtree still reads the rank vector,
+    # and the nested-loop join of the scalar row against every node
+    # breaks whole-stage codegen (10M-edge A/B: +12-30 % per iteration)
+    # — so corpus-scale graphs keep the classic collect + literal.
+    # Either way the identical float64 reaches the identical expression
+    # (AQE on/off hash-equal probe + DuckDB gate).
+    fuse_dangling = n <= 100_000
     for _ in range(iters):
-        # rank mass parked on dangling nodes (no outgoing edges) — a
-        # 1-row aggregate broadcast INTO the iteration job instead of a
-        # separate .first() round trip: one job per iteration, not two
-        # (driver latency on small graphs, and one fewer full pass over
-        # the rank vector at corpus scale). The joined scalar is the
-        # identical float64 the old collect carried back.
-        dang_df = (
+        # rank mass parked on dangling nodes (no outgoing edges)
+        dang_subtree = (
             ranks.join(danglers, "node", "left_semi")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang"))
         )
+        if fuse_dangling:
+            dang_uniform = F.col("__dang") / F.lit(float(n))
+            dang_teleport = F.col("__dang")
+        else:
+            dangling = dang_subtree.first()[0]
+            dang_uniform = F.lit(dangling / n)
+            dang_teleport = F.lit(dangling)
         contribs = (
             edeg.join(ranks, edeg["src"] == ranks["node"])
             .select(
@@ -520,36 +541,34 @@ def pagerank(
             .agg(F.sum("c").alias("inmass"))
         )
         if nodes_t is not None:
-            new_ranks = (
-                nodes_t.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dang_df))
-                .select(
-                    "node",
-                    (
-                        F.lit(1.0 - damping) * F.col("__t")
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("inmass"), F.lit(0.0))
-                            + F.col("__dang") * F.col("__t")
-                        )
-                    ).alias("rank"),
-                )
+            new_ranks = nodes_t.join(contribs, "node", "left")
+            if fuse_dangling:
+                new_ranks = new_ranks.crossJoin(F.broadcast(dang_subtree))
+            new_ranks = new_ranks.select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("__t")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inmass"), F.lit(0.0))
+                        + dang_teleport * F.col("__t")
+                    )
+                ).alias("rank"),
             )
         else:
-            new_ranks = (
-                nodes.join(contribs, "node", "left")
-                .crossJoin(F.broadcast(dang_df))
-                .select(
-                    "node",
-                    (
-                        F.lit(base)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("inmass"), F.lit(0.0))
-                            + F.col("__dang") / F.lit(float(n))
-                        )
-                    ).alias("rank"),
-                )
+            new_ranks = nodes.join(contribs, "node", "left")
+            if fuse_dangling:
+                new_ranks = new_ranks.crossJoin(F.broadcast(dang_subtree))
+            new_ranks = new_ranks.select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("inmass"), F.lit(0.0))
+                        + dang_uniform
+                    )
+                ).alias("rank"),
             )
         old = ranks
         ranks = new_ranks.localCheckpoint(eager=True)
