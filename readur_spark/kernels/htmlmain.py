@@ -153,9 +153,16 @@ class _MainContentParser(HTMLParser):
             return super().parse_marked_section(i, report)
         j = rawdata.find(">", i + 3)
         if j < 0:
-            # incomplete: buffer; close() emits the tail as data exactly
-            # like the fast tokenizer's stray-'<' fallback
-            return -1
+            # no '>' anywhere ahead of the bogus declaration: the fast
+            # tokenizer's stray-'<' fallback emits '<' as text and
+            # re-tokenizes from the next character — mirror that exactly.
+            # (Returning -1 to buffer would make close() dump the whole
+            # tail as text INCLUDING later constructs the fast path
+            # handles, e.g. an unterminated comment — caught by the
+            # 2000-example property run.) Single-shot feed() usage, so
+            # "no '>' in the buffer" means "no '>' to EOF".
+            self.handle_data("<")
+            return i + 1
         return j + 1
 
     def parse_endtag(self, i: int) -> int:

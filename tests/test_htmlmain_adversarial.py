@@ -294,6 +294,15 @@ def test_bare_marked_section_does_not_swallow_content():
     # unterminated marked section at EOF: equality is what matters
     both(KEEP + "<![endif")
     both("<![CDATA[unterminated " + KEEP)
+    # the 2000-example budget's second find: an unterminated bare marked
+    # section with NO '>' to EOF, followed by more '<![' junk and an
+    # unterminated comment — the reference must take the stray-'<'
+    # fallback (text, re-tokenize) instead of buffering the whole tail
+    # and dumping it as text at close()
+    both("<![include x]><![endif<![endif<!--[if lt IE ")
+    # same shape but the junk run is long enough to clear MIN_BLOCK_CHARS
+    both("<![endif" + " plain words with no angle brackets at all " * 3)
+    both("<![endif" + KEEP.replace("<p>", "").replace("</p>", ""))
 
 
 @settings(max_examples=2000, deadline=None)
